@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full compute, no
+driver-side collect — the number measures the engine, not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from les_etl_pipeline_spark.queries import QUERIES  # noqa: E402
+from les_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_outer_counts",
+    "join_theta_quantity_vs_size",
+    "agg_cube_flags",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "window_running_frames",
+    "json_extract_events",
+    "array_explode_wordcount",
+    "stream_session_window",
+    "etl_scd2_current_snapshot",
+    "etl_validation_split",
+    # LLM-data extensions (north star)
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "similarity_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm up the JVM/codegen paths once on the smallest table
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        sec = run_one(spark, name, sf_dir)
+        per_query[name] = round(sec, 3)
+        total += sec
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Reference-semantics operators expressed as verifiable queries over the
+test warehouse: cast engine, validation split, SCD2 current-snapshot,
+vertical partitioning + dedup (SURVEY.md §2.6, §2.8, §2.9, P5/P6/P9/D1).
+
+The real pipeline operators live in ``les_etl_pipeline_spark.operators``
+and are unit-tested against EDW-style fixtures; these queries exercise the
+same column-expression compilers on the driver's tables so the DuckDB
+oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.validation import compile_rules
+from ..functions.rounding import hround
+from .registry import register
+
+
+@register(
+    "etl_cast_engine",
+    oracle="""
+    SELECT q AS raw_qty, f AS raw_flag, d AS raw_date, i AS raw_count,
+           round(TRY_CAST(q AS DOUBLE), 2) AS qty_num,
+           coalesce(f = 'y', FALSE) AS flag_bool,
+           TRY_CAST(d AS DATE) AS d_date,
+           CASE WHEN regexp_matches(i, '^-?[0-9]+$')
+                THEN TRY_CAST(i AS INT) ELSE NULL END AS count_int
+    FROM (VALUES ('7.256', 'y', '2023-06-30', '42'),
+                 ('18000.504', 'n', '2024-02-29', '0'),
+                 ('xx', NULL, 'not-a-date', 'xx'),
+                 ('-3.125', 'Y', '2030-12-31', '-7')) t(q, f, d, i)
+    """,
+)
+def etl_cast_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F7-F10 cast engine (silver_funcs.py:15-34) via the real
+    operators.cast_engine compiler: y/n->bool with null->False (F7), 2dp
+    double round (F9), date parse (F8), int cast with garbage->NULL (F10).
+    The oracle encodes the same legacy semantics (coalesce for null->False,
+    regexp guard because Spark's non-ANSI string->int cast rejects
+    decimals while DuckDB TRY_CAST rounds them)."""
+    from pyspark.sql import types as T
+
+    from ..operators.cast_engine import cast_to_datatype
+
+    df = spark.createDataFrame(
+        [
+            ("7.256", "y", "2023-06-30", "42"),
+            ("18000.504", "n", "2024-02-29", "0"),
+            ("xx", None, "not-a-date", "xx"),
+            ("-3.125", "Y", "2030-12-31", "-7"),
+        ],
+        ["raw_qty", "raw_flag", "raw_date", "raw_count"],
+    )
+    df = df.selectExpr(
+        "raw_qty", "raw_flag", "raw_date", "raw_count",
+        "raw_qty AS qty_num", "raw_flag AS flag_bool",
+        "raw_date AS d_date", "raw_count AS count_int",
+    )
+    return cast_to_datatype(
+        df,
+        {
+            "qty_num": T.DoubleType(),
+            "flag_bool": T.BooleanType(),
+            "d_date": T.DateType(),
+            "count_int": T.IntegerType(),
+        },
+    )
+
+
+@register(
+    "etl_validation_split",
+    oracle="""
+    SELECT
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+    FROM (
+      SELECT (l_quantity IS NOT NULL AND l_quantity BETWEEN 1 AND 45)
+             AND (l_discount IS NOT NULL AND l_discount BETWEEN 0 AND 0.08)
+             AND (l_returnflag IN ('A', 'N', 'R'))
+             AND (l_shipdate IS NOT NULL AND
+                  l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2000-12-31')
+             AS ok
+      FROM lineitem
+    )
+    """,
+)
+def etl_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.8 validation engine: a declarative rule dict compiled to
+    native Column predicates (no Python row loop), counting the good/bad
+    split the reference materializes as clean/dirty dumps."""
+    rules = {
+        "l_quantity": {"type": "number", "nullable": False, "min": 1, "max": 45},
+        "l_discount": {"type": "number", "nullable": False, "min": 0, "max": 0.08},
+        "l_returnflag": {"allowed": ["A", "N", "R"]},
+        "l_shipdate": {
+            "type": "datetime",
+            "nullable": False,
+            "min": "1995-01-01",
+            "max": "2000-12-31",
+        },
+    }
+    li = table(spark, sf_dir, "lineitem")
+    flag, _errors = compile_rules(rules, strict_columns=False)
+    return li.select(flag.alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_bad"),
+    )
+
+
+@register(
+    "etl_scd2_current_snapshot",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_orderdate,
+           (floor((o_totalprice) * 100.0 + 0.5) / 100.0) AS latest_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def etl_scd2_current_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 'current record per key' semantics (SURVEY.md §2.9): latest
+    version wins; the batch equivalent of iscurrent=1 selection
+    (generate_asset_silver.py:81)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+            hround("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+@register(
+    "etl_vertical_partition_dedup",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+      SELECT l_returnflag, l_linestatus, 'N/A' AS l_shipmode FROM lineitem
+    )
+    """,
+)
+def etl_vertical_partition_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical partitioning P5 + D1 dedup (generate_asset_silver.py:99-116):
+    select a topic column subset then dropDuplicates — many source rows
+    collapse to one topic row."""
+    li = table(spark, sf_dir, "lineitem").withColumn("l_shipmode", F.lit("N/A"))
+    return li.select("l_returnflag", "l_linestatus", "l_shipmode").dropDuplicates()
+
+
+@register(
+    "etl_allnull_row_drop",
+    oracle="""
+    SELECT o_orderkey, p1, p2 FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS p1,
+             CASE WHEN o_totalprice < 250000 THEN NULL
+                  ELSE (floor((o_totalprice) * 100.0 + 0.5) / 100.0) END AS p2
+      FROM orders
+    ) WHERE p1 IS NOT NULL OR p2 IS NOT NULL
+    """,
+)
+def etl_allnull_row_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: na.drop(how='all', subset=topic_cols)
+    (generate_asset_silver.py:103-105)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("p1"),
+        F.when(F.col("o_totalprice") < 250000, None)
+        .otherwise(hround("o_totalprice"))
+        .alias("p2"),
+    )
+    return o.na.drop(how="all", subset=["p1", "p2"])

@@ -1,0 +1,341 @@
+"""Set operations, scalar function families (string / date / math /
+conditional / hash), array functions, and JSON extraction (SURVEY.md §2.4,
+§2.12 — the reference's F1-F15 scalar semantics generalized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT nk FROM (
+      SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
+    )
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").cast("int").alias("nk"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").cast("int").alias("nk"))
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.subtract(y97)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions — string (reference F11: lower/trim normalize; F2 concat)
+# --------------------------------------------------------------------------
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS name_upper,
+           lower(trim(c_mktsegment))              AS seg_norm,
+           CAST(length(c_name) AS INT)            AS name_len,
+           substr(c_name, 1, 8)                   AS name_prefix,
+           concat_ws('|', c_mktsegment, c_name)   AS seg_name,
+           replace(c_name, '#', '-')              AS name_dashed,
+           CAST(strpos(c_name, '#') AS INT)       AS hash_pos
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower(F.trim(F.col("c_mktsegment"))).alias("seg_norm"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+            F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        )
+    )
+
+
+@register(
+    "scalar_null_marker_normalize",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN trim(o_orderpriority) = '' OR o_orderpriority LIKE 'ND%'
+                     OR o_orderpriority = 'No Collateral'
+                THEN NULL ELSE lower(trim(o_orderpriority)) END AS priority_norm
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def scalar_null_marker_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S4/F11 ingest normalization (bronze_funcs.py:97-104) as a
+    native column expression: null markers -> NULL, else lower(trim)."""
+    c = F.col("o_orderpriority")
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            F.when(
+                (F.trim(c) == "") | c.startswith("ND") | (c == "No Collateral"),
+                F.lit(None),
+            )
+            .otherwise(F.lower(F.trim(c)))
+            .alias("priority_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions — date (reference F8 to_date, F14 multi-format coercion)
+# --------------------------------------------------------------------------
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                      AS odate,
+           CAST(year(o_orderdate) AS INT)                 AS oyear,
+           CAST(month(o_orderdate) AS INT)                AS omonth,
+           CAST(quarter(o_orderdate) AS INT)              AS oquarter,
+           CAST(dayofmonth(o_orderdate) AS INT)           AS oday,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)    AS due_date
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            F.year("o_orderdate").alias("oyear"),
+            F.month("o_orderdate").alias("omonth"),
+            F.quarter("o_orderdate").alias("oquarter"),
+            F.dayofmonth("o_orderdate").alias("oday"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("omonth_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        )
+    )
+
+
+@register(
+    "scalar_multiformat_date",
+    oracle="""
+    SELECT d AS raw,
+           coalesce(try_strptime(d, '%Y-%m-%d'),
+                    try_strptime(d, '%Y-%m'),
+                    try_strptime(d, '%Y'))::DATE AS coerced
+    FROM (VALUES ('2023-06-30'), ('1999-03'), ('2019'), ('garbage'), ('')) t(d)
+    """,
+)
+def scalar_multiformat_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F14 (validation_rules.py:10-23): dates arrive as
+    yyyy-MM-dd / yyyy-MM / yyyy; coerce with format fallback, else NULL."""
+    df = spark.createDataFrame(
+        [("2023-06-30",), ("1999-03",), ("2019",), ("garbage",), ("",)], ["raw"]
+    )
+    d = F.col("raw")
+    return df.select(
+        "raw",
+        F.coalesce(
+            F.try_to_timestamp(d, F.lit("yyyy-MM-dd")),
+            F.try_to_timestamp(d, F.lit("yyyy-MM")),
+            F.try_to_timestamp(d, F.lit("yyyy")),
+        )
+        .cast("date")
+        .alias("coerced"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions — math / conditional / hash (reference F1, F7, F9, F10)
+# --------------------------------------------------------------------------
+@register(
+    "scalar_math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0) AS net_price,
+           CAST(ceil(l_quantity)  AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           abs(l_discount - 0.05)            AS disc_dev,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END             AS qty_band
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def scalar_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            hround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "net_price"
+            ),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.when(F.col("l_quantity") >= 40, "bulk")
+            .when(F.col("l_quantity") >= 10, "mid")
+            .otherwise("small")
+            .alias("qty_band"),
+        )
+    )
+
+
+@register(
+    "scalar_md5_checksum",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws('\x1f', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                         o_orderpriority)) AS checksum
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_md5_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F1 row checksum (bronze_funcs.py:117-119) in the null-safe
+    concat_ws form SURVEY.md §7.4(3) prescribes."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("o_orderkey").cast("string"),
+                    "o_orderstatus",
+                    "o_orderpriority",
+                )
+            ).alias("checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Array functions (reference §1.2: ISIN ;-join generalized) + JSON (events)
+# --------------------------------------------------------------------------
+@register(
+    "array_ops_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT)        AS n_tokens,
+           string_split(text, ' ')[1]                       AS first_token,
+           list_contains(string_split(text, ' '), 'spark')  AS mentions_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ';')
+                                                            AS vocab_joined
+    FROM documents
+    """,
+)
+def array_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ";").alias("vocab_joined"),
+    )
+
+
+@register(
+    "array_explode_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    HAVING count(*) > 5
+    """,
+)
+def array_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 5)
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+           (floor((avg(CAST(props->>'k' AS INT))) * 100.0 + 0.5) / 100.0)       AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            hround(F.avg("k")).alias("avg_k"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+Carries forward the reference's proven session configuration
+(/root/reference/src/les_main.py:27-50: parquet filter pushdown, dynamic
+partition overwrite, CORRECTED datetime rebase, no _SUCCESS markers) minus
+its GCS/Delta-on-GCS specifics, and adds the scale-oriented defaults the
+reference predates: AQE (runtime re-planning, skew-join splitting,
+partition coalescing) and Arrow-accelerated Python interop.
+
+Designed for a real cluster; on local[N] the same confs apply with the
+shuffle partition count sized to the core count instead of the default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "les_etl_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    At 100 TB the same builder is pointed at a cluster master and
+    ``shuffle_partitions`` is sized to ~2-3x total executor cores with AQE
+    coalescing handling the remainder; nothing else here is local-specific.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cpus, 8))
+    )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # deterministic timezone: oracle (DuckDB) compares assume UTC
+        .config("spark.sql.session.timeZone", "UTC")
+        # reference fidelity: the reference ran Spark 3 semantics where
+        # invalid casts yield NULL (silver_funcs.py F8-F10: garbage -> NULL);
+        # Spark 4's ANSI default would throw instead
+        .config("spark.sql.ansi.enabled", "false")
+        # shuffle sizing + AQE: runtime coalesce, skew-join handling
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-side: pushdown + pruning (reference: les_main.py:45-47)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.sql.hive.metastorePartitionPruning", "true")
+        # write-side (reference: les_main.py:40-44,50)
+        .config("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
+        .config("parquet.enable.summary-metadata", "false")
+        # Arrow for pandas_udf / toPandas interop (vectorized Python path)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver testdata stores event timestamps as TIMESTAMP(NANOS);
+        # read them as long and convert in the catalog loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

