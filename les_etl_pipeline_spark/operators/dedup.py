@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-conscious (BASELINE.json north star):
+
+- exact:        md5-hash groupBy — one shuffle on the 16-byte hash, never
+                on the document body.
+- ngram-jaccard: 3-gram shingle inverted-index self-join — shuffles
+                (shingle, doc_id) pairs; at 100 TB cap postings per
+                shingle (a stop-shingle appearing in every doc creates a
+                quadratic join) via frequency pruning.
+- MinHash LSH:  pyspark.ml MinHashLSH banding — candidate pairs only,
+                the scale path for fuzzy dedup.
+- SimHash:      64-bit signatures via per-token md5 bit votes — pairwise
+                hamming on signatures, not documents.
+
+The reference has only full-row dropDuplicates (SURVEY.md §2.6 D1,
+generate_asset_silver.py:106-108); these generalize it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(c: Column | str, normalize: bool = False) -> Column:
+    """md5 content key; normalized mode collapses whitespace + case."""
+    c = F.col(c) if isinstance(c, str) else c
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = False
+) -> DataFrame:
+    """One row per distinct content: (content_hash, canonical_id=min id,
+    n_copies). Shuffles only (hash, id) — never the text."""
+    return (
+        df.select(content_hash(text_col, normalize).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingle array (empty for docs shorter than k words)."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: |shingle sets| via groupBy, intersections via
+    self-join on shingle. ``max_shingle_freq`` drops stop-shingles whose
+    posting lists would explode the join at scale (frequency pruning —
+    slightly lowers recall, bounds the shuffle)."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))
+        sh = (
+            sh.join(F.broadcast(freq.where(F.col("df_freq") > max_shingle_freq)), "sh", "left_anti")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .where(jac >= F.lit(threshold))
+        .select("id_a", "id_b", jac.alias("jaccard_raw"))
+    )
+
+
+# 64-bit SimHash: bit j of a token = bit j of md5(token); document bit j =
+# majority vote over token occurrences. Expressed in pure arithmetic
+# (conv + power + mod) so the DuckDB oracle can run the identical formula.
+_SIMHASH_BIT = (
+    "CAST(floor(CAST(conv(substring(md5(w), CAST(j / 4 AS INT) + 1, 1), 16, 10) AS INT)"
+    " / power(2, 3 - j % 4)) AS INT) % 2"
+)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) with the signature as a 64-char '0'/'1' string
+    (string form avoids signed-bigint pitfalls across engines)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    bits = tok.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    ).withColumn("bit", F.expr(_SIMHASH_BIT))
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return (
+        votes.withColumn("c", F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-duplicate pairs via MinHash LSH banding
+    (pyspark.ml): shingle -> HashingTF sparse vector -> MinHash ->
+    approxSimilarityJoin. Returns (id_a, id_b, jaccard_distance).
+    Deterministic for a fixed seed. The 100 TB fuzzy-dedup path: the join
+    touches only same-band candidates, never all pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col).alias("sh")
+    ).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_distance"
+    )
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            "jaccard_distance",
+        )
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline (query side broadcast,
+candidates never shuffled), and a random-hyperplane LSH bucketed variant
+as the 100 TB path (candidates restricted to matching buckets). Dot
+products run JVM-side via zip_with/aggregate — no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add `vd` (double vector) and `nrm` (L2 norm) columns."""
+    vd = _as_double(F.col(vec_col))
+    return df.withColumn("vd", vd).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vd"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ),
+    )
+
+
+def dot(a, b):
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every row matching ``query_pred``.
+
+    Plan shape for scale: the (small) query set is broadcast; every
+    candidate partition computes its local scores; the window top-k
+    shuffles only (query_id, cos) pairs, not vectors."""
+    e = with_norm(df.select(id_col, vec_col), vec_col)
+    q = e.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("vd").alias("qvd"), F.col("nrm").alias("qnrm")
+    )
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vd").alias("cvd"), F.col("nrm").alias("cnrm")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", dot(F.col("qvd"), F.col("cvd")) / (F.col("qnrm") * F.col("cnrm")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def threshold_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold (optionally restricted
+    by id_pred). Exact quadratic baseline — use lsh_bucket_candidates to
+    bound the pair space at scale."""
+    e = with_norm(df.select(id_col, vec_col), vec_col)
+    if id_pred is not None:
+        e = e.where(id_pred)
+    a = e.select(F.col(id_col).alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def lsh_bucket_neighbors(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate neighbors via BucketedRandomProjectionLSH (pyspark.ml):
+    candidates limited to colliding buckets — the sublinear scale path.
+    Returns (query_id, neighbor_id, dist, rank) by euclidean distance."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        id_col, array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(base)
+    hashed = model.transform(base)
+    q = hashed.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("features").alias("qf"), "hashes"
+    )
+    pairs = model.approxSimilarityJoin(
+        hashed, hashed.where(query_pred), float("inf"), distCol="dist"
+    )
+    out = (
+        pairs.select(
+            F.col("datasetB." + id_col).alias("query_id"),
+            F.col("datasetA." + id_col).alias("neighbor_id"),
+            "dist",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

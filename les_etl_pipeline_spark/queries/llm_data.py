@@ -1,6 +1,329 @@
-"""LLM-data-pipeline operators (BASELINE.json north star): deduplication,
-similarity search, text analysis — populated incrementally."""
+"""LLM-data-pipeline operators as verifiable queries (BASELINE.json north
+star): deduplication (exact / n-gram Jaccard / SimHash / MinHash-LSH),
+similarity search (brute-force cosine top-k, threshold pairs, LSH), text
+analysis (token counts, quality, language-ID, fingerprints), and
+multimodal binary plumbing.
+
+Every SQL-expressible operator carries a DuckDB oracle running the
+IDENTICAL arithmetic (md5-derived bits, double-cast dot products, the
+portable floor rounding) so values hash-match exactly. MinHash/LSH are
+approximate by construction -> rows-only checks.
+"""
 
 from __future__ import annotations
 
-from .registry import register  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import dedup, multimodal, similarity, text
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(table(spark, sf_dir, "documents"), normalize=True)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (floor((i / (sa.n + sb.n - i)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, threshold=0.1
+    )
+    return pairs.select("id_a", "id_b", hround(F.col("jaccard_raw"), 4).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             CAST(floor(CAST(('0x' || substr(md5(w), (j // 4) + 1, 1)) AS INT)
+                  / power(2, 3 - j % 4)) AS INT) % 2 AS bit
+      FROM tok, generate_series(0, 63) g(j)
+    ), votes AS (
+      SELECT doc_id, j, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh")  # approximate banding -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), jaccard_threshold=0.3, seed=42
+    )
+    return pairs.select("id_a", "id_b", hround(F.col("jaccard_distance"), 4).alias("jd"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+_COSINE_CTE = """
+    WITH e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    )
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=_COSINE_CTE
+    + """
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_apply(list_zip(q.v, c.v), x -> x[1] * x[2]), 'sum')
+               / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           (floor(cos * 1000000.0 + 0.5) / 1000000.0) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.cosine_topk(
+        table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", hround(F.col("cos"), 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "similarity_threshold_pairs",
+    oracle=_COSINE_CTE
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (floor((list_aggregate(list_apply(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+                   / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+    WHERE list_aggregate(list_apply(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+          / (a.nrm * b.nrm) >= 0.2
+    """,
+)
+def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = similarity.threshold_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.2, id_pred=F.col("vec_id") < 100
+    )
+    return pairs.select("id_a", "id_b", hround(F.col("cos"), 6).alias("cosine"))
+
+
+@register("similarity_lsh_buckets")  # approximate LSH -> rows-only check
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.lsh_bucket_neighbors(
+        table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5, seed=42
+    )
+    return out.select("query_id", "neighbor_id", hround(F.col("dist"), 4).alias("dist"), "rank")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           (floor(avg(len(string_split(text, ' '))) * 100.0 + 0.5) / 100.0) AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select("lang", n.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            hround(F.avg("n")).alias("avg_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT)
+                  AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           (floor((n_stop / n_tokens) * 10000.0 + 0.5) / 10000.0) AS stopword_ratio,
+           (floor((n_distinct / n_tokens) * 10000.0 + 0.5) / 10000.0) AS distinct_ratio,
+           (n_tokens >= 20 AND n_distinct / n_tokens >= 0.3) AS passes_quality
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = text.quality_features("text")
+    q = docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_distinct_tokens"].alias("n_distinct"),
+        feats["stopword_ratio"].alias("sr"),
+        feats["distinct_ratio"].alias("dr"),
+    )
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        hround(F.col("sr"), 4).alias("stopword_ratio"),
+        hround(F.col("dr"), 4).alias("distinct_ratio"),
+        ((F.col("n_tokens") >= 20) & (F.col("dr") >= 0.3)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_lang_id_heuristic",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang AS labeled_lang,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS en,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['el','la','de','y','que','en','un'], x))) AS INT) AS es,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['le','la','de','et','que','en','un'], x))) AS INT) AS fr,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['der','die','das','und','zu','in','ist'], x))) AS INT) AS de
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                WHEN en = greatest(en, es, fr, de) THEN 'en'
+                WHEN es = greatest(en, es, fr, de) THEN 'es'
+                WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                ELSE 'de' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = text.ws_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.predicted_lang(toks).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_apply(string_split(text, ' '),
+                          w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % {text.FINGERPRINT_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing (decode stubbed; plumbing real — mapInPandas)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames,
+           CAST(list_aggregate(list_apply(string_split_regex(text, ''),
+                x -> ascii(x)), 'sum') % 9973 AS BIGINT) AS byte_checksum
+    FROM documents
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.to_asset_table(table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets)
