@@ -110,6 +110,11 @@ def compile_rules(
     """
     checks: dict[str, Column] = {}
     for colname, rule in rules.items():
+        if df_columns is not None and colname not in df_columns:
+            # files may carry column subsets (generate_asset_silver.py:31-44);
+            # rules for absent columns never fire (Cerberus sees only the
+            # row dict's keys)
+            continue
         checks.update(_rule_checks(colname, rule))
 
     if strict_columns and df_columns is not None:

@@ -1,0 +1,98 @@
+"""Streaming event pipelines: the same window expressions the batch
+queries use (queries/streaming_batch.py), run under Structured Streaming
+with watermarks — readStream file source, windowed/sessionized stateful
+aggregation, late-data handling, stateful dedup.
+
+The reference is batch-only (its "incrementality" is an Airflow ledger,
+SURVEY.md §2.10); this is the engine's streaming face. At scale the file
+source becomes Kafka by swapping `readStream.format` — the plan after the
+source is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source event stream. One file per micro-batch by default so
+    the watermark advances between batches (availableNow otherwise drains
+    everything in a single batch and late-data semantics never engage)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling window counts with late-data cutoff at the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_averages(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes",
+                     watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "avg_value", "n_events")
+    )
+
+
+def session_aggregates(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (stateful; state store holds
+    open sessions until watermark passes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark
+    horizon (dropDuplicatesWithinWatermark: state is bounded — the 100 TB
+    answer to unbounded dedup state)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain all available input into an in-memory table (availableNow
+    trigger); returns the finished query. Test/debug sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

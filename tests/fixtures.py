@@ -1,0 +1,62 @@
+"""EDW-style fixture generators (FIXTURES.md §1-3): assets/bond CSVs with
+the reference file-naming contract, label rows, null markers, mixed case;
+deal-details XML with ISIN lists and Submissions blocks."""
+
+from __future__ import annotations
+
+import os
+
+ASSET_HEADER = ["LeaseID", "AL2", "AL3", "AL5", "AL7", "AL10", "AL18", "AL30", "AL56"]
+ASSET_LABELS = ["Pool Cutoff", "Pool ID", "Servicer", "Lease", "Flag", "Ccy", "Enum", "Rate", "Balance"]
+
+
+def write_asset_csv(dirpath: str, ed_code: str, ymd: tuple[int, int, int], rows: list[list[str]]) -> str:
+    """{ed_code}_{YYYY}_{MM}_{DD}_assets.csv with header + label row."""
+    y, m, d = ymd
+    path = os.path.join(dirpath, f"{ed_code}_{y:04d}_{m:02d}_{d:02d}_assets.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(",".join(ASSET_HEADER) + "\n")
+        f.write(",".join(ASSET_LABELS) + "\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    return path
+
+
+DEFAULT_ASSET_ROWS = [
+    # AL1(date), AL2, AL3, AL5, AL7, AL10, AL18, AL30, AL56
+    ["2023-06-30", "POOL-1", " Acme Servicing ", "LS-1", "Y", "EUR", "2", "7.25", "18000.50"],
+    ["2023-06-30", "POOL-1", "acme servicing", "LS-2", "n", "eur", "ND5", "1.5", "25000.00"],
+    ["2023-06-30", "POOL-1", "No Collateral", "LS-3", "", "eur", "9", "x", ""],  # bad: AL56 required
+    ["", "", "", "", "", "", "", "", ""],  # blank line -> skipped
+]
+
+
+def write_deal_xml(dirpath: str, ed_code: str, pcd: str = "2023-06-30") -> str:
+    path = os.path.join(dirpath, f"{ed_code}_deal_details.xml")
+    xml = f"""<?xml version="1.0"?>
+<Deal xmlns="http://edw.example/ns">
+  <EDCode>{ed_code}</EDCode>
+  <AssetClassCode>LES</AssetClassCode>
+  <AssetClassName>Leases</AssetClassName>
+  <Country>IT</Country>
+  <DealVisibleToOrg>x</DealVisibleToOrg>
+  <DealVisibleToUser>y</DealVisibleToUser>
+  <DealSize>500000000.00</DealSize>
+  <DealVersion>3</DealVersion>
+  <IsActiveDeal>y</IsActiveDeal>
+  <ISIN><code>IT0001</code><code>IT0002</code></ISIN>
+  <Submissions>
+    <Submission>
+      <PoolCutOffDate>{pcd}</PoolCutOffDate>
+      <CurrentPoolBalance>321000000.00</CurrentPoolBalance>
+      <NumberOfActiveAssets>1042</NumberOfActiveAssets>
+      <MetricData>drop me</MetricData>
+      <IsProvisional>n</IsProvisional>
+    </Submission>
+    <Submission><PoolCutOffDate>1999-01-01</PoolCutOffDate></Submission>
+  </Submissions>
+</Deal>
+"""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(xml)
+    return path

@@ -1,0 +1,131 @@
+"""Golden end-to-end tests: EDW-style fixtures through bronze -> silver
+(SURVEY.md §5.2), pinning ingest normalization, lineage, SCD2 stamping,
+validation quarantine, cast maps, and topic vertical partitioning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark import pipelines, schemas
+from les_etl_pipeline_spark.sinks.writers import RunLedger
+from les_etl_pipeline_spark.sources.csv_ingest import list_csv_files, read_edw_csv
+from les_etl_pipeline_spark.sources.xml_ingest import (
+    expose_isin_array,
+    parse_deal_xml,
+    read_deal_details,
+)
+
+from .fixtures import DEFAULT_ASSET_ROWS, write_asset_csv, write_deal_xml
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    write_asset_csv(str(d), "LESIT01", (2023, 6, 30), DEFAULT_ASSET_ROWS)
+    write_asset_csv(str(d), "LESIT02", (2023, 7, 31), DEFAULT_ASSET_ROWS[:2])
+    return str(d)
+
+
+def test_csv_discovery_excludes_labeled(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    keep = write_asset_csv(str(d), "LESIT01", (2023, 6, 30), DEFAULT_ASSET_ROWS[:1])
+    labeled = os.path.join(str(d), "LESIT01_2023_06_30_Labeled.csv")
+    os.rename(write_asset_csv(str(d), "X", (2023, 6, 30), DEFAULT_ASSET_ROWS[:1]), labeled)
+    found = list_csv_files(str(d), data_type="assets")
+    assert keep in found and labeled not in found
+
+
+def test_ingest_normalization_and_lineage(spark, raw_dir):
+    df = read_edw_csv(spark, list_csv_files(raw_dir), "assets")
+    rows = {(r["ed_code"], r["AL5"]): r for r in df.collect()}
+    # header first cell renamed to AL1; label row and blank row skipped
+    assert "AL1" in df.columns
+    assert len(rows) == 5  # 3 good-ish + 2 from second file
+    r = rows[("LESIT01", "ls-1")]
+    # lower/trim applied; lineage parsed from filename
+    assert r["AL3"] == "acme servicing"
+    assert r["AL7"] == "y"
+    assert r["pcd"] == "2023-06-30"
+    assert r["filename"].startswith("LESIT01_2023_06_30")
+    # null markers: ND5 -> None, 'No Collateral' -> None, '' -> None
+    assert rows[("LESIT01", "ls-2")]["AL18"] is None
+    assert rows[("LESIT01", "ls-3")]["AL3"] is None
+    assert rows[("LESIT01", "ls-3")]["AL56"] is None
+
+
+def test_bronze_to_silver_e2e(spark, raw_dir, tmp_path):
+    bronze_path = str(tmp_path / "bronze_assets")
+    out_dir = str(tmp_path / "silver")
+    ledger = RunLedger(spark, str(tmp_path / "ledger"))
+
+    stamped = pipelines.bronze_csv(
+        spark, raw_dir, bronze_path, "assets",
+        ingestion_date="2023-08-01", ledger=ledger,
+    )
+    # SCD2 stamping (F1-F6) + part key
+    b = spark.read.parquet(bronze_path)
+    assert {"valid_from", "valid_to", "iscurrent", "checksum", "part"} <= set(b.columns)
+    assert b.where(F.col("iscurrent") == 1).count() == 5
+    parts = {r["part"] for r in b.select("part").distinct().collect()}
+    assert parts == {"LESIT01_20230630", "LESIT02_20230731"}
+    # ledger idempotence marker recorded per deal
+    assert ledger.has_run("assets", "2023-08-01", "LESIT01")
+    assert not ledger.has_run("assets", "2023-08-02", "LESIT01")
+
+    topics = pipelines.silver_assets(spark, bronze_path, out_dir)
+    # quarantine captured the AL56-required violation (1 bad row per file-1)
+    bad = spark.read.parquet(os.path.join(out_dir, "dirty_dumps", "assets"))
+    assert bad.count() == 1
+    assert "AL56.required" in bad.collect()[0]["qc_errors"]
+    # typed silver topic table, vertically partitioned + deduped
+    lease = spark.read.parquet(os.path.join(out_dir, "assets", "lease_info"))
+    assert lease.schema["AL30"].dataType.typeName() == "double"
+    assert lease.schema["AL1"].dataType.typeName() == "date"
+    al30 = {r["AL30"] for r in lease.select("AL30").collect()}
+    assert al30 == {7.25, 1.5}
+
+
+def test_bronze_rerun_idempotent(spark, raw_dir, tmp_path):
+    bronze_path = str(tmp_path / "bronze_assets")
+    pipelines.bronze_csv(spark, raw_dir, bronze_path, "assets")
+    first = spark.read.parquet(bronze_path)
+    n1 = first.count()
+    cur1 = first.where(F.col("iscurrent") == 1).count()
+    # re-run the same batch: SCD2 merge must be a no-op (same checksums)
+    pipelines.bronze_csv(spark, raw_dir, bronze_path, "assets")
+    again = spark.read.parquet(bronze_path)
+    assert again.count() == n1
+    assert again.where(F.col("iscurrent") == 1).count() == cur1
+
+
+def test_deal_details_xml(spark, tmp_path):
+    p = write_deal_xml(str(tmp_path), "LESIT09")
+    row = parse_deal_xml(p)
+    # drops + inline-first-submission + ISIN join + rename
+    assert row["ed_code"] == "LESIT09"
+    assert "Country" not in row and "MetricData" not in row
+    assert row["ISIN"] == "IT0001;IT0002"
+    assert row["PoolCutOffDate"] == "2023-06-30"  # first submission only
+    assert row["NumberOfActiveAssets"] == "1042"
+
+    df = read_deal_details(spark, [p])
+    assert df.count() == 1
+    arr = expose_isin_array(df).collect()[0]["ISIN_array"]
+    assert arr == ["IT0001", "IT0002"]
+
+    out = pipelines.bronze_deal_details(spark, [p], str(tmp_path / "bronze_dd"))
+    got = out.collect()[0]
+    assert got["part"] == "LESIT09_20230630"
+
+    silver = pipelines.silver_deal_details(
+        spark, str(tmp_path / "bronze_dd"), str(tmp_path / "silver")
+    )
+    srow = silver.collect()[0]
+    assert srow["DealVersion"] == 3
+    assert srow["DealSize"] == 500000000.0
+    assert srow["IsActiveDeal"] is True

@@ -1,0 +1,118 @@
+"""Structured Streaming tests: the same window operators as the batch
+queries, run through readStream with watermarks (rows-only assertions —
+SURVEY.md §7.4(6): deterministic file-source fixtures, no DuckDB oracle
+for stateful streams).
+
+Batch layout (one file per micro-batch, mtime-ordered): batch 1
+establishes the watermark, batch 2 advances it (plus a duplicate id into
+a still-open window), batch 3 delivers a beyond-watermark late event.
+Assertions pin all three watermark behaviors: emit-on-close, retain-open,
+drop-too-late. NOTE (empirically verified on this Spark): the late-row
+drop uses the watermark with a one-batch lag relative to the value shown
+in query progress — hence the late event rides its own third batch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from les_etl_pipeline_spark.streaming import windows as SW
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SW.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    time.sleep(1.05)  # file source orders batches by modification time
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    p = str(tmp_path / "events_stream")
+    _write_batch(
+        spark,
+        p,
+        [
+            (1, T0 + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"),
+            (2, T0 + dt.timedelta(minutes=20), 1, "view", 2.0, "{}"),
+            (3, T0 + dt.timedelta(hours=1, minutes=5), 2, "click", 3.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        p,
+        [
+            (4, T0 + dt.timedelta(hours=5), 1, "view", 4.0, "{}"),   # advances watermark to 03:00
+            (2, T0 + dt.timedelta(minutes=20), 1, "view", 2.0, "{}"),  # duplicate id, window open
+        ],
+    )
+    _write_batch(
+        spark,
+        p,
+        [
+            (5, T0 - dt.timedelta(hours=10), 3, "view", 9.0, "{}"),    # beyond watermark -> dropped
+        ],
+    )
+    return p
+
+
+def test_tumbling_with_watermark(spark, stream_dir):
+    out = SW.tumbling_counts(SW.read_event_stream(spark, stream_dir))
+    SW.run_to_memory(out, "t_tumbling")
+    rows = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    # closed windows emitted: hour-0 'view' includes the batch-2 duplicate
+    # (window was still open when it arrived), hour-1 'click'
+    assert rows[(T0, "view")] == 3
+    assert rows[(T0 + dt.timedelta(hours=1), "click")] == 1
+    # hour-5 window end (06:00) is past the final watermark (03:00):
+    # retained in state, NOT emitted
+    assert (T0 + dt.timedelta(hours=5), "view") not in rows
+    # the beyond-watermark late event produced no prev-day window
+    assert all(ws >= T0 for ws, _ in rows)
+
+
+def test_session_windows_stream(spark, stream_dir):
+    out = SW.session_aggregates(SW.read_event_stream(spark, stream_dir), gap="30 minutes")
+    SW.run_to_memory(out, "t_sessions")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: 00:05 + 00:20 (+ open-window duplicate) coalesce into one
+    # emitted session; the 05:00 session is still open -> not emitted
+    assert len(by_user[1]) == 1
+    s = by_user[1][0]
+    assert s["n_events"] == 3
+    assert s["session_start"] == T0 + dt.timedelta(minutes=5)
+    assert s["session_end"] == T0 + dt.timedelta(minutes=50)  # last event + gap
+    # user 2's session closed and emitted; user 3's late event was dropped
+    assert by_user[2][0]["n_events"] == 1
+    assert 3 not in by_user
+
+
+def test_stateful_dedup_within_watermark(spark, stream_dir):
+    out = SW.deduped_events(SW.read_event_stream(spark, stream_dir))
+    SW.run_to_memory(out, "t_dedup")
+    ids = [r["event_id"] for r in spark.sql("SELECT * FROM t_dedup").collect()]
+    assert ids.count(2) == 1  # duplicate suppressed by state
+    assert {1, 2, 3, 4} <= set(ids)
+    assert 5 not in ids  # beyond-watermark event dropped
+
+
+def test_sliding_stream_runs(spark, stream_dir):
+    out = SW.sliding_averages(SW.read_event_stream(spark, stream_dir))
+    SW.run_to_memory(out, "t_sliding")
+    rows = spark.sql("SELECT * FROM t_sliding").collect()
+    # only windows whose end passed the final watermark are emitted;
+    # each on-time batch-1 event belongs to 2 windows (1h / 30min slide)
+    starts = [r["win_start"] for r in rows]
+    assert T0 in starts and T0 - dt.timedelta(minutes=30) in starts
+    assert all(ws + dt.timedelta(hours=1) <= T0 + dt.timedelta(hours=3) for ws in starts)
