@@ -69,8 +69,11 @@ def ngram_jaccard_pairs(
     self-join on shingle. ``max_shingle_freq`` drops stop-shingles whose
     posting lists would explode the join at scale (frequency pruning —
     slightly lowers recall, bounds the shuffle)."""
+    # join key is the 64-bit hash of the shingle, not the string: same
+    # counts (collisions ~2^-64), ~5x fewer shuffle bytes at scale
     sh = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh_str"))
+        .select("doc_id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
     if max_shingle_freq is not None:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MIN_DATETIME = "1900-01-01"
 MAX_DATETIME = "2100-12-31"
@@ -56,28 +57,41 @@ def coerce_number(c: Column) -> Column:
     return c.cast("double")
 
 
-def _rule_checks(colname: str, rule: dict) -> dict[str, Column]:
+def _rule_checks(
+    colname: str, rule: dict, dtype: "T.DataType | None" = None
+) -> dict[str, Column]:
     """Compile one column's rule dict to named boolean check Columns.
 
     Each check is True when the rule PASSES (NULL-safe: a NULL value
-    passes every check except non-nullable)."""
+    passes every check except non-nullable). When the input column is
+    already typed (``dtype``), coercion checks collapse to constants and
+    range checks compare natively — the parse work exists only for
+    string inputs (scan-speed fast path; see etl_validation_split bench).
+    """
     c = F.col(colname)
     checks: dict[str, Column] = {}
     rtype = rule.get("type")
+
+    already_numeric = isinstance(
+        dtype, (T.DoubleType, T.FloatType, T.IntegerType, T.LongType, T.ShortType, T.DecimalType)
+    )
+    already_temporal = isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
 
     if rule.get("nullable") is False:
         checks[f"{colname}.required"] = c.isNotNull()
 
     if rtype == "number":
-        coerced = coerce_number(c)
-        checks[f"{colname}.number"] = c.isNull() | coerced.isNotNull()
+        coerced = c if already_numeric else coerce_number(c)
+        if not already_numeric:
+            checks[f"{colname}.number"] = c.isNull() | coerced.isNotNull()
         if "min" in rule:
             checks[f"{colname}.min"] = c.isNull() | (coerced >= F.lit(float(rule["min"])))
         if "max" in rule:
             checks[f"{colname}.max"] = c.isNull() | (coerced <= F.lit(float(rule["max"])))
     elif rtype == "datetime":
-        coerced = coerce_datetime(c)
-        checks[f"{colname}.datetime"] = c.isNull() | coerced.isNotNull()
+        coerced = c.cast("timestamp") if already_temporal else coerce_datetime(c)
+        if not already_temporal:
+            checks[f"{colname}.datetime"] = c.isNull() | coerced.isNotNull()
         lo = str(rule.get("min", MIN_DATETIME))
         hi = str(rule.get("max", MAX_DATETIME))
         checks[f"{colname}.range"] = c.isNull() | coerced.between(
@@ -97,7 +111,10 @@ def _rule_checks(colname: str, rule: dict) -> dict[str, Column]:
 
 
 def compile_rules(
-    rules: dict[str, dict], strict_columns: bool = True, df_columns: list[str] | None = None
+    rules: dict[str, dict],
+    strict_columns: bool = True,
+    df_columns: list[str] | None = None,
+    df_schema: "T.StructType | None" = None,
 ) -> tuple[Column, Column]:
     """Compile a rule-dict schema to (flag, qc_errors) Columns.
 
@@ -115,7 +132,10 @@ def compile_rules(
             # rules for absent columns never fire (Cerberus sees only the
             # row dict's keys)
             continue
-        checks.update(_rule_checks(colname, rule))
+        dtype = df_schema[colname].dataType if (
+            df_schema is not None and colname in df_schema.fieldNames()
+        ) else None
+        checks.update(_rule_checks(colname, rule, dtype))
 
     if strict_columns and df_columns is not None:
         unknown = [c for c in df_columns if c not in rules]
@@ -153,7 +173,8 @@ def profile_data(
     for lc in lineage_cols:
         effective.setdefault(lc, {})
     flag, qc_errors = compile_rules(
-        effective, strict_columns=strict_columns, df_columns=df.columns
+        effective, strict_columns=strict_columns, df_columns=df.columns,
+        df_schema=df.schema,
     )
     flagged = df.withColumn("flag", flag).withColumn("qc_errors", qc_errors)
     good = flagged.filter(F.col("flag")).drop("flag", "qc_errors")

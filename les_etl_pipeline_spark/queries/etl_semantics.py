@@ -104,7 +104,7 @@ def etl_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     li = table(spark, sf_dir, "lineitem")
-    flag, _errors = compile_rules(rules, strict_columns=False)
+    flag, _errors = compile_rules(rules, strict_columns=False, df_schema=li.schema)
     return li.select(flag.alias("ok")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_good"),
