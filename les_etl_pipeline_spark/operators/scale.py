@@ -1,0 +1,108 @@
+"""Scale operators: skew mitigation and shuffle elimination.
+
+These are the 100 TB levers (BASELINE.json north star) packaged as
+reusable transforms:
+
+- salted_agg: two-phase aggregation over a salted key — a hot key's rows
+  spread across `salt_buckets` reducers in phase 1, then a tiny phase-2
+  combine. Identical results to a plain groupBy (the oracle checks this);
+  AQE's skew handling covers joins, but a single monster GROUP BY key
+  still needs salting.
+- salted_join: replicate the small side `salt_buckets` times so a skewed
+  big-side key spreads over many tasks. (With AQE skew-join on, prefer
+  the built-in; this is the explicit form for when the optimizer can't
+  see the skew, e.g. post-UDF.)
+- bucketed writes: co-locate both join sides on the join key at write
+  time so later joins run with NO exchange (verified by plan assertion in
+  tests/test_scale.py).
+
+Aggregations passed to salted_agg must be decomposable (sum/count/min/
+max); avg is derived as sum/count by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from a uniformly-distributed row
+    attribute hash (not rand(): deterministic => retries and the oracle
+    comparison stay stable)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    aggs: {out_name: (fn, col)} with fn in {sum, count, min, max}.
+    Phase 1 groups on (group_cols + salt) — the hot key fans out over
+    `buckets` reducers; phase 2 combines the per-salt partials (sum of
+    counts, min of mins, ...). Result == plain groupBy().agg()."""
+    phase1_aggs = []
+    phase2_aggs = []
+    for out, (fn, col) in aggs.items():
+        p = f"_p_{out}"
+        if fn == "count":
+            phase1_aggs.append(F.count(col).alias(p))
+            phase2_aggs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            phase1_aggs.append(F.sum(col).alias(p))
+            phase2_aggs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            phase1_aggs.append(F.min(col).alias(p))
+            phase2_aggs.append(F.min(p).alias(out))
+        elif fn == "max":
+            phase1_aggs.append(F.max(col).alias(p))
+            phase2_aggs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*group_cols, "_salt").agg(*phase1_aggs)
+    return partial.groupBy(*group_cols).agg(*phase2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    across all salt values, join on (key, salt). Row-for-row identical to
+    big.join(small, on, how)."""
+    big_s = with_salt(big, buckets)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("_salt")
+    small_r = small.select("*", salts)
+    return big_s.join(small_r, [on, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: later equi-joins/aggs on bucket_col read
+    co-located buckets and skip the exchange entirely."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables — plan contains no Exchange."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -15,3 +15,4 @@ from . import setops_json  # noqa: E402,F401
 from . import etl_semantics  # noqa: E402,F401
 from . import llm_data  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401

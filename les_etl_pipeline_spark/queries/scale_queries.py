@@ -1,0 +1,74 @@
+"""Scale-operator queries: salted aggregation and salted join produce
+results identical to their plain forms — the DuckDB oracle IS the plain
+form, so the correctness gate proves the rewrite is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import scale
+from .registry import register
+
+
+@register(
+    "scale_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+           (floor((max(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l_returnflag has only 3 values — exactly the shape where one hot
+    grouping key melts a single reducer at 100 TB. The salted two-phase
+    plan spreads each key over 16 partials; the oracle is the PLAIN
+    group-by, proving equivalence."""
+    li = table(spark, sf_dir, "lineitem")
+    out = scale.salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "l_quantity"),
+            "sum_qty_raw": ("sum", "l_quantity"),
+            "max_price_raw": ("max", "l_extendedprice"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        hround(F.col("sum_qty_raw")).alias("sum_qty"),
+        hround(F.col("max_price_raw")).alias("max_price"),
+    )
+
+
+@register(
+    "scale_salted_join",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total
+    FROM orders JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) d
+      ON o_orderstatus = d.st
+    GROUP BY o_orderstatus
+    """,
+)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a 3-value key (maximal skew): the salted join spreads each
+    hot key across 8 salt buckets. Oracle = the plain join."""
+    orders = table(spark, sf_dir, "orders")
+    dim = orders.select(F.col("o_orderstatus").alias("st")).distinct().withColumn(
+        "st2", F.col("st")
+    )
+    joined = scale.salted_join(
+        orders.withColumn("st", F.col("o_orderstatus")), dim, on="st", buckets=8
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.sum("o_totalprice")).alias("total"),
+    )
