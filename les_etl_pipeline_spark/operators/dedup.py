@@ -173,3 +173,52 @@ def minhash_lsh_pairs(
             "jaccard_distance",
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Cluster near-duplicate pairs into dedup groups: connected
+    components by iterative min-label propagation (the step after pair
+    generation in a real dedup pipeline — every member of a component
+    dedups to the component's minimum id).
+
+    Each iteration is one shuffle (neighbor-min join + union + groupBy);
+    converges in O(diameter) iterations, checked on the driver via a
+    count (metadata-scale, not data-scale). AQE handles the shrinking
+    frontier. Returns (doc_id, cluster) for every id appearing in pairs.
+    """
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias("a"), F.col(pairs.columns[1]).alias("b")
+    )
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut the growing lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))

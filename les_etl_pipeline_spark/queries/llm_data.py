@@ -327,3 +327,55 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.to_asset_table(table(spark, sf_dir, "documents"))
     return multimodal.extract_features(assets)
+
+
+_JACCARD_PAIRS_CTE = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) j JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.1
+    )
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_PAIRS_CTE.replace("WITH tok", "tok", 1).lstrip()
+    + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup clusters via iterative connected
+    components (min-label propagation; the DuckDB oracle computes the
+    same components with a recursive-CTE transitive closure)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, threshold=0.1
+    ).select("id_a", "id_b")
+    return dedup.connected_components(pairs)

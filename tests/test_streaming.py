@@ -116,3 +116,27 @@ def test_sliding_stream_runs(spark, stream_dir):
     starts = [r["win_start"] for r in rows]
     assert T0 in starts and T0 - dt.timedelta(minutes=30) in starts
     assert all(ws + dt.timedelta(hours=1) <= T0 + dt.timedelta(hours=3) for ws in starts)
+
+
+def test_custom_stateful_operator(spark, stream_dir):
+    """applyInPandasWithState: per-user cumulative state across
+    micro-batches (custom operator surface, SURVEY.md §2.12)."""
+    from les_etl_pipeline_spark.streaming.stateful import user_engagement_tracker
+
+    out = user_engagement_tracker(SW.read_event_stream(spark, stream_dir))
+    SW.run_to_memory(out, "t_stateful")
+    rows = spark.sql("SELECT * FROM t_stateful").collect()
+    # user 1 appears in batch 1 (2 events) and batch 2 (2 more incl. the
+    # duplicate id — this operator does not dedup): the batch-2 summary
+    # row must carry CUMULATIVE state (4 events), proving state persisted
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(per_user[1], key=lambda r: r["n_events"])
+    assert [r["n_events"] for r in u1] == [2, 4]
+    assert abs(u1[1]["total_value"] - (1.0 + 2.0 + 4.0 + 2.0)) < 1e-9
+    # EWMA folds in event-time order and persists across batches
+    e = 1.0
+    for v in [2.0, 2.0, 4.0]:
+        e = 0.3 * v + 0.7 * e
+    assert abs(u1[1]["ewma_value"] - e) < 1e-9
