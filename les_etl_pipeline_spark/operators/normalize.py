@@ -16,6 +16,7 @@ Semantics preserved:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,3 +94,28 @@ def scd2_stamp(df: DataFrame, primary_cols: list[str], null_safe_checksum: bool 
             "part": part_key(),
         }
     )
+
+
+def transliterate_ascii(c: Column | str) -> Column:
+    """F12: unicode transliteration to ASCII (bronze_funcs.py:22-33 ran
+    unidecode over the whole file on the driver). Arrow-vectorized pandas
+    UDF over NFKD decomposition + combining-mark strip — the one operator
+    where SURVEY.md §2.4 concedes a UDF is genuinely required; everything
+    around it stays JVM-side."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _translit(s: pd.Series) -> pd.Series:
+        def fix(v):
+            if v is None:
+                return None
+            # BOM/NUL strip + accent fold (é->e, ü->u); NFKD covers
+            # combining marks only — ligatures/ß pass through (unidecode,
+            # unavailable here, would map ß->ss; documented divergence)
+            v = v.replace("﻿", "").replace("\0", "")
+            decomposed = unicodedata.normalize("NFKD", v)
+            return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
+
+        return s.map(fix)
+
+    return _translit(F.col(c) if isinstance(c, str) else c)

@@ -46,6 +46,17 @@ def bronze_csv(
     paths = list_csv_files(raw_prefix, file_key, data_type)
     if not paths:
         return None
+    if ledger is not None and ingestion_date:
+        # S3/O4 idempotence guard: skip files whose (date, deal) already ran
+        done = {
+            (r["ed_code"])
+            for r in ledger.entries(data_type)
+            .where(F.col("ingestion_date") == ingestion_date)
+            .collect()
+        }
+        paths = [p for p in paths if os.path.basename(p).split("_")[0] not in done]
+        if not paths:
+            return None
     df = read_edw_csv(spark, paths, data_type)
     # checksum over the full data payload (change detection); merge keyed
     # on the row identity (schemas.MERGE_KEYS — see note there)

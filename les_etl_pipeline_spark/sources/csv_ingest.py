@@ -46,7 +46,10 @@ def list_csv_files(
 
 
 def read_edw_csv(
-    spark: SparkSession, paths: list[str] | str, data_type: str = "assets"
+    spark: SparkSession,
+    paths: list[str] | str,
+    data_type: str = "assets",
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """Distributed EDW CSV read with the S4 cleaning semantics.
 
@@ -55,13 +58,24 @@ def read_edw_csv(
     EDW files are per-deal (small); for huge single files prefer encoding
     the label row as a comment or stripping it upstream — the window costs
     one shuffle on (filename)."""
-    df = spark.read.csv(paths, header=True, inferSchema=False, encoding="UTF-8")
+    reader = spark.read.option("header", True).option("inferSchema", False).option(
+        "encoding", "UTF-8"
+    )
+    if capture_corrupt:
+        # S4 bad-line capture: PERMISSIVE + corrupt-record column (the
+        # reference collected per-file parse errors into an error list)
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    df = reader.csv(paths)
+    if capture_corrupt and "_corrupt_record" not in df.columns:
+        df = df.withColumn("_corrupt_record", F.lit(None).cast("string"))
     # force-rename the first header cell (bronze_funcs.py:16-19,90)
     first = df.columns[0]
     target = INITIAL_COL.get(data_type)
     if target and first != target:
         df = df.withColumnRenamed(first, target)
-    data_cols = list(df.columns)
+    data_cols = [c for c in df.columns if c != "_corrupt_record"]
 
     df = lineage_from_filename(df)
     # drop the per-file label row (reference skips physical row 2,

@@ -129,3 +129,54 @@ def test_deal_details_xml(spark, tmp_path):
     assert srow["DealVersion"] == 3
     assert srow["DealSize"] == 500000000.0
     assert srow["IsActiveDeal"] is True
+
+
+def test_transliteration_udf(spark):
+    from les_etl_pipeline_spark.operators.normalize import transliterate_ascii
+
+    df = spark.createDataFrame(
+        [("café münchen",), ("﻿test\0ed",), (None,), ("plain",)], "s string"
+    )
+    out = [r["t"] for r in df.select(transliterate_ascii("s").alias("t")).collect()]
+    assert out == ["cafe munchen", "tested", None, "plain"]
+
+
+def test_permissive_malformed_rows(spark, tmp_path):
+    """S4 bad-line tolerance: PERMISSIVE parsing null-fills short rows and
+    truncates long rows (the reference's csv.reader + truncation at
+    bronze_funcs.py:93-96 behaves the same; _corrupt_record engages only
+    under typed schemas, which bronze — all-string by design — never has)."""
+    d = tmp_path / "raw2"
+    d.mkdir()
+    path = d / "LESIT03_2023_06_30_assets.csv"
+    path.write_text(
+        'AL1,AL2,AL3\n'
+        'lbl1,lbl2,lbl3\n'
+        '2023-06-30,pool-1,servicer\n'
+        '2023-06-30,short\n'
+        'x,y,z,extra,cols\n'
+    )
+    df = read_edw_csv(spark, [str(path)], "assets", capture_corrupt=True)
+    rows = df.collect()
+    assert "_corrupt_record" in df.columns
+    assert len(rows) == 3
+    by_al2 = {r["AL2"]: r for r in rows}
+    assert by_al2["pool-1"]["AL3"] == "servicer"
+    assert by_al2["short"]["AL3"] is None   # short row null-filled
+    assert by_al2["y"]["AL3"] == "z"        # long row truncated to header width
+
+
+def test_bronze_ledger_skip(spark, raw_dir, tmp_path):
+    """S3/O4: a (date, deal) already in the ledger is not re-processed."""
+    ledger = RunLedger(spark, str(tmp_path / "ledger"))
+    out = str(tmp_path / "bronze")
+    pipelines.bronze_csv(spark, raw_dir, out, "assets",
+                         ingestion_date="2023-08-01", ledger=ledger)
+    # second run same date: every deal ledgered -> skipped entirely
+    res = pipelines.bronze_csv(spark, raw_dir, out, "assets",
+                               ingestion_date="2023-08-01", ledger=ledger)
+    assert res is None
+    # different date: processes again (and SCD2-merges as a no-op)
+    res2 = pipelines.bronze_csv(spark, raw_dir, out, "assets",
+                                ingestion_date="2023-08-02", ledger=ledger)
+    assert res2 is not None
