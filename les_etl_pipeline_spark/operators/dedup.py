@@ -94,8 +94,8 @@ def ngram_jaccard_pairs(
     sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")  # per-doc sizes scale with the corpus:
+        .join(sz_b, "id_b")       # no broadcast hint, AQE decides
         .where(jac >= F.lit(threshold))
         .select("id_a", "id_b", jac.alias("jaccard_raw"))
     )

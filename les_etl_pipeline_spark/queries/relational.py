@@ -98,9 +98,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
     )
+    # orders/customer are fact-scale (grow with SF): no broadcast hint —
+    # AQE broadcasts at small SF and shuffle-joins at 100 TB. Hints are
+    # reserved for fixed-cardinality dims (region/nation).
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -146,10 +149,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    # broadcast hints ONLY on fixed-cardinality dims (nation: 25 rows,
+    # region: 5 rows); orders/customer/supplier scale with SF — AQE
+    # picks broadcast locally and shuffle-join at 100 TB
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -180,7 +186,8 @@ def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000)
     )
     cust = table(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    # customer is fact-scale: no hint, AQE decides
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "c_name", hround("o_totalprice").alias("totalprice")
     )
 
@@ -311,7 +318,7 @@ def join_theta_quantity_vs_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(part),
+            part,  # fact-scale even after the selective filter: AQE decides
             (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size),
         )
         .groupBy("p_partkey", "p_brand")

@@ -52,6 +52,8 @@ ASSET_COLUMNS: dict[str, T.DataType] = {
     "AL55": T.DoubleType(),
     "AL56": T.DoubleType(),
     "AL58": T.StringType(),
+    "AL74": T.DoubleType(),
+    "AL83": T.DoubleType(),
     "AL104": T.BooleanType(),
     "AL107": T.DateType(),
     "AL139": T.StringType(),

@@ -60,3 +60,38 @@ def write_deal_xml(dirpath: str, ed_code: str, pcd: str = "2023-06-30") -> str:
     with open(path, "w", encoding="utf-8") as f:
         f.write(xml)
     return path
+
+
+WIDE_ASSET_HEADER = [
+    "LeaseID", "AL2", "AL3", "AL5",        # primary block
+    "AL7", "AL10", "AL18", "AL30",         # lease_info (AL6-49)
+    "AL50", "AL55", "AL56", "AL58",        # lease_features (AL50-73)
+    "AL74", "AL80",                        # interest_rate (AL74-82)
+    "AL83", "AL90",                        # financial_info (AL83-97)
+    "AL104", "AL107",                      # performance_info (AL98-132)
+    "AL139", "AL148",                      # collateral_info (AL133-153)
+]
+
+
+def write_wide_asset_csv(dirpath: str, ed_code: str, ymd: tuple[int, int, int], n_rows: int = 4) -> str:
+    y, m, d = ymd
+    path = os.path.join(dirpath, f"{ed_code}_{y:04d}_{m:02d}_{d:02d}_assets.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(",".join(WIDE_ASSET_HEADER) + "\n")
+        f.write(",".join("label" for _ in WIDE_ASSET_HEADER) + "\n")
+        for i in range(n_rows):
+            f.write(
+                ",".join(
+                    [
+                        "2023-06-30", "POOL-1", "acme", f"LS-{i}",
+                        "y" if i % 2 == 0 else "n", "EUR", str(i % 7), f"{i}.25",
+                        "2019", f"{1000 + i}.00", f"{2000 + i}.50", str(i % 5),
+                        f"0.0{i}", "euribor",
+                        f"{300 + i}.00", "x",
+                        "n", "",
+                        str(i % 22), "2023-01",
+                    ]
+                )
+                + "\n"
+            )
+    return path

@@ -180,3 +180,30 @@ def test_bronze_ledger_skip(spark, raw_dir, tmp_path):
     res2 = pipelines.bronze_csv(spark, raw_dir, out, "assets",
                                 ingestion_date="2023-08-02", ledger=ledger)
     assert res2 is not None
+
+
+def test_wide_asset_all_topics(spark, tmp_path):
+    """Full-width fixture exercises all six topic tables (P9 ranges) with
+    typed columns in each."""
+    from .fixtures import write_wide_asset_csv
+
+    raw = tmp_path / "rawwide"
+    raw.mkdir()
+    write_wide_asset_csv(str(raw), "LESIT77", (2023, 6, 30))
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "silver")
+    pipelines.bronze_csv(spark, str(raw), bronze, "assets")
+    topics = pipelines.silver_assets(spark, bronze, out)
+    assert set(topics) == {
+        "lease_info", "lease_features", "interest_rate",
+        "financial_info", "performance_info", "collateral_info",
+    }
+    feats = spark.read.parquet(os.path.join(out, "assets", "lease_features"))
+    # AL50 ('2019', year-only): Spark's default to_date parser (which the
+    # reference's F8 also used) accepts bare years -> 2019-01-01
+    assert feats.schema["AL50"].dataType.typeName() == "date"
+    import datetime
+    assert {r["AL50"] for r in feats.select("AL50").collect()} == {datetime.date(2019, 1, 1)}
+    assert feats.schema["AL55"].dataType.typeName() == "double"
+    fin = spark.read.parquet(os.path.join(out, "assets", "financial_info"))
+    assert {r["AL83"] for r in fin.select("AL83").collect()} == {300.0, 301.0, 302.0, 303.0}
