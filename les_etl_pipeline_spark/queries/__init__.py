@@ -10,6 +10,7 @@ from .registry import ORACLES, QUERIES, register  # noqa: F401
 # import for registration side effects
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import setops_json  # noqa: E402,F401
 from . import etl_semantics  # noqa: E402,F401
