@@ -19,3 +19,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .engine import Engine  # noqa: E402,F401

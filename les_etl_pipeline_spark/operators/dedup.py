@@ -62,13 +62,20 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.1,
     max_shingle_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Document pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
     Inverted-index join: |shingle sets| via groupBy, intersections via
     self-join on shingle. ``max_shingle_freq`` drops stop-shingles whose
     posting lists would explode the join at scale (frequency pruning —
-    slightly lowers recall, bounds the shuffle)."""
+    slightly lowers recall, bounds the shuffle).
+
+    ``materialize`` checkpoints the distinct shingle table before the
+    three consumers (size agg + both join sides) — without it the
+    tokenize/explode/distinct pipeline executes three times (measured 8x
+    slower at sf0.1). On a cluster, swap localCheckpoint for a persisted
+    staging table."""
     # join key is the 64-bit hash of the shingle, not the string: same
     # counts (collisions ~2^-64), ~5x fewer shuffle bytes at scale
     sh = (
@@ -76,6 +83,8 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
+    if materialize:
+        sh = sh.localCheckpoint()
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))
         sh = (
@@ -192,6 +201,10 @@ def connected_components(
         F.col(pairs.columns[0]).alias("a"), F.col(pairs.columns[1]).alias("b")
     )
     edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize once: every iteration joins against edges — without the
+    # checkpoint the full upstream pair-generation pipeline re-executes
+    # per iteration
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()

@@ -339,3 +339,26 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.avg("k")).alias("avg_k"),
         )
     )
+
+
+@register(
+    "scalar_transliterate",
+    oracle="""
+    SELECT s AS raw, strip_accents(s) AS folded
+    FROM (VALUES ('crédit bail'), ('münchen lease'), ('sécurité'),
+                 ('plain ascii'), (NULL)) t(s)
+    """,
+)
+def scalar_transliterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 transliteration through the Arrow pandas UDF
+    (operators/normalize.transliterate_ascii); the oracle is DuckDB's
+    strip_accents, which matches NFKD combining-mark removal for accented
+    latin (the fixture deliberately avoids ligatures/ß where the two
+    diverge — see the operator docstring)."""
+    from ..operators.normalize import transliterate_ascii
+
+    df = spark.createDataFrame(
+        [("crédit bail",), ("münchen lease",), ("sécurité",), ("plain ascii",), (None,)],
+        "raw string",
+    )
+    return df.select("raw", transliterate_ascii("raw").alias("folded"))
