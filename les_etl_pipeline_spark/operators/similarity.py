@@ -136,3 +136,73 @@ def lsh_bucket_neighbors(
         out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer assigns every vector to a
+    cell; a query scores only vectors in its ``n_probe`` nearest cells.
+    The 100 TB inverted-file pattern: candidate set shrinks by
+    ~n_cells/n_probe, cells are the partition key, and the centroid table
+    (n_cells rows) broadcasts. Approximate by construction -> rows-only
+    correctness check; recall is tested against brute force in
+    tests/test_similarity_ivf.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(df.select(id_col, vec_col), vec_col)
+    feats = base.withColumn("features", array_to_vector(F.col("vd")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats)
+
+    # centroid table: (cell, centroid vector) — tiny, broadcastable
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cvec array<double>",
+    )
+
+    # each query probes its n_probe nearest centroids (by euclidean)
+    q = assigned.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("vd").alias("qvd"), F.col("nrm").alias("qnrm")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvd"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvd", "qnrm", "cell")
+    )
+
+    cands = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vd").alias("cvd"),
+        F.col("nrm").alias("cnrm"),
+        "cell",
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", dot(F.col("qvd"), F.col("cvd")) / (F.col("qnrm") * F.col("cnrm")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -379,3 +379,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), k=3, threshold=0.1
     ).select("id_a", "id_b")
     return dedup.connected_components(pairs)
+
+
+@register("similarity_ivf_topk")  # approximate (kmeans cells) -> rows-only
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.ivf_topk(
+        table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5, seed=42
+    )
+    return out.select(
+        "query_id", "neighbor_id", hround(F.col("cos"), 6).alias("cosine"), "rank"
+    )

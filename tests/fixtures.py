@@ -95,3 +95,22 @@ def write_wide_asset_csv(dirpath: str, ed_code: str, ymd: tuple[int, int, int], 
                 + "\n"
             )
     return path
+
+
+BOND_HEADER = ["ReportDate", "BL2", "BL4", "BL11", "BL13", "BL19", "BL25", "BL29", "BL32", "BL38", "BL39"]
+
+
+def write_bond_csv(dirpath: str, ed_code: str, ymd: tuple[int, int, int]) -> str:
+    y, m, d = ymd
+    path = os.path.join(dirpath, f"{ed_code}_{y:04d}_{m:02d}_{d:02d}_bond.csv")
+    rows = [
+        ["2023-06-30", "SPV Alpha", "Y", "12345.67", "0.08", "Jane Doe", "tranche-a", "EUR", "3", "2040-12-15", "2018-05-20"],
+        ["2023-06-30", "SPV Alpha", "n", "ND1", "0.05", "John Roe", "tranche-b", "eur", "18", "2041-01-15", "2018-05-20"],
+        ["2023-06-30", "SPV Alpha", "", "1.0", "x", "", "tranche-c", "eur", "99", "2011-01-01", ""],  # bad row
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(",".join(BOND_HEADER) + "\n")
+        f.write(",".join("label" for _ in BOND_HEADER) + "\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    return path

@@ -207,3 +207,36 @@ def test_wide_asset_all_topics(spark, tmp_path):
     assert feats.schema["AL55"].dataType.typeName() == "double"
     fin = spark.read.parquet(os.path.join(out, "assets", "financial_info"))
     assert {r["AL83"] for r in fin.select("AL83").collect()} == {300.0, 301.0, 302.0, 303.0}
+
+
+def test_bond_info_e2e(spark, tmp_path):
+    """bond_info bronze -> silver: BL1 header rename, topic split
+    (bond/transaction/tranche), validation quarantine."""
+    from .fixtures import write_bond_csv
+
+    raw = tmp_path / "rawbond"
+    raw.mkdir()
+    write_bond_csv(str(raw), "BNDIT01", (2023, 6, 30))
+    bronze = str(tmp_path / "bronze_bond")
+    out = str(tmp_path / "silver")
+    pipelines.bronze_csv(spark, str(raw), bronze, "bond_info")
+    b = spark.read.parquet(bronze)
+    assert "BL1" in b.columns  # first header cell force-renamed
+    assert b.where(F.col("iscurrent") == 1).count() == 3
+
+    topics = pipelines.silver_bond_info(spark, bronze, out)
+    assert set(topics) == {"bond_info", "transaction_info", "tranche_info"}
+    bad = spark.read.parquet(os.path.join(out, "dirty_dumps", "bond_info"))
+    # row 3 violates: BL19 required (empty), BL32 enum (99),
+    # BL38 below min (2011), BL39 required (empty), BL13 number ('x')
+    assert bad.count() == 1
+    qc = bad.collect()[0]["qc_errors"]
+    for err in ("BL19.required", "BL32.allowed", "BL38.range", "BL39.required", "BL13.number"):
+        assert err in qc, (err, qc)
+    tr = spark.read.parquet(os.path.join(out, "bond_info", "tranche_info"))
+    assert tr.schema["BL32"].dataType.typeName() == "string"
+    assert {r["BL25"] for r in tr.select("BL25").collect()} == {"tranche-a", "tranche-b"}
+    bi = spark.read.parquet(os.path.join(out, "bond_info", "bond_info"))
+    assert bi.schema["BL11"].dataType.typeName() == "double"
+    vals = {r["BL11"] for r in bi.select("BL11").collect()}
+    assert vals == {12345.67, None}  # ND1 -> NULL at ingest
