@@ -76,3 +76,65 @@ def spark_float_cache(spark):
         return df.select(hround(F.col("x")).alias("r")).collect()[0]["r"]
 
     return run
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 5)),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_sequence_invariants(spark, batches):
+    """Applying any sequence of batches preserves: exactly one current
+    row per live key; history rows all closed; final current value ==
+    last batch value per key."""
+    from les_etl_pipeline_spark.operators.normalize import scd2_stamp
+    from les_etl_pipeline_spark.operators.scd2 import scd2_merge
+    from pyspark.sql import functions as F
+
+    def stamp(pairs):
+        df = spark.createDataFrame(
+            [("d", "2023-01-01", k, str(v)) for k, v in pairs],
+            "ed_code string, pcd string, K string, V string",
+        )
+        return scd2_stamp(df, ["K", "V"])
+
+    last_value = {}
+    state = None
+    for batch in batches:
+        dedup = {}
+        for k, v in batch:
+            dedup[k] = v  # one row per key per batch (merge contract)
+        last_value.update(dedup)
+        stamped = stamp(list(dedup.items()))
+        state = stamped if state is None else scd2_merge(state, stamped, ["K"])
+    rows = state.collect()
+    current = [r for r in rows if r["iscurrent"] == 1]
+    history = [r for r in rows if r["iscurrent"] == 0]
+    assert {r["K"] for r in current} == set(last_value)
+    assert len(current) == len(last_value)
+    for r in current:
+        assert r["V"] == str(last_value[r["K"]])
+        assert r["valid_to"] is None
+    for r in history:
+        assert r["valid_to"] is not None
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """approx_count_distinct at rsd=0.01 stays within 5% of exact on the
+    test data (sanity bound for the rows-only query)."""
+    from les_etl_pipeline_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = li.select(F.countDistinct("l_partkey").alias("n")).collect()[0]["n"]
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05
