@@ -362,3 +362,103 @@ def scalar_transliterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw string",
     )
     return df.select("raw", transliterate_ascii("raw").alias("folded"))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersectAll(o)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.exceptAll(o)
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, '#0', '-O')              AS name_translated,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')  AS key_padded,
+           rpad(c_mktsegment, 12, '.')                AS seg_padded,
+           split_part(c_name, '#', 1)                 AS name_head,
+           reverse(c_mktsegment)                      AS seg_rev,
+           repeat('ab', 3)                            AS rep,
+           left(c_name, 4)                            AS name_left,
+           right(c_name, 3)                           AS name_right
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            F.translate("c_name", "#0", "-O").alias("name_translated"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+            F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+            F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.repeat(F.lit("ab"), 3).alias("rep"),
+            F.substring("c_name", 1, 4).alias("name_left"),
+            F.expr("right(c_name, 3)").alias("name_right"),
+        )
+    )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)  AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+                                                              AS days_to_y2k,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow_sun1,
+           CAST(weekofyear(o_orderdate) AS INT)               AS week_no
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date pack. Cross-engine traps handled: DuckDB dayofweek is
+    0=Sunday vs Spark 1=Sunday (+1 in the oracle); DuckDB date_diff takes
+    (unit, start, end) vs Spark datediff(end, start)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.weekofyear(d).alias("week_no"),
+    )
