@@ -235,3 +235,36 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fuzzy_threshold: float | None = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """The end-to-end dedup a training-data pipeline actually runs:
+    drop exact duplicates (normalized-hash groups), then drop fuzzy
+    near-duplicates (Jaccard clusters), keeping the minimum-id canonical
+    document of every group. Returns the surviving rows of ``df``.
+
+    fuzzy_threshold=None skips the fuzzy stage (exact-only). At 100 TB
+    swap ngram_jaccard_pairs for minhash_lsh_pairs — the cluster/keep
+    logic is identical.
+    """
+    exact = exact_dedup_groups(df, text_col, id_col, normalize=True)
+    keep_exact = exact.select(F.col("canonical_id").alias(id_col))
+    survivors = df.join(keep_exact, id_col, "left_semi")
+
+    if fuzzy_threshold is not None:
+        pairs = ngram_jaccard_pairs(
+            survivors, text_col, id_col, k=k, threshold=fuzzy_threshold
+        ).select("id_a", "id_b")
+        clusters = connected_components(pairs)
+        # every clustered doc except its cluster's canonical (min id) drops
+        drop = clusters.where(F.col("doc_id") != F.col("cluster")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        survivors = survivors.join(drop, id_col, "left_anti")
+    return survivors

@@ -389,3 +389,40 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", hround(F.col("cos"), 6).alias("cosine"), "rank"
     )
+
+
+@register(
+    "dedup_corpus_end_to_end",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_PAIRS_CTE.replace("WITH tok", "tok", 1)
+    .replace(">= 0.1", ">= 0.4")
+    .lstrip()
+    + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), drop_docs AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING least(a, min(b)) != a
+    ), exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN exact_keep k ON d.doc_id = k.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+    """,
+)
+def dedup_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus dedup (exact-normalized then fuzzy clusters at
+    Jaccard>=0.4), canonical survivor per group; the oracle rebuilds the
+    same keep-set with a recursive closure."""
+    out = dedup.dedup_corpus(
+        table(spark, sf_dir, "documents"), fuzzy_threshold=0.4
+    )
+    return out.select("doc_id", "lang", "source")

