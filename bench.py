@@ -34,6 +34,10 @@ HEADLINE = [
     "stream_session_window",
     "etl_scd2_current_snapshot",
     "etl_validation_split",
+    # events (nanos-parquet) queries, restored to the driver path in r2
+    "asof_join_union_window",
+    "map_ops_events",
+    "subquery_exists_q4",
     # LLM-data extensions (north star)
     "dedup_exact_documents",
     "dedup_ngram_jaccard",

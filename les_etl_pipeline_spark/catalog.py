@@ -34,15 +34,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one warehouse table with normalized column types."""
+    """Load one warehouse table with normalized column types.
+
+    Works on any SparkSession, not just the tuned one from
+    ``session.get_spark``: ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark refuses to read unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on, so we set that conf at
+    runtime before the read (it is runtime-settable) and then branch on the
+    loaded dtype so a session that already mapped the column to a timestamp
+    is handled too.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ns since epoch (long, via nanosAsLong) -> µs TIMESTAMP_NTZ.
-        # floor-div matches DuckDB's ns->µs truncation.
-        df = df.withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(CAST(FLOOR(ts / 1000) AS LONG)) AS TIMESTAMP_NTZ)"),
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # ns since epoch -> µs TIMESTAMP_NTZ. Integer DIV matches
+            # DuckDB's exact ns->µs truncation ('/' on longs would go
+            # through double and lose precision past 2^53).
+            df = df.withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
@@ -50,7 +66,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL API."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views for the SQL API.
+
+    ``tables`` limits registration to the views a query actually reads —
+    this skips 8 wasted parquet-footer reads per query and keeps unrelated
+    queries decoupled from any one table's storage quirks.
+    """
+    for name in tables if tables is not None else TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

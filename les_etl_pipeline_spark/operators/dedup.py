@@ -61,7 +61,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.1,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
     materialize: bool = True,
 ) -> DataFrame:
     """Document pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
@@ -69,7 +69,12 @@ def ngram_jaccard_pairs(
     Inverted-index join: |shingle sets| via groupBy, intersections via
     self-join on shingle. ``max_shingle_freq`` drops stop-shingles whose
     posting lists would explode the join at scale (frequency pruning —
-    slightly lowers recall, bounds the shuffle).
+    slightly lowers recall, bounds the shuffle). The default cap of 1000
+    bounds any single shingle's pair contribution to ~500k rows — a
+    stop-shingle appearing in every one of 10^9 docs would otherwise make
+    the self-join quadratic in corpus size. True near-duplicates share
+    many shingles, most of them rare, so recall loss is marginal; pass
+    ``max_shingle_freq=None`` for the exact unbounded join.
 
     ``materialize`` checkpoints the distinct shingle table before the
     three consumers (size agg + both join sides) — without it the

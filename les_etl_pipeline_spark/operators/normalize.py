@@ -104,15 +104,29 @@ def transliterate_ascii(c: Column | str) -> Column:
     around it stays JVM-side."""
     import unicodedata
 
+    # NFKD strips combining marks but leaves ß and a few non-decomposing
+    # ligatures; this table closes the gap to unidecode's output for the
+    # characters EDW data actually contains (bronze_funcs.py:22-33)
+    _LIGATURES = str.maketrans(
+        {
+            "ß": "ss", "ẞ": "SS",
+            "æ": "ae", "Æ": "AE",
+            "œ": "oe", "Œ": "OE",
+            "ð": "d", "Ð": "D",
+            "þ": "th", "Þ": "Th",
+            "ø": "o", "Ø": "O",
+            "đ": "d", "Đ": "D",
+            "ł": "l", "Ł": "L",
+        }
+    )
+
     @F.pandas_udf("string")
     def _translit(s: pd.Series) -> pd.Series:
         def fix(v):
             if v is None:
                 return None
-            # BOM/NUL strip + accent fold (é->e, ü->u); NFKD covers
-            # combining marks only — ligatures/ß pass through (unidecode,
-            # unavailable here, would map ß->ss; documented divergence)
             v = v.replace("﻿", "").replace("\0", "")
+            v = v.translate(_LIGATURES)
             decomposed = unicodedata.normalize("NFKD", v)
             return "".join(ch for ch in decomposed if not unicodedata.combining(ch))
 

@@ -79,7 +79,14 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salt values, join on (key, salt). Row-for-row identical to
-    big.join(small, on, how)."""
+    big.join(small, on, how) for inner/left joins only — a right/full
+    outer join would emit each unmatched small-side row once per salt
+    replica, so those modes are rejected."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "replicated small side duplicates unmatched rows under outer modes"
+        )
     big_s = with_salt(big, buckets)
     salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("_salt")
     small_r = small.select("*", salts)

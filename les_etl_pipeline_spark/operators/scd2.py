@@ -23,10 +23,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _key(primary_cols: list[str]) -> list[str]:
     return ["ed_code", "pcd", *primary_cols]
+
+
+def _one_row_per_key(new: DataFrame, key: list[str]) -> DataFrame:
+    """Collapse an incoming batch to one row per merge key.
+
+    A repeated key in one batch (a row duplicated inside an EDW file —
+    present in the reference's data, handled there by the silver layer's
+    dropDuplicates) would otherwise fan out the merge join: the same
+    current row lands in both `keep` and `closed`, and multiple
+    iscurrent=1 versions get inserted for one key. Deterministic winner:
+    highest checksum (arbitrary but stable across runs/engines).
+    """
+    w = Window.partitionBy(*key).orderBy(F.col("checksum").desc_nulls_last())
+    return (
+        new.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def scd2_merge(
@@ -45,7 +64,7 @@ def scd2_merge(
     history = old.where(F.col("iscurrent") == 0)
     current = old.where(F.col("iscurrent") == 1)
 
-    incoming = new.select(*old.columns)  # align column order
+    incoming = _one_row_per_key(new.select(*old.columns), key)  # align + dedupe
     inc_keyed = incoming.select(
         *[F.col(c).alias(f"_n_{c}") for c in incoming.columns]
     )
@@ -98,6 +117,7 @@ def delta_merge(spark, delta_path: str, new: DataFrame, primary_cols: list[str])
     from delta.tables import DeltaTable  # gated import
 
     key = _key(primary_cols)
+    new = _one_row_per_key(new, key)
     cond = " AND ".join(f"old.{k} <=> new.{k}" for k in key)
     tbl = DeltaTable.forPath(spark, delta_path)
     (

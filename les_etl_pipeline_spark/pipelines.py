@@ -47,14 +47,24 @@ def bronze_csv(
     if not paths:
         return None
     if ledger is not None and ingestion_date:
-        # S3/O4 idempotence guard: skip files whose (date, deal) already ran
+        # S3/O4 idempotence guard: skip files whose (ed_code, pcd) already
+        # ran this date — keying on ed_code alone would wrongly skip a
+        # later file for the same deal with a new pool-cutoff date
         done = {
-            (r["ed_code"])
+            (r["ed_code"], r["pcd"])
             for r in ledger.entries(data_type)
             .where(F.col("ingestion_date") == ingestion_date)
             .collect()
         }
-        paths = [p for p in paths if os.path.basename(p).split("_")[0] not in done]
+
+        def _file_key(p: str) -> tuple[str, str]:
+            # {ed_code}_{YYYY}_{MM}_{DD}_*.csv -> (ed_code, 'YYYY-MM-DD'),
+            # matching normalize.lineage_from_filename / RunLedger.record
+            toks = os.path.basename(p).split("_")
+            pcd = "-".join(toks[1:4]) if len(toks) >= 4 else ""
+            return (toks[0], pcd)
+
+        paths = [p for p in paths if _file_key(p) not in done]
         if not paths:
             return None
     df = read_edw_csv(spark, paths, data_type)

@@ -145,7 +145,7 @@ def window_analytic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def subquery_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders", "lineitem"))
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n_orders
@@ -170,7 +170,7 @@ def subquery_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def subquery_scalar_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
         SELECT floor(sum(l_extendedprice) / 7.0D * 100.0D + 0.5D) / 100.0D AS avg_yearly,
@@ -191,7 +191,7 @@ def subquery_scalar_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def subquery_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(
         """
         SELECT count(*) AS n_items

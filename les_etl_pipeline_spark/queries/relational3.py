@@ -142,7 +142,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cte_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
     return spark.sql(
         """
         WITH nat_rev AS (
