@@ -100,3 +100,15 @@ def test_dedup_corpus_survivors(spark, sf_dir):
     # idempotent: dedup of the deduped corpus removes nothing
     again = dedup.dedup_corpus(out, fuzzy_threshold=0.4)
     assert again.count() == n_out
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+
+    from les_etl_pipeline_spark.operators import scale
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            scale.salted_join(df, small, "k", buckets=4, how=how)

@@ -79,3 +79,27 @@ def test_null_key_parts_null_safe_checksum(spark):
     assert t.collect()[0]["checksum"] is not None
     merged = scd2_merge(t, t, PK)  # null-safe key match: no duplicate insert
     assert merged.count() == 1
+
+
+def test_duplicate_key_in_batch_single_current(spark):
+    """A row repeated inside one incoming file (present in real EDW data)
+    must not fan out the merge: exactly one iscurrent=1 row per key, and
+    the old version is closed exactly once."""
+    old = _stamp(spark, [("d1", "2023-06-30", "2023-06-30", "pool-1", "7.25")])
+    new = _stamp(
+        spark,
+        [
+            ("d1", "2023-06-30", "2023-06-30", "pool-1", "9.99"),
+            ("d1", "2023-06-30", "2023-06-30", "pool-1", "9.99"),
+            ("d1", "2023-06-30", "2023-06-30", "pool-1", "8.88"),
+        ],
+    )
+    merged = scd2_merge(old, new, PK)
+    cur = merged.where(F.col("iscurrent") == 1).collect()
+    closed = merged.where(F.col("iscurrent") == 0).collect()
+    assert len(cur) == 1, "one current row per merge key"
+    assert len(closed) == 1, "old version closed exactly once"
+    assert cur[0]["AL30"] in ("9.99", "8.88")  # deterministic winner
+    # winner is stable across runs
+    again = scd2_merge(old, new, PK).where(F.col("iscurrent") == 1).collect()
+    assert again[0]["AL30"] == cur[0]["AL30"]

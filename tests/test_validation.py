@@ -95,3 +95,27 @@ def test_typed_columns_accepted(spark):
     good, bad = profile_data(df, {"AL30": {"type": "number", "min": 0, "max": 100}})
     assert good.count() == 2  # 7.5 and NULL (nullable) pass
     assert bad.count() == 1
+
+
+def test_transliterate_ligatures(spark):
+    """F12 fidelity: ß/ligature folds match unidecode's output
+    (bronze_funcs.py:22-33), beyond what NFKD alone covers."""
+    from les_etl_pipeline_spark.operators.normalize import transliterate_ascii
+
+    df = spark.createDataFrame(
+        [("straße",), ("cœur",), ("Ærø",), ("Łódź",), ("crédit",), (None,)],
+        "s string",
+    )
+    got = [r["t"] for r in df.select(transliterate_ascii("s").alias("t")).collect()]
+    assert got == ["strasse", "coeur", "AEro", "Lodz", "credit", None]
+
+
+def test_catalog_table_vanilla_conf(spark, sf_dir):
+    """catalog.table must self-provision the nanosAsLong conf — the driver
+    harness calls it from a session that never went through get_spark."""
+    from les_etl_pipeline_spark.catalog import table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    df = table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert df.count() > 0
