@@ -242,6 +242,37 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
+def embedding_cosine_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: semantic twin of the
+    lexical tiers — two documents are duplicates when their embedding
+    cosine >= threshold, duplicates cluster into components, and each
+    component keeps its minimum-id canonical. Returns the surviving rows
+    of ``docs`` (vec_id == doc_id links the two tables).
+
+    Pair generation here is the exact quadratic baseline
+    (similarity.threshold_pairs); at 100 TB swap it for the LSH-bucketed
+    candidates (similarity.lsh_bucket_neighbors) — the cluster/keep logic
+    downstream is identical either way.
+    """
+    from .similarity import threshold_pairs
+
+    pairs = threshold_pairs(
+        embeddings, threshold, id_col=vec_id_col, vec_col=vec_col
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str = "text",

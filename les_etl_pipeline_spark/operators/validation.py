@@ -59,17 +59,20 @@ def coerce_number(c: Column) -> Column:
 
 def _rule_checks(
     colname: str, rule: dict, dtype: "T.DataType | None" = None
-) -> dict[str, Column]:
-    """Compile one column's rule dict to named boolean check Columns.
+) -> "dict[str, tuple[Column, Column]]":
+    """Compile one column's rule dict to named (check, message) pairs.
 
     Each check is True when the rule PASSES (NULL-safe: a NULL value
-    passes every check except non-nullable). When the input column is
-    already typed (``dtype``), coercion checks collapse to constants and
-    range checks compare natively — the parse work exists only for
-    string inputs (scan-speed fast path; see etl_validation_split bench).
+    passes every check except non-nullable). The message Column carries
+    Cerberus's wording for the failure (silver_funcs.py:57-61 stored
+    validator.errors verbatim) — only rendered when message mode is on.
+    When the input column is already typed (``dtype``), coercion checks
+    collapse to constants and range checks compare natively — the parse
+    work exists only for string inputs (scan-speed fast path; see
+    etl_validation_split bench).
     """
     c = F.col(colname)
-    checks: dict[str, Column] = {}
+    checks: dict[str, tuple[Column, Column]] = {}
     rtype = rule.get("type")
 
     already_numeric = isinstance(
@@ -78,34 +81,58 @@ def _rule_checks(
     already_temporal = isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType))
 
     if rule.get("nullable") is False:
-        checks[f"{colname}.required"] = c.isNotNull()
+        checks[f"{colname}.required"] = (c.isNotNull(), F.lit("null value not allowed"))
 
     if rtype == "number":
         coerced = c if already_numeric else coerce_number(c)
         if not already_numeric:
-            checks[f"{colname}.number"] = c.isNull() | coerced.isNotNull()
+            checks[f"{colname}.number"] = (
+                c.isNull() | coerced.isNotNull(),
+                F.lit("must be of number type"),
+            )
         if "min" in rule:
-            checks[f"{colname}.min"] = c.isNull() | (coerced >= F.lit(float(rule["min"])))
+            checks[f"{colname}.min"] = (
+                c.isNull() | (coerced >= F.lit(float(rule["min"]))),
+                F.lit(f"min value is {rule['min']}"),
+            )
         if "max" in rule:
-            checks[f"{colname}.max"] = c.isNull() | (coerced <= F.lit(float(rule["max"])))
+            checks[f"{colname}.max"] = (
+                c.isNull() | (coerced <= F.lit(float(rule["max"]))),
+                F.lit(f"max value is {rule['max']}"),
+            )
     elif rtype == "datetime":
         coerced = c.cast("timestamp") if already_temporal else coerce_datetime(c)
         if not already_temporal:
-            checks[f"{colname}.datetime"] = c.isNull() | coerced.isNotNull()
+            checks[f"{colname}.datetime"] = (
+                c.isNull() | coerced.isNotNull(),
+                F.lit("must be of datetime type"),
+            )
         lo = str(rule.get("min", MIN_DATETIME))
         hi = str(rule.get("max", MAX_DATETIME))
-        checks[f"{colname}.range"] = c.isNull() | coerced.between(
-            F.to_timestamp(F.lit(lo)), F.to_timestamp(F.lit(hi))
+        checks[f"{colname}.min"] = (
+            c.isNull() | (coerced >= F.to_timestamp(F.lit(lo))),
+            F.lit(f"min value is {lo}"),
+        )
+        checks[f"{colname}.max"] = (
+            c.isNull() | (coerced <= F.to_timestamp(F.lit(hi))),
+            F.lit(f"max value is {hi}"),
         )
     elif "min" in rule or "max" in rule:
         if "min" in rule:
-            checks[f"{colname}.min"] = c.isNull() | (c >= F.lit(rule["min"]))
+            checks[f"{colname}.min"] = (
+                c.isNull() | (c >= F.lit(rule["min"])),
+                F.lit(f"min value is {rule['min']}"),
+            )
         if "max" in rule:
-            checks[f"{colname}.max"] = c.isNull() | (c <= F.lit(rule["max"]))
+            checks[f"{colname}.max"] = (
+                c.isNull() | (c <= F.lit(rule["max"])),
+                F.lit(f"max value is {rule['max']}"),
+            )
 
     if "allowed" in rule:
-        checks[f"{colname}.allowed"] = c.isNull() | c.cast("string").isin(
-            [str(v) for v in rule["allowed"]]
+        checks[f"{colname}.allowed"] = (
+            c.isNull() | c.cast("string").isin([str(v) for v in rule["allowed"]]),
+            F.concat(F.lit("unallowed value "), c.cast("string")),
         )
     return checks
 
@@ -115,17 +142,23 @@ def compile_rules(
     strict_columns: bool = True,
     df_columns: list[str] | None = None,
     df_schema: "T.StructType | None" = None,
+    cerberus_messages: bool = False,
 ) -> tuple[Column, Column]:
     """Compile a rule-dict schema to (flag, qc_errors) Columns.
 
     flag       boolean — True iff the row passes every rule
-    qc_errors  JSON string naming each failed check (NULL when clean)
+    qc_errors  JSON string naming each failed check (NULL when clean).
+               Default shape: {"failed": ["col.check", ...]}. With
+               ``cerberus_messages`` the shape matches what the reference
+               stored — Cerberus's validator.errors dict
+               {col: ["null value not allowed", ...]} with Cerberus's
+               message wording (silver_funcs.py:57-61).
 
     With ``strict_columns`` and ``df_columns`` given, columns present in
     the data but absent from the schema fail every row (Cerberus
     unknown-key semantics) — evaluated as a constant, not per row.
     """
-    checks: dict[str, Column] = {}
+    checks: dict[str, tuple[Column, Column]] = {}
     for colname, rule in rules.items():
         if df_columns is not None and colname not in df_columns:
             # files may carry column subsets (generate_asset_silver.py:31-44);
@@ -140,20 +173,41 @@ def compile_rules(
     if strict_columns and df_columns is not None:
         unknown = [c for c in df_columns if c not in rules]
         for u in unknown:
-            checks[f"{u}.unknown_column"] = F.lit(False)
+            checks[f"{u}.unknown_column"] = (F.lit(False), F.lit("unknown field"))
 
     flag = F.lit(True)
-    for check in checks.values():
+    for check, _ in checks.values():
         flag = flag & check
 
-    error_entries = [
-        F.when(~check, F.lit(name)).otherwise(F.lit(None))
-        for name, check in checks.items()
-    ]
-    qc_errors = F.when(
-        ~flag,
-        F.to_json(F.struct(F.filter(F.array(*error_entries), lambda x: x.isNotNull()).alias("failed"))),
-    ).otherwise(F.lit(None))
+    if cerberus_messages:
+        # {col: [msg, ...]} over columns with at least one failure,
+        # Cerberus's errors-dict shape; map_filter keeps it sparse
+        by_col: dict[str, list[tuple[Column, Column]]] = {}
+        for name, (check, msg) in checks.items():
+            by_col.setdefault(name.rsplit(".", 1)[0], []).append((check, msg))
+        keys, vals = [], []
+        for colname, pairs in by_col.items():
+            keys.append(F.lit(colname))
+            vals.append(
+                F.filter(
+                    F.array(*[F.when(~chk, msg) for chk, msg in pairs]),
+                    lambda x: x.isNotNull(),
+                )
+            )
+        errs = F.map_filter(
+            F.map_from_arrays(F.array(*keys), F.array(*vals)),
+            lambda _, v: F.size(v) > 0,
+        )
+        qc_errors = F.when(~flag, F.to_json(errs)).otherwise(F.lit(None))
+    else:
+        error_entries = [
+            F.when(~check, F.lit(name)).otherwise(F.lit(None))
+            for name, (check, _) in checks.items()
+        ]
+        qc_errors = F.when(
+            ~flag,
+            F.to_json(F.struct(F.filter(F.array(*error_entries), lambda x: x.isNotNull()).alias("failed"))),
+        ).otherwise(F.lit(None))
     return flag, qc_errors
 
 
@@ -162,6 +216,7 @@ def profile_data(
     rules: dict[str, dict],
     strict_columns: bool = True,
     lineage_cols: tuple[str, ...] = (),
+    cerberus_messages: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split df into (good, bad) per the rule schema — the reference's
     profile_data (silver_funcs.py:37-78) without the RDD round-trip.
@@ -174,7 +229,7 @@ def profile_data(
         effective.setdefault(lc, {})
     flag, qc_errors = compile_rules(
         effective, strict_columns=strict_columns, df_columns=df.columns,
-        df_schema=df.schema,
+        df_schema=df.schema, cerberus_messages=cerberus_messages,
     )
     flagged = df.withColumn("flag", flag).withColumn("qc_errors", qc_errors)
     good = flagged.filter(F.col("flag")).drop("flag", "qc_errors")

@@ -32,7 +32,6 @@ from . import scale_queries  # noqa: E402,F401
 _PRIORITY = [
     # TPC-H core
     "q1_pricing_summary", "q3_shipping_priority", "q6_revenue_forecast",
-    "q18_large_orders",
     # joins
     "join_inner_basic", "join_full_outer", "join_left_anti",
     "join_theta_quantity_vs_size",
@@ -55,7 +54,7 @@ _PRIORITY = [
     # LLM-data: dedup
     "dedup_exact_documents", "dedup_exact_normalized", "dedup_ngram_jaccard",
     "dedup_simhash_signatures", "dedup_cluster_components",
-    "dedup_corpus_end_to_end",
+    "dedup_corpus_end_to_end", "dedup_embedding_cosine",
     # LLM-data: similarity
     "similarity_bruteforce_topk", "similarity_threshold_pairs",
     # LLM-data: text analysis

@@ -381,6 +381,49 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_aggregate(list_apply(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+            / (a.nrm * b.nrm) >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ), drop_docs AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING least(a, min(b)) != a
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (semantic dedup tier): cosine>=0.4
+    pairs -> connected components -> canonical survivor per component;
+    the oracle rebuilds the same keep-set with a recursive closure."""
+    out = dedup.embedding_cosine_dedup(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 @register("similarity_ivf_topk")  # approximate (kmeans cells) -> rows-only
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(

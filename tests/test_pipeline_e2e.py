@@ -231,7 +231,7 @@ def test_bond_info_e2e(spark, tmp_path):
     # BL38 below min (2011), BL39 required (empty), BL13 number ('x')
     assert bad.count() == 1
     qc = bad.collect()[0]["qc_errors"]
-    for err in ("BL19.required", "BL32.allowed", "BL38.range", "BL39.required", "BL13.number"):
+    for err in ("BL19.required", "BL32.allowed", "BL38.min", "BL39.required", "BL13.number"):
         assert err in qc, (err, qc)
     tr = spark.read.parquet(os.path.join(out, "bond_info", "tranche_info"))
     assert tr.schema["BL32"].dataType.typeName() == "string"

@@ -119,3 +119,28 @@ def test_catalog_table_vanilla_conf(spark, sf_dir):
     df = table(spark, sf_dir, "events")
     assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
     assert df.count() > 0
+
+
+def test_cerberus_message_mode(spark):
+    """qc_errors in cerberus_messages mode reproduces the errors-dict
+    shape and wording the reference persisted (silver_funcs.py:57-61:
+    validator.errors straight from Cerberus)."""
+    import json
+
+    from les_etl_pipeline_spark.operators.validation import profile_data
+
+    df = spark.createDataFrame(
+        [("", "99", "x"), ("ok", "5", "1.5")], "a string, b string, c string"
+    )
+    df = df.replace("", None, subset=["a"])
+    rules = {
+        "a": {"type": "string", "nullable": False},
+        "b": {"type": "number", "min": 0, "max": 10},
+        "c": {"type": "number"},
+    }
+    good, bad = profile_data(df, rules, cerberus_messages=True)
+    assert good.count() == 1 and bad.count() == 1
+    errs = json.loads(bad.collect()[0]["qc_errors"])
+    assert errs["a"] == ["null value not allowed"]
+    assert errs["b"] == ["max value is 10"]
+    assert errs["c"] == ["must be of number type"]
