@@ -1,0 +1,77 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+A 100 TB corpus needs train/val/test splits that are (a) reproducible
+across runs and engines, (b) stable under re-partitioning and appends —
+properties ``df.sample``/``rand()`` do not give (they depend on partition
+layout and task scheduling). The standard fix is content-keyed hashing:
+the split of a row is a pure function of its key, so any engine computes
+the same assignment. md5 is used as the portable hash (same answer in
+Spark, DuckDB, Python) — this is a per-row scalar, whole-stage codegen,
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5(key) —
+    portable across engines (DuckDB: ('0x' || substr(md5(k),1,7))::BIGINT
+    % buckets)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Assign every row a split label by hashed key ranges.
+
+    fractions: {"train": 0.9, "val": 0.05, "test": 0.05} — must sum to
+    <= 1.0; rows hashing past the last range get the LAST label (so a
+    sum of exactly 1.0 covers everything). Adding new rows later never
+    reassigns existing rows."""
+    total = sum(fractions.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    b = hash_bucket(key, buckets)
+    expr = None
+    acc = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        acc += frac
+        cond = b < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(labels[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    falls under its stratum's fraction. The deterministic twin of
+    ``df.sampleBy`` — same output on every run/engine/partitioning.
+    Strata absent from ``fractions`` are dropped (sampleBy semantics)."""
+    b = hash_bucket(key, buckets)
+    s = F.col(strata_col).cast("string")
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | ((s == F.lit(str(stratum))) & (b < F.lit(int(round(frac * buckets)))))
+    return df.where(keep)

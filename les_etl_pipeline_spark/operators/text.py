@@ -72,6 +72,30 @@ def predicted_lang(tokens: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
+def token_chunks(
+    text: Column | str, chunk_size: int, stride: int | None = None
+) -> Column:
+    """Split a document into fixed-size token windows for training
+    sequences: array of structs (chunk_idx, chunk_text, n_tokens).
+
+    ``stride`` defaults to ``chunk_size`` (non-overlapping); a smaller
+    stride yields overlapping context windows. The final chunk may be
+    short. All native array ops — the explode that usually follows is the
+    only row-count change, no Python and no shuffle."""
+    if stride is None:
+        stride = chunk_size
+    toks = ws_tokens(text)
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, s, chunk_size), " ").alias("chunk_text"),
+            F.size(F.slice(toks, s, chunk_size)).alias("n_tokens"),
+        ),
+    )
+
+
 FINGERPRINT_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

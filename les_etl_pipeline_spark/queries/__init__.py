@@ -39,13 +39,13 @@ _PRIORITY = [
     "agg_stats_by_status", "agg_rollup_region_nation", "agg_grouping_sets",
     "agg_exact_percentiles", "pivot_status_by_flag",
     # sort / distinct
-    "sort_limit_topk", "distinct_projection",
+    "sort_limit_topk",
     # windows
-    "window_rank_dense", "window_running_frames", "window_topk_per_group",
+    "window_rank_dense", "window_running_frames",
     # subqueries / CTE / SQL surface
     "subquery_exists_q4", "subquery_scalar_q17", "cte_nation_revenue_rank",
-    # events: as-of join + map ops
-    "asof_join_union_window", "map_ops_events",
+    # events: as-of join + map ops; binned range join
+    "asof_join_union_window", "map_ops_events", "range_join_binned",
     # set ops / arrays
     "set_intersect", "posexplode_tokens",
     # ETL semantics (reference parity)
@@ -60,6 +60,8 @@ _PRIORITY = [
     # LLM-data: text analysis
     "text_token_stats", "text_quality_score", "text_lang_id_heuristic",
     "text_fingerprint_rolling",
+    # training-set mechanics
+    "sample_hash_split",
     # multimodal plumbing
     "multimodal_binary_features",
     # streaming batch-equivalents

@@ -469,3 +469,92 @@ def dedup_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), fuzzy_threshold=0.4
     )
     return out.select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Training-set mechanics: token chunking, deterministic splits
+# --------------------------------------------------------------------------
+@register(
+    "text_token_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks), 64)) AS st
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((st - 1) / 64 AS INT) AS chunk_idx,
+           array_to_string(toks[st : st + 63], ' ') AS chunk_text,
+           CAST(len(toks[st : st + 63]) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def text_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents split into 64-token training windows
+    (operators/text.token_chunks): the pre-tokenizer step of sequence
+    packing. Native arrays; explode is the only row-count change."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.explode(text.token_chunks("text", chunk_size=64)).alias("c")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+               % 10000 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 9000 THEN 'train'
+                WHEN bkt < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-keyed md5
+    bucket (operators/sampling.hash_split): reproducible across engines,
+    partitionings, and appends — what rand()-based sample() cannot give.
+    The oracle recomputes the identical bucket function."""
+    from ..operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+               % 10000 AS bkt
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs
+    FROM b
+    WHERE (lang = 'en' AND bkt < 2000) OR (lang = 'fr' AND bkt < 5000)
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (sampling.stratified_hash_sample):
+    downsample English to 20%, French to 50%, drop other strata — corpus
+    rebalancing with run-stable membership."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.2, "fr": 0.5})
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

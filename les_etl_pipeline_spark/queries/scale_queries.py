@@ -72,3 +72,36 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         hround(F.sum("o_totalprice")).alias("total"),
     )
+
+
+@register(
+    "range_join_binned",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_shipped
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    WHERE o_orderpriority = '1-URGENT' AND o_custkey < 50
+    GROUP BY o_orderkey
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bin bucketing
+    (operators/rangejoin.py): lineitems shipped inside each urgent
+    order's 30-day window, counted per order. The oracle runs the naive
+    theta join — same rows, but the engine's plan is an equi hash join
+    on the bin key instead of a BroadcastNestedLoop (SURVEY.md §2.12
+    range-join gap)."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    orders = table(spark, sf_dir, "orders")
+    iv = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") < 50)
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("hi"),
+    )
+    pts = table(spark, sf_dir, "lineitem").select("l_shipdate")
+    j = point_in_interval_join(pts, iv, "l_shipdate", "lo", "hi", bin_width=30 * 86400)
+    return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
