@@ -558,3 +558,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.2, "fr": 0.5})
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "pack_training_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), ch AS (
+      SELECT doc_id, lang,
+             CAST((st - 1) / 64 AS INT) AS chunk_idx,
+             CAST(len(toks[st : st + 63]) AS INT) AS n_tokens
+      FROM (SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks), 64)) AS st
+            FROM t)
+    ), packed AS (
+      SELECT lang,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                                             ORDER BY doc_id, chunk_idx
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 256.0) AS INT) AS seq_idx,
+             n_tokens
+      FROM ch
+    ), seqs AS (
+      SELECT lang, seq_idx, count(*) AS n_chunks, sum(n_tokens) AS n_tok
+      FROM packed GROUP BY lang, seq_idx
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_seqs,
+           (floor((sum(n_tok) / (count(*) * 256.0)) * 10000.0 + 0.5) / 10000.0)
+             AS fill_ratio
+    FROM seqs GROUP BY lang
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk documents into 64-token windows, pack them into 256-token
+    training sequences per language shard (operators/packing.py), report
+    per-shard sequence counts and fill ratio. The oracle replays the
+    identical in-order cumsum fill."""
+    from ..operators.packing import pack_chunks, packing_stats
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", "lang", F.explode(text.token_chunks("text", chunk_size=64)).alias("c")
+    ).select("doc_id", "lang", F.col("c.chunk_idx").alias("chunk_idx"),
+             F.col("c.n_tokens").alias("n_tokens"))
+    packed = pack_chunks(
+        chunks, capacity=256, shard_col="lang", order_cols=["doc_id", "chunk_idx"]
+    )
+    stats = packing_stats(packed, capacity=256, shard_col="lang")
+    return stats.select(
+        "lang", "n_seqs", hround(F.col("fill_ratio"), 4).alias("fill_ratio")
+    )

@@ -84,6 +84,40 @@ def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream join: each purchase joined to the views
+    of the same user within ``horizon`` before it (the attribution join).
+
+    Both sides carry watermarks and the join condition bounds the event
+    times relative to each other — that pair of constraints is what lets
+    Spark expire buffered state instead of holding both streams forever
+    (the unbounded-state trap of an unconstrained stream-stream join).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id", "purchase_ts", F.col("p_user").alias("user_id"), "view_id", "view_ts"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drain all available input into an in-memory table (availableNow
     trigger); returns the finished query. Test/debug sink."""

@@ -65,3 +65,31 @@ def test_token_chunks_overlapping_stride(spark):
     out = df.select(F.explode(token_chunks("text", chunk_size=4, stride=2)).alias("c"))
     texts = [r["c"]["chunk_text"] for r in out.collect()]
     assert texts == ["a b c d", "c d e", "e"]
+
+
+def test_pack_chunks_properties(spark):
+    """In-order fill: no tokens lost, sequences fill to capacity before a
+    new one opens, assignment stable under repartitioning."""
+    from les_etl_pipeline_spark.operators.packing import pack_chunks, packing_stats
+
+    rows = [("s", i, (i * 37) % 50 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "shard string, idx int, n_tokens int")
+    packed = pack_chunks(df, capacity=100, shard_col="shard", order_cols=["idx"])
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert packed.agg(F.sum("n_tokens")).collect()[0][0] == total
+    seqs = (
+        packed.groupBy("seq_idx")
+        .agg(F.sum("n_tokens").alias("n"))
+        .orderBy("seq_idx")
+        .collect()
+    )
+    # every sequence except the last holds >= capacity - (max chunk - 1)
+    # tokens (first-fit can overflow by at most one chunk's worth)
+    for r in seqs[:-1]:
+        assert r["n"] >= 100 - 49
+    stats = packing_stats(packed, capacity=100, shard_col="shard").collect()[0]
+    assert stats["n_seqs"] == len(seqs)
+    again = pack_chunks(
+        df.repartition(7), capacity=100, shard_col="shard", order_cols=["idx"]
+    )
+    assert packed.exceptAll(again).count() == 0

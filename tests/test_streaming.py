@@ -160,3 +160,32 @@ def test_foreachbatch_lakehouse_sink(spark, stream_dir, tmp_path):
         partition_col="event_type",
     )
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Attribution join: purchases matched to same-user views within the
+    horizon; outside-horizon and other-user views excluded; state bounded
+    by the watermark + time-bound condition."""
+    p = str(tmp_path / "ss_events")
+    _write_batch(
+        spark,
+        p,
+        [
+            (1, T0 + dt.timedelta(minutes=0), 1, "view", 1.0, "{}"),
+            (2, T0 + dt.timedelta(minutes=30), 1, "purchase", 9.0, "{}"),
+            (3, T0 + dt.timedelta(minutes=10), 2, "view", 1.0, "{}"),   # other user
+            (4, T0 - dt.timedelta(hours=3), 1, "view", 1.0, "{}"),      # outside horizon
+        ],
+    )
+    ev = SW.read_event_stream(spark, p, max_files_per_trigger=None)
+    out = SW.stream_stream_interval_join(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+        horizon="1 hour",
+    )
+    SW.run_to_memory(out, "t_ssjoin")
+    rows = [
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    ]
+    assert rows == [(2, 1)]
