@@ -17,6 +17,7 @@ from . import etl_semantics  # noqa: E402,F401
 from . import llm_data  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Curated registration order.
