@@ -5,9 +5,9 @@ normalized time types: every time column surfaces as TIMESTAMP_NTZ so the
 engine and the DuckDB oracle see identical naive wall-clock values.
 
 ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark cannot
-read natively; the session sets ``spark.sql.legacy.parquet.nanosAsLong``
-and this loader converts nanoseconds -> microsecond TIMESTAMP_NTZ (same
-truncation DuckDB applies).
+read natively; this loader flips ``spark.sql.legacy.parquet.nanosAsLong``
+around its own read (restoring the prior value) and converts
+nanoseconds -> microsecond TIMESTAMP_NTZ (same truncation DuckDB applies).
 """
 
 from __future__ import annotations
@@ -44,9 +44,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     loaded dtype so a session that already mapped the column to a timestamp
     is handled too.
     """
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # Flip nanosAsLong only for the duration of THIS read, then restore
+        # the previous value — leaving it set session-wide would silently
+        # map TIMESTAMP(NANOS) columns to bigint in later unrelated reads.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(conf_key)  # returns the default if unset
+        except Exception:
+            prev = None
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            # force schema resolution before restoring the conf
+            df.schema
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+        df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":

@@ -6,10 +6,16 @@ loops 127 sequential withColumn calls (plan bloat, O(n^2) analysis —
 SURVEY.md §4.2), as a single select. Cast semantics preserved exactly:
 
     BooleanType   'y' -> True, anything else including NULL -> False (F7)
-    DateType      to_date, non-conforming -> NULL (F8)
+    DateType      date parse, non-conforming -> NULL (F8)
     DoubleType    cast + round 2dp (F9; money is double-2dp by design)
     IntegerType   plain cast, garbage -> NULL (F10)
     StringType    passthrough
+
+All parses use ``try_cast`` so malformed input yields NULL under BOTH ANSI
+(Spark 4 default, ``spark.sql.ansi.enabled=true``) and legacy modes — the
+reference ran under Spark-3 legacy semantics where a plain ``cast`` already
+NULLed garbage (silver_funcs.py:28-33); ``try_cast`` is the mode-independent
+spelling of exactly those semantics.
 """
 
 from __future__ import annotations
@@ -30,13 +36,19 @@ def cast_expr(colname: str, dtype: T.DataType, legacy_bool_null_false: bool = Tr
             F.lit(False) if legacy_bool_null_false else F.when(c.isNull(), None).otherwise(False)
         )
     elif isinstance(dtype, T.DateType):
-        expr = F.to_date(c)  # silver_funcs.py:28-29
+        # silver_funcs.py:28-29 — to_date(c) with no format IS cast-to-date;
+        # try_cast keeps the malformed->NULL contract under ANSI
+        expr = c.try_cast("date")
     elif isinstance(dtype, T.DoubleType):
-        expr = F.round(c.cast("double"), 2)  # silver_funcs.py:30-31
+        expr = F.round(c.try_cast("double"), 2)  # silver_funcs.py:30-31
     elif isinstance(dtype, T.IntegerType):
-        expr = c.cast("int")  # silver_funcs.py:32-33
+        # silver_funcs.py:32-33 — legacy string->int truncates decimal
+        # strings ('4.2' -> 4) and NULLs garbage/overflow; try_cast straight
+        # to int would NULL '4.2', so go through double (exact for the full
+        # int range) and truncate, which ANSI permits for numeric->int
+        expr = c.try_cast("double").try_cast("int")
     else:
-        expr = c.cast(dtype)
+        expr = c.try_cast(dtype)
     return expr.alias(colname)
 
 

@@ -53,13 +53,19 @@ def point_in_interval_join(
 ) -> DataFrame:
     """Join each point row to every interval row with lo <= ts <= hi.
 
-    ``bin_width`` is in the units of ``ts.cast('double')`` (seconds for
-    timestamps, days for dates cast via epoch — pass what matches the
-    column type). Intervals where hi < lo are dropped (empty range).
-    ``how='left'`` keeps unmatched points (interval columns NULL).
+    ``bin_width`` is in SECONDS for ALL temporal types (date, timestamp,
+    timestamp_ntz — ``_bin_of`` converts every temporal column through
+    ``unix_seconds``, so a 30-day bin is ``30 * 86400``), and in the
+    column's own units for numeric types. Intervals where hi < lo are
+    dropped (empty range). ``how='left'`` keeps unmatched points
+    (interval columns NULL).
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"point_in_interval_join supports inner/left, not {how!r}")
+    # Surrogate row id BEFORE binning: the left-outer "unmatched points"
+    # anti-join must key on something null-safe — anti-joining on all
+    # point columns would re-emit any matched row that carries a NULL.
+    points = points.withColumn("_pid", F.monotonically_increasing_id())
     p = points.withColumn("_bin", _bin_of(points, ts_col, bin_width))
     iv = (
         intervals.where(F.col(lo_col) <= F.col(hi_col))
@@ -76,14 +82,14 @@ def point_in_interval_join(
     on_exact = (F.col(lo_col) <= F.col(ts_col)) & (F.col(ts_col) <= F.col(hi_col))
     joined = p.join(iv, ["_bin"], "inner").where(on_exact).drop("_bin")
     if how == "inner":
-        return joined
-    # left: re-attach points that matched nothing
-    matched_keys = joined.select(*points.columns)
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+        return joined.drop("_pid")
+    # left: re-attach points that matched nothing, keyed by surrogate id
+    matched_ids = joined.select("_pid")
+    unmatched = points.join(matched_ids, ["_pid"], "left_anti")
     for c in intervals.columns:
         if c not in points.columns:
             unmatched = unmatched.withColumn(c, F.lit(None))
-    return joined.unionByName(unmatched)
+    return joined.unionByName(unmatched).drop("_pid")
 
 
 def interval_overlap_join(

@@ -35,26 +35,29 @@ def hash_split(
     fractions: dict[str, float],
     split_col: str = "split",
     buckets: int = HASH_BUCKETS,
+    remainder_label: str | None = None,
 ) -> DataFrame:
     """Assign every row a split label by hashed key ranges.
 
     fractions: {"train": 0.9, "val": 0.05, "test": 0.05} — must sum to
-    <= 1.0; rows hashing past the last range get the LAST label (so a
-    sum of exactly 1.0 covers everything). Adding new rows later never
-    reassigns existing rows."""
+    <= 1.0. EVERY label (including the last) is bounded by its own bucket
+    cutoff, so {"train": .9, "val": .05, "test": .02} really yields 2%
+    test; the unallocated remainder (and only it) gets ``remainder_label``
+    (default None — a NULL split, easy to filter or audit). Rows whose
+    ``key`` is NULL hash to no bucket and also get ``remainder_label``
+    (documented rather than silently landing in the last split). Adding
+    new rows later never reassigns existing rows."""
     total = sum(fractions.values())
     if not 0 < total <= 1.0 + 1e-9:
         raise ValueError(f"fractions must sum to (0, 1], got {total}")
     b = hash_bucket(key, buckets)
     expr = None
     acc = 0.0
-    labels = list(fractions.items())
-    for name, frac in labels[:-1]:
+    for name, frac in fractions.items():
         acc += frac
         cond = b < F.lit(int(round(acc * buckets)))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = F.lit(labels[-1][0])
-    out = last if expr is None else expr.otherwise(last)
+    out = expr.otherwise(F.lit(remainder_label))
     return df.withColumn(split_col, out)
 
 

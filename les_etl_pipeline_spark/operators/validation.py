@@ -53,8 +53,12 @@ def coerce_datetime(c: Column) -> Column:
 
 
 def coerce_number(c: Column) -> Column:
-    """Reference TO_NUMBER = float(n) (validation_rules.py:4)."""
-    return c.cast("double")
+    """Reference TO_NUMBER = float(n) (validation_rules.py:4).
+
+    try_cast: garbage -> NULL under both ANSI (Spark 4 default) and legacy
+    modes — a plain cast would throw CAST_INVALID_INPUT on dirty strings
+    under a stock session."""
+    return c.try_cast("double")
 
 
 def _rule_checks(

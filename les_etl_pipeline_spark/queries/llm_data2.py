@@ -1,0 +1,13 @@
+"""Round-3 LLM-data additions (documents/embeddings tables).
+
+Populated incrementally; each query registers itself via
+``registry.register`` with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .registry import register

@@ -44,10 +44,13 @@ def get_spark(
         .appName(app_name)
         # deterministic timezone: oracle (DuckDB) compares assume UTC
         .config("spark.sql.session.timeZone", "UTC")
-        # reference fidelity: the reference ran Spark 3 semantics where
-        # invalid casts yield NULL (silver_funcs.py F8-F10: garbage -> NULL);
-        # Spark 4's ANSI default would throw instead
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI mode is deliberately NOT overridden: the engine must produce
+        # identical results on a stock Spark-4 session (ANSI on) and a
+        # legacy one — reference NULL-on-garbage semantics are expressed
+        # with try_cast/try_* so they are mode-independent
+        # (operators/cast_engine.py). Two rounds of driver failures came
+        # from builder-session-only conf assumptions; tests now run with
+        # Spark defaults.
         # shuffle sizing + AQE: runtime coalesce, skew-join handling
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
@@ -68,9 +71,9 @@ def get_spark(
         .config("parquet.enable.summary-metadata", "false")
         # Arrow for pandas_udf / toPandas interop (vectorized Python path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # the driver testdata stores event timestamps as TIMESTAMP(NANOS);
-        # read them as long and convert in the catalog loader
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # (events.parquet TIMESTAMP(NANOS) handling lives in catalog.table,
+        # which flips nanosAsLong only around its own read — no session-wide
+        # legacy conf needed here)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
