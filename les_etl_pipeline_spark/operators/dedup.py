@@ -304,3 +304,32 @@ def dedup_corpus(
         )
         survivors = survivors.join(drop, id_col, "left_anti")
     return survivors
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Train-vs-eval decontamination: flag every train document sharing
+    at least one k-token shingle with any eval document (the standard
+    n-gram-overlap test-set-leakage check).
+
+    Inverted-index shape, same 100 TB posture as ngram_jaccard_pairs:
+    both sides explode to (shingle-hash, id) and meet in ONE equi-join on
+    the 64-bit shingle hash — never a doc x doc comparison. The eval side
+    is benchmarks (tiny vs the corpus), so its distinct shingle set
+    broadcasts; the train side streams map-side. Returns the distinct
+    contaminated train ids (one column, ``id_col``).
+    """
+    tr = train.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("sh_str")
+    ).select(id_col, F.xxhash64("sh_str").alias("sh"))
+    ev = (
+        eval_df.select(F.explode(shingles(text_col, k)).alias("sh_str"))
+        .select(F.xxhash64("sh_str").alias("sh"))
+        .distinct()
+    )
+    return tr.join(F.broadcast(ev), "sh", "left_semi").select(id_col).distinct()

@@ -96,6 +96,20 @@ def token_chunks(
     )
 
 
+def bigrams(text: Column | str) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings (empty below 2 tokens).
+    Native array ops: the explode that usually follows is the only
+    row-count change — no Python, no shuffle until the count agg."""
+    toks = ws_tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 FINGERPRINT_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
