@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full compute, no
 driver-side collect — the number measures the engine, not py4j transfer).
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+MEDIAN — single-shot numbers on a shared box swing 1.2-1.5x run-to-run
+(seen across rounds), which is the same magnitude as a real plan
+regression; medians separate the two.
 """
 
 from __future__ import annotations
@@ -53,21 +58,30 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES]
     # warm up the JVM/codegen paths once on the smallest table
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        sec = run_one(spark, name, sf_dir)
-        per_query[name] = round(sec, 3)
-        total += sec
+    # interleave reps (all queries, then repeat) so one query's reps don't
+    # all land on the same transient system load spike
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            times[name].append(run_one(spark, name, sf_dir))
+    per_query = {n: round(median(times[n]), 3) for n in names}
+    total = sum(per_query.values())
     print(
         json.dumps(
             {
@@ -76,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "reps": reps,
             }
         )
     )
