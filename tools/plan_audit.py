@@ -46,6 +46,7 @@ ALLOW_NESTED_LOOP = {
     "stream_late_data_cutoff",  # 1-row watermark aggregate broadcast
     "q22_dormant_accounts",     # 1-row avg-balance scalar broadcast
     "similarity_ivf_topk",      # n_cells-row centroid table broadcast
+    "events_hourly_gapfill",    # spine x types cross: both time/type-domain-sized
 }
 
 # queries whose operator IS an Arrow/pandas boundary (documented in
