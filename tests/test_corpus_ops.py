@@ -1,0 +1,120 @@
+"""New corpus operators: blocked fuzzy join, decontamination, bigrams,
+cents_sum — plus regression pins for the round-3 ADVICE fixes
+(hash_split remainder bounding, range-join null-safe left outer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.functions.rounding import cents_sum
+from les_etl_pipeline_spark.operators.dedup import decontaminate
+from les_etl_pipeline_spark.operators.fuzzyjoin import blocked_levenshtein_join
+from les_etl_pipeline_spark.operators.rangejoin import point_in_interval_join
+from les_etl_pipeline_spark.operators.sampling import hash_split
+from les_etl_pipeline_spark.operators.text import bigrams
+
+
+def test_blocked_levenshtein_matches_naive(spark):
+    names = ["cold widget", "bold widget", "large bolt", "small bolt", "blue rod"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = sorted(
+        map(
+            tuple,
+            blocked_levenshtein_join(df, df, "name", "name", max_distance=2)
+            .where(F.col("left_name") < F.col("right_name"))
+            .collect(),
+        )
+    )
+    # naive: all pairs within distance 2 that share the last token
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = sorted(
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if a.split()[-1] == b.split()[-1] and lev(a, b) <= 2
+    )
+    assert got == want
+    assert ("bold widget", "cold widget") in {(a, b) for a, b, _ in got}
+
+
+def test_blocked_levenshtein_block_cap_drops_hot_keys(spark):
+    rows = [(f"name{i} hot",) for i in range(20)] + [("cold widget",), ("bold widget",)]
+    df = spark.createDataFrame(rows, "name string")
+    got = blocked_levenshtein_join(
+        df, df, "name", "name", max_distance=2, max_block_freq=10
+    ).where(F.col("left_name") < F.col("right_name"))
+    # the 'hot' block (20 names) is dropped entirely; 'widget' block stays
+    assert sorted(map(tuple, got.collect())) == [("bold widget", "cold widget", 1)]
+
+
+def test_decontaminate_flags_shared_shingle_only(spark):
+    shared = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " traintail"),
+            (2, "completely different words " + " ".join(f"x{i}" for i in range(8))),
+            (3, "short doc"),  # < k tokens: no shingles, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "prefix " + shared), (101, "clean eval doc with its own tokens")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in decontaminate(docs, eval_df, k=8).collect())
+    assert got == [1]
+
+
+def test_bigrams_edge_cases(spark):
+    df = spark.createDataFrame([("a b c",), ("solo",), ("x y",)], "text string")
+    got = df.select(bigrams("text").alias("bg")).collect()
+    assert [r["bg"] for r in got] == [["a b", "b c"], [], ["x y"]]
+
+
+def test_cents_sum_exact(spark):
+    df = spark.createDataFrame([(1.005,), (2.994,), (0.001,)], "v double")
+    # floor(100.5+0.5)=101 ... floor(100*1.005+0.5): 1.005*100 = 100.49999...
+    # -> computed on the actual doubles, same as the engine would
+    import math
+
+    want = sum(math.floor(v * 100 + 0.5) for v in (1.005, 2.994, 0.001))
+    assert df.agg(cents_sum("v").alias("c")).collect()[0]["c"] == want
+
+
+def test_hash_split_bounds_every_label(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.5, "val": 0.05, "test": 0.02})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # test really gets ~2%, not the 43% remainder; remainder -> NULL label
+    assert counts["test"] < counts["val"] < counts["train"]
+    assert 100 < counts["test"] < 350
+    assert counts.get(None, 0) > 3500  # the unallocated 43%
+
+
+def test_hash_split_null_key_goes_to_remainder(spark):
+    df = spark.createDataFrame([(None,), ("a",)], "k string")
+    out = {r["k"]: r["split"] for r in hash_split(df, "k", {"all": 1.0}).collect()}
+    assert out[None] is None and out["a"] == "all"
+
+
+def test_range_join_left_null_column_not_duplicated(spark):
+    """ADVICE r2: a matched point carrying a NULL column must not be
+    re-emitted as a spurious unmatched row (old anti-join on all point
+    columns was not null-safe)."""
+    pts = spark.createDataFrame([(1, 5.0, None), (2, 50.0, "x")], "pid long, ts double, tag string")
+    iv = spark.createDataFrame([(10, 0.0, 10.0)], "iid long, lo double, hi double")
+    got = point_in_interval_join(pts, iv, "ts", "lo", "hi", bin_width=2.0, how="left")
+    rows = sorted(map(tuple, got.select("pid", "iid").collect()))
+    # pid=1 (NULL tag) matched -> exactly one row; pid=2 unmatched -> NULL iid
+    assert rows == [(1, 10), (2, None)]
