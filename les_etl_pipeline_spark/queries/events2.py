@@ -1,0 +1,145 @@
+"""Events time-series pack: hierarchical time rollups, batch
+sessionization, keep-latest-per-key — the standard event-table ops a
+metrics/warehouse layer runs.
+
+Plan notes (100 TB posture):
+- time_rollup: GROUPING SETS expands ONE scan into all grains — the
+  alternative (a union of three aggregates) scans three times. Shuffle
+  key is (grain, bucket, type): time-domain-sized.
+- sessionize: one shuffle on user_id; the gap test is lag() inside the
+  user partition, the session id a running sum in the same window
+  frame chain — two WindowExecs, ONE exchange (same partitioning).
+- latest_per_key: row_number desc per user — the dedup-keep-latest
+  every CDC/SCD pipeline runs; one exchange on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import table
+from .registry import register
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(grouping(bucket_day) + grouping(event_type) AS INT) AS grain,
+           bucket_day, event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket_day, event_type, user_id
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((bucket_day, event_type), (event_type), ())
+    ORDER BY grain, bucket_day, event_type
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily x type, per-type, and
+    grand totals from ONE scan via grouping sets (vs 3 scans as a
+    union). count + distinct-user per cell."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("bucket_day"),
+        "event_type",
+        "user_id",
+    )
+    return (
+        ev.groupingSets(
+            [["bucket_day", "event_type"], ["event_type"], []],
+            "bucket_day",
+            "event_type",
+        )
+        .agg(
+            (F.grouping("bucket_day") + F.grouping("event_type"))
+            .cast("int")
+            .alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("grain", "bucket_day", "event_type", "n_events", "n_users")
+        .orderBy("grain", "bucket_day", "event_type")
+    )
+
+
+@register(
+    "events_sessionize_batch",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag -> new-session
+    flag -> running-sum session id -> per-session stats. The three
+    window steps share ONE user_id exchange (identical partitioning);
+    the streaming twin is stream_session_window (session_window +
+    watermark)."""
+    ev = table(spark, sf_dir, "events")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; epoch seconds via
+    # the (UTC-session) timestamp — DuckDB's date_diff('second',...) twin
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap <= 30 * 60, 0).otherwise(1)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(secs) - F.min(secs)).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (CDC compaction / upsert-resolve shape):
+    row_number desc over the key, keep rn=1. One exchange on user_id;
+    at scale this is the dedup step before an SCD2 merge — same shape
+    as operators/scd2's in-batch collapse."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
