@@ -51,7 +51,10 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 def _last_passed_round() -> dict[str, int]:
     """Round in which each query last PASSED a driver correctness check
     (CORRECTNESS_r{N}.json at the repo root). A rows-only query "passes"
-    when it ran without error (err is null). Never passed -> absent."""
+    when it ran clean: the driver records err='no_oracle' with its row
+    count for those, so that combination counts as a pass (ADVICE r3 —
+    otherwise the five rows-only queries would hog the graded window
+    forever). Never passed -> absent."""
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -64,7 +67,11 @@ def _last_passed_round() -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         for name, row in report.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            rows_only_pass = err == "no_oracle" and row.get("spark_rows") is not None
+            if err is not None and not rows_only_pass:
                 continue
             checks = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
             if any(c is False for c in checks):
