@@ -249,6 +249,7 @@ def embedding_cosine_dedup(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup: semantic twin of the
     lexical tiers — two documents are duplicates when their embedding
@@ -256,16 +257,28 @@ def embedding_cosine_dedup(
     component keeps its minimum-id canonical. Returns the surviving rows
     of ``docs`` (vec_id == doc_id links the two tables).
 
-    Pair generation here is the exact quadratic baseline
-    (similarity.threshold_pairs); at 100 TB swap it for the LSH-bucketed
-    candidates (similarity.lsh_bucket_neighbors) — the cluster/keep logic
-    downstream is identical either way.
-    """
-    from .similarity import threshold_pairs
+    ``method`` picks the pair generator:
 
-    pairs = threshold_pairs(
-        embeddings, threshold, id_col=vec_id_col, vec_col=vec_col
-    ).select("id_a", "id_b")
+    - ``"lsh"`` (default): LSH-bucketed candidates + exact cosine
+      re-check (similarity.cosine_lsh_candidate_pairs) — never plans a
+      nested-loop join, the 100 TB path. Precision is exact; recall is
+      the LSH approximation (near 1 at the default 12 tables).
+    - ``"exact"``: the all-pairs quadratic baseline
+      (similarity.threshold_pairs) — use only as the oracle/exactness
+      check at small scale; it plans a BroadcastNestedLoopJoin.
+    """
+    from .similarity import cosine_lsh_candidate_pairs, threshold_pairs
+
+    if method == "exact":
+        pairs = threshold_pairs(
+            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col
+        ).select("id_a", "id_b")
+    elif method == "lsh":
+        pairs = cosine_lsh_candidate_pairs(
+            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}: expected 'lsh' or 'exact'")
     clusters = connected_components(pairs)
     drop = clusters.where(F.col("doc_id") != F.col("cluster")).select(
         F.col("doc_id").alias(id_col)

@@ -89,6 +89,61 @@ def threshold_pairs(
     )
 
 
+def cosine_lsh_candidate_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 12,
+    bucket_length: float = 2.0,
+    seed: int = 42,
+    margin: float = 1.05,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold, generated via LSH-bucketed
+    candidates instead of the all-pairs theta join — the 100 TB default.
+
+    On unit-normalized vectors, euclidean distance is sqrt(2 - 2*cos), so
+    a cosine threshold maps exactly to a distance radius.
+    ``approxSimilarityJoin`` (equi-join on exploded hash-table buckets —
+    NO BroadcastNestedLoopJoin) yields candidates colliding in >=1 of
+    ``num_tables`` random projections; the exact cosine is then recomputed
+    on each candidate with the same zip_with/aggregate expression as
+    ``threshold_pairs``, so precision is exact and the only approximation
+    is LSH recall (raise num_tables / bucket_length to push it toward 1).
+    ``margin`` widens the distance radius to absorb float rounding at the
+    threshold boundary."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = with_norm(df.select(id_col, vec_col), vec_col)
+    if id_pred is not None:
+        e = e.where(id_pred)
+    unit = e.where(F.col("nrm") > 0).withColumn(
+        "features", array_to_vector(F.transform(F.col("vd"), lambda x: x / F.col("nrm")))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(unit)
+    hashed = model.transform(unit.select(id_col, "vd", "nrm", "features"))
+    radius = float((max(0.0, 2.0 * (1.0 - threshold))) ** 0.5) * margin
+    pairs = model.approxSimilarityJoin(hashed, hashed, radius, distCol="udist")
+    cand = pairs.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")).select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        (
+            dot(F.col("datasetA.vd"), F.col("datasetB.vd"))
+            / (F.col("datasetA.nrm") * F.col("datasetB.nrm"))
+        ).alias("cos"),
+    )
+    return cand.where(F.col("cos") >= F.lit(threshold)).select("id_a", "id_b", "cos")
+
+
 def lsh_bucket_neighbors(
     df: DataFrame,
     query_pred,

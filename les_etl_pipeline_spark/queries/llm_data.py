@@ -172,6 +172,9 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTNESS BASELINE: all-pairs quadratic cosine join, restricted to
+    100 ids — the anchor the LSH candidate path is measured against; the
+    scale path is similarity.cosine_lsh_candidate_pairs."""
     pairs = similarity.threshold_pairs(
         table(spark, sf_dir, "embeddings"), threshold=0.2, id_pred=F.col("vec_id") < 100
     )
@@ -415,7 +418,57 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (semantic dedup tier): cosine>=0.4
     pairs -> connected components -> canonical survivor per component;
-    the oracle rebuilds the same keep-set with a recursive closure."""
+    the oracle rebuilds the same keep-set with a recursive closure.
+    EXACTNESS BASELINE: method='exact' is the quadratic all-pairs
+    generator, kept only to anchor the oracle — production path is the
+    LSH default (dedup_embedding_cosine_lsh below)."""
+    out = dedup.embedding_cosine_dedup(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        method="exact",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_aggregate(list_apply(list_zip(a.v, b.v), x -> x[1] * x[2]), 'sum')
+            / (a.nrm * b.nrm) >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ), drop_docs AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING least(a, min(b)) != a
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+    """,
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (default) embedding-dedup path: LSH-bucketed
+    candidate pairs + exact cosine re-check, then the same component
+    clustering. Oracle is the EXACT closure — green means the LSH
+    candidates recalled every qualifying pair on this data, i.e. the
+    scale path reproduces the exact path's clusters (recall-completeness
+    is additionally pytest-bounded in tests/test_scale.py)."""
     out = dedup.embedding_cosine_dedup(
         table(spark, sf_dir, "documents"),
         table(spark, sf_dir, "embeddings"),

@@ -102,6 +102,51 @@ def test_dedup_corpus_survivors(spark, sf_dir):
     assert again.count() == n_out
 
 
+def test_cosine_lsh_pairs_no_nested_loop(spark, sf_dir):
+    """The default embedding-dedup pair generator must never plan a
+    BroadcastNestedLoopJoin (the quadratic scale-killer) — candidates
+    come from an equi-join on exploded LSH buckets. Also pins the
+    operator default to the LSH path."""
+    import inspect
+
+    from les_etl_pipeline_spark.operators import dedup, similarity
+
+    assert (
+        inspect.signature(dedup.embedding_cosine_dedup).parameters["method"].default
+        == "lsh"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_lsh_candidate_pairs(emb, 0.4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # sanity: the exact baseline IS the nested loop the default avoids
+    exact_plan = (
+        similarity.threshold_pairs(emb, 0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_cosine_lsh_pairs_match_exact(spark, sf_dir):
+    """LSH candidates + exact re-check reproduce the exact all-pairs
+    result on the test embeddings (recall completeness at default
+    parameters; precision is exact by construction)."""
+    from les_etl_pipeline_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in similarity.threshold_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_lsh_candidate_pairs(emb, 0.4).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
 def test_salted_join_rejects_outer_modes(spark):
     import pytest as _pytest
 
