@@ -128,28 +128,28 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash) with the signature as a 64-char '0'/'1' string
-    (string form avoids signed-bigint pitfalls across engines)."""
+    (string form avoids signed-bigint pitfalls across engines).
+
+    Shuffle shape: ONE row per (doc, token) carrying a 64-element vote
+    array; the 64 bit positions are folded into 64 partially-aggregated
+    sums (map-side combine applies), not exploded into 64 rows per token
+    — the earlier explode inflated shuffle input 64x for the same
+    result."""
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    bits = tok.select(
-        "doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
-    ).withColumn("bit", F.expr(_SIMHASH_BIT))
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    # all 64 ±1 votes of a token in one array expression — same
+    # arithmetic as _SIMHASH_BIT, evaluated per position by transform()
+    votes = tok.select(
+        "doc_id", F.expr(f"transform(sequence(0, 63), j -> ({_SIMHASH_BIT}) * 2 - 1)").alias("v")
     )
-    return (
-        votes.withColumn("c", F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
-                ),
-                "",
-            ).alias("simhash")
-        )
+    sums = votes.groupBy("doc_id").agg(
+        *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}") for j in range(64)]
     )
+    sig = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
+    )
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def minhash_lsh_pairs(
