@@ -66,42 +66,69 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Document pairs (id_a < id_b) with shingle-set Jaccard >= threshold.
 
-    Inverted-index join: |shingle sets| via groupBy, intersections via
-    self-join on shingle. ``max_shingle_freq`` drops stop-shingles whose
-    posting lists would explode the join at scale (frequency pruning —
-    slightly lowers recall, bounds the shuffle). The default cap of 1000
-    bounds any single shingle's pair contribution to ~500k rows — a
-    stop-shingle appearing in every one of 10^9 docs would otherwise make
-    the self-join quadratic in corpus size. True near-duplicates share
-    many shingles, most of them rare, so recall loss is marginal; pass
-    ``max_shingle_freq=None`` for the exact unbounded join.
+    Inverted-index shape: |shingle sets| via groupBy; intersections by
+    grouping postings per shingle (collect_list) and expanding each
+    posting list to its pairs — one shuffle of the posting table instead
+    of the two a self-join would take, and singleton shingles (most of a
+    real corpus — a shingle in exactly one doc can produce no pair) are
+    dropped for free by ``size(ids) >= 2`` with no broadcast needed.
 
-    ``materialize`` checkpoints the distinct shingle table before the
-    three consumers (size agg + both join sides) — without it the
-    tokenize/explode/distinct pipeline executes three times (measured 8x
-    slower at sf0.1). On a cluster, swap localCheckpoint for a persisted
+    ``max_shingle_freq`` drops stop-shingles whose posting lists would
+    explode pair generation at scale (frequency pruning — slightly
+    lowers recall, bounds the expansion). The default cap of 1000 bounds
+    any single shingle's pair contribution to ~500k rows — a
+    stop-shingle appearing in every one of 10^9 docs would otherwise
+    make pair generation quadratic in corpus size. True near-duplicates
+    share many shingles, most of them rare, so recall loss is marginal;
+    pass ``max_shingle_freq=None`` for the exact unbounded expansion.
+    Set sizes always count the FULL shingle set (true Jaccard
+    denominators) — pruning touches only pair generation.
+
+    ``materialize`` checkpoints the exploded posting table before its
+    two consumers (size agg + posting groupBy) — without it the
+    tokenize/explode pipeline executes per consumer (measured 8x slower
+    at sf0.1). On a cluster, swap localCheckpoint for a persisted
     staging table."""
-    # join key is the 64-bit hash of the shingle, not the string: same
-    # counts (collisions ~2^-64), ~5x fewer shuffle bytes at scale
-    sh = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("sh_str"))
-        .select("doc_id", F.xxhash64("sh_str").alias("sh"))
-        .distinct()
-    )
+    # group key is the 64-bit hash of the shingle, not the string: same
+    # counts (collisions ~2^-64), ~5x fewer shuffle bytes at scale.
+    # No standalone distinct: within-doc duplicate shingles are folded by
+    # countDistinct / collect_set inside each consumer's aggregate — one
+    # fewer shuffle of the whole posting table.
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    # parallelism guard: a small input file scans as one split, which
+    # would serialize the explode+hash (and the checkpoint below would
+    # freeze that single partition). Metadata probe only — at real scale
+    # the scan already has >= defaultParallelism splits and this is a
+    # no-op, so no text bytes are ever shuffled on the 100 TB path.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    sh = src.select(
+        "doc_id", F.explode(shingles("_txt", k)).alias("sh_str")
+    ).select("doc_id", F.xxhash64("sh_str").alias("sh"))
     if materialize:
         sh = sh.localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n_sh"))
+    posts = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))
-        sh = (
-            sh.join(F.broadcast(freq.where(F.col("df_freq") > max_shingle_freq)), "sh", "left_anti")
+        posts = posts.where(F.size("ids") <= max_shingle_freq)
+    # expand each posting list to its (a < b) pairs in one array expr
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    )
     inter = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        posts.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))

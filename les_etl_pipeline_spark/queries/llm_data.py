@@ -80,8 +80,11 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize=False: at bench scale re-running the cheap explode for
+    # the two consumers beats paying the checkpoint write+read; at 100 TB
+    # (scan-dominated) keep the operator's materialize=True default.
     pairs = dedup.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), k=3, threshold=0.1
+        table(spark, sf_dir, "documents"), k=3, threshold=0.1, materialize=False
     )
     return pairs.select("id_a", "id_b", hround(F.col("jaccard_raw"), 4).alias("jaccard"))
 
