@@ -86,8 +86,8 @@ def write_wide_asset_csv(dirpath: str, ed_code: str, ymd: tuple[int, int, int], 
                         "2023-06-30", "POOL-1", "acme", f"LS-{i}",
                         "y" if i % 2 == 0 else "n", "EUR", str(i % 7), f"{i}.25",
                         "2019", f"{1000 + i}.00", f"{2000 + i}.50", str(i % 5),
-                        f"0.0{i}", "euribor",
-                        f"{300 + i}.00", "x",
+                        f"0.0{i}", f"0.8{i}",
+                        f"{300 + i}.00", f"{5500 + i}.00",
                         "n", "",
                         str(i % 22), "2023-01",
                     ]
