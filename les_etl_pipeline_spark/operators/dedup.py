@@ -179,6 +179,27 @@ def simhash_signatures(
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def minhash_det_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4, ngram: int = 3
+) -> DataFrame:
+    """Deterministic bottom-k MinHash signature: the k lexicographic
+    minima of md5(shingle) per document, joined with ':'. Unlike the
+    seeded pyspark.ml banding (minhash_lsh_pairs), this sketch is
+    engine-portable — DuckDB computes the identical value, so it is the
+    oracle-checkable face of MinHash. Equal signatures => high Jaccard
+    (bottom-k sketch property); docs shorter than ``ngram`` words are
+    excluded (no shingles). Pure array expressions, no explode, no
+    shuffle."""
+    sh = shingles(text_col, ngram)
+    sig = F.array_join(
+        F.slice(F.array_sort(F.transform(F.array_distinct(sh), F.md5)), 1, k), ":"
+    )
+    return (
+        df.where(F.size(sh) > 0)
+        .select(F.col(id_col).alias("doc_id"), sig.alias("minhash_sig"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -110,6 +110,43 @@ def bigrams(text: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document: total tokens, the
+    most-frequent token's share, and the most-frequent bigram's share —
+    high values flag boilerplate/spam for corpus filtering.
+
+    Distributed shape: explode to (doc, gram) and aggregate twice
+    (gram-level count, then per-doc max/sum) — two shuffles keyed by
+    doc_id-dominated composites, never a per-doc Python loop. Returns
+    (id_col, n_tokens, top_token_share, top_bigram_share) with raw
+    (unrounded) shares."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("g"))
+    tok_stats = (
+        toks.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"), F.sum("c").alias("n_tokens"))
+    )
+    bigr = df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams(text_col)).alias("g"))
+    big_stats = (
+        bigr.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_big"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        tok_stats.join(big_stats, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_tokens",
+            (F.col("top_tok") / F.col("n_tokens")).alias("top_token_share"),
+            F.coalesce(F.col("top_big") / F.col("n_bigrams"), F.lit(0.0)).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
+
+
 FINGERPRINT_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 

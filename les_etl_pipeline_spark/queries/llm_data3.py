@@ -1,0 +1,171 @@
+"""Third LLM-data pack: repetition-quality signals, corpus vocabulary
+with document frequency, deterministic bottom-k MinHash signatures, and
+embedding centroids per label.
+
+Plan notes (100 TB posture):
+- repetition: two explode+agg passes keyed by (doc, gram) — grams hash
+  small, text never shuffles; see operators/text.repetition_features.
+- vocabulary: distinct (doc, token) then token-keyed agg; the corpus-size
+  scalar broadcasts from a 1-row aggregate (no driver round-trip).
+- minhash signature: pure per-row array expressions, zero shuffle — the
+  oracle-checkable twin of the seeded LSH banding path.
+- centroids: posexplode to (label, dim) — the agg domain is
+  labels x dims (320 rows here), metadata-thin at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import dedup
+from ..operators.text import repetition_features
+from .registry import register
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS g FROM documents
+    ), tok_stats AS (
+      SELECT doc_id, max(c) AS top_tok, sum(c) AS n_tokens FROM (
+        SELECT doc_id, g, count(*) AS c FROM tok GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), positions AS (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '\\s+')) AS w,
+             unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+      FROM documents
+    ), bigr AS (
+      SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM positions QUALIFY g IS NOT NULL
+    ), big_stats AS (
+      SELECT doc_id, max(c) AS top_big, sum(c) AS n_bigrams FROM (
+        SELECT doc_id, g, count(*) AS c FROM bigr GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           (floor((t.top_tok / t.n_tokens) * 1000000.0 + 0.5) / 1000000.0) AS top_token_share,
+           (floor(coalesce(b.top_big / b.n_bigrams, 0) * 1000000.0 + 0.5) / 1000000.0) AS top_bigram_share
+    FROM tok_stats t LEFT JOIN big_stats b ON t.doc_id = b.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): most-frequent token and
+    bigram shares per document — the standard boilerplate/spam filter
+    inputs alongside corpus_quality_filter's length features."""
+    out = repetition_features(table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        hround(F.col("top_token_share"), 6).alias("top_token_share"),
+        hround(F.col("top_bigram_share"), 6).alias("top_bigram_share"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "vocab_doc_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+    ), vocab AS (
+      SELECT w AS token,
+             count(DISTINCT doc_id) AS df,
+             count(*) AS tf
+      FROM tok GROUP BY w
+    )
+    SELECT token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+           (floor(ln((SELECT count(*) FROM documents) / df) * 1000000.0 + 0.5)
+            / 1000000.0) AS idf
+    FROM vocab
+    ORDER BY df DESC, tf DESC, token LIMIT 30
+    """,
+)
+def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: per-token document frequency, term
+    frequency, and idf over the whole corpus. The corpus size joins in
+    from a broadcast 1-row aggregate — no collect, no hardcoded N."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+    vocab = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        vocab.join(F.broadcast(n_docs))
+        .select(
+            "token", "df", "tf",
+            hround(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "dedup_minhash_det_signature",
+    oracle="""
+    WITH positions AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM positions WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), hashed AS (
+      SELECT doc_id, md5(s) AS h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY md5(s)) AS rn
+      FROM sh
+    )
+    SELECT doc_id, string_agg(h, ':' ORDER BY h) AS minhash_sig
+    FROM hashed WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_minhash_det_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k MinHash signatures (k=4 minima of
+    md5(3-gram shingle)): the engine-portable MinHash face — DuckDB
+    reproduces the identical sketch, so this one IS oracle-checked,
+    complementing the seeded rows-only pyspark.ml banding
+    (dedup_minhash_lsh)."""
+    return dedup.minhash_det_signature(
+        table(spark, sf_dir, "documents"), k=4, ngram=3
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS dim,
+           (floor(avg(CAST(embedding[t.i] AS DOUBLE)) * 1000000.0 + 0.5)
+            / 1000000.0) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 256)) AS i) t
+    WHERE t.i <= len(embedding)
+    GROUP BY label, t.i ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the class-prototype computation behind IVF coarse quantizers and
+    embedding-space QA. posexplode keeps the aggregation domain at
+    labels x dims regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            hround(F.avg("col"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
