@@ -186,3 +186,64 @@ def etl_allnull_row_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p2"),
     )
     return o.na.drop(how="all", subset=["p1", "p2"])
+
+
+@register(
+    "etl_scd2_merge_upsert",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS val
+      FROM orders WHERE o_orderkey <= 1000
+    ), b2 AS (
+      SELECT o_orderkey AS k,
+             o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS val
+      FROM orders WHERE o_orderkey <= 1200
+    ), closed AS (
+      SELECT b1.k, b1.val, 0 AS iscurrent
+      FROM b1 JOIN b2 ON b1.k = b2.k AND b1.val <> b2.val
+    ), kept AS (
+      SELECT b1.k, b1.val, 1 AS iscurrent
+      FROM b1 LEFT JOIN b2 ON b1.k = b2.k
+      WHERE b2.k IS NULL OR b1.val = b2.val
+    ), ins AS (
+      SELECT b2.k, b2.val, 1 AS iscurrent
+      FROM b2 LEFT JOIN b1 ON b1.k = b2.k
+      WHERE b1.k IS NULL OR b1.val <> b2.val
+    )
+    SELECT k, val, CAST(iscurrent AS INT) AS iscurrent FROM (
+      SELECT * FROM closed UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM ins
+    ) ORDER BY k, iscurrent
+    """,
+)
+def etl_scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (§2.9) driver-graded: the semantics the reference's dead
+    perform_scd2 never defined, run through the REAL operators (scd2_stamp
+    checksum change detection + scd2_merge close-out/insert) on two
+    deterministic batches built from orders. Batch 2 re-delivers batch 1
+    with every third key's payload bumped plus 200 brand-new keys; the
+    oracle rebuilds the expected end state declaratively (changed keys:
+    closed old version + new current; unchanged: kept; new: inserted).
+    Timestamp bookkeeping is excluded from the output (wall-clock);
+    version state is carried by iscurrent, which is deterministic."""
+    from ..operators.normalize import scd2_stamp
+    from ..operators.scd2 import scd2_merge
+
+    orders = table(spark, sf_dir, "orders")
+
+    def batch(limit: int, bump_every_third: bool) -> DataFrame:
+        bump = (
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            if bump_every_third
+            else F.lit(0.0)
+        )
+        return orders.where(F.col("o_orderkey") <= limit).select(
+            F.lit("DEAL1").alias("ed_code"),
+            F.lit("2024-01-01").alias("pcd"),
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + bump).alias("val"),
+        )
+
+    old = scd2_stamp(batch(1000, False), ["k", "val"])  # checksum over key+payload
+    new = scd2_stamp(batch(1200, True), ["k", "val"])
+    merged = scd2_merge(old, new, primary_cols=["k"])
+    return merged.select("k", "val", "iscurrent").orderBy("k", "iscurrent")
