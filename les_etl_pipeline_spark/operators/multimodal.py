@@ -59,6 +59,38 @@ def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+CHUNK_SCHEMA = "doc_id long, chunk_idx int, offset long, n_bytes int, chunk_hex string"
+
+
+def byte_chunks(assets: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """Fixed-size byte-window chunking of binary payloads — the
+    frame-sampling / audio-segmentation plumbing pattern: one asset row
+    fans out to (chunk_idx, offset, bytes) rows inside an Arrow-batched
+    mapInPandas, partition-parallel with no driver involvement. The
+    chunk is surfaced as lowercase hex so an engine without binary
+    slicing can verify it; a real pipeline would hand `payload[off:]`
+    to the decoder instead."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "offset": [], "n_bytes": [], "chunk_hex": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off in enumerate(range(0, len(b), chunk_size)):
+                    chunk = b[off : off + chunk_size]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(len(chunk))
+                    out["chunk_hex"].append(chunk.hex())
+            yield _pd.DataFrame(out)
+
+    return assets.mapInPandas(op, schema=CHUNK_SCHEMA)
+
+
 def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow moves
     the bytes JVM->pandas in columnar batches; partition-parallel, no

@@ -143,3 +143,32 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b ORDER BY type_a, type_b
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence matrix (market-basket shape): users who
+    performed both types, for every unordered type pair. The self-join
+    keys on user_id after a distinct projection — postings are
+    (user, type) pairs over a tiny type domain, so the pair expansion is
+    bounded by |types|^2 per user, never event x event."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )

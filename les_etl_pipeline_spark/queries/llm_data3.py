@@ -169,3 +169,34 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "multimodal_byte_chunks",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id <= 50
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           CAST(k * 64 AS BIGINT) AS "offset",
+           CAST(least(64, nb - k * 64) AS INT) AS n_bytes,
+           lower(substring(hx, k * 128 + 1, 128)) AS chunk_hex
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS k) t
+    WHERE k * 64 < nb
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def multimodal_byte_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal chunk plumbing (frame-sampling pattern): binary
+    payloads fan out to fixed 64-byte windows inside an Arrow-batched
+    mapInPandas (operators/multimodal.byte_chunks). The oracle rebuilds
+    the identical byte windows by slicing the hex encoding at 2x byte
+    offsets — DuckDB has no binary substring, hex strings are the
+    engine-portable face of the bytes."""
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    chunks = multimodal.byte_chunks(multimodal.to_asset_table(docs), chunk_size=64)
+    return chunks.orderBy("doc_id", "chunk_idx")
