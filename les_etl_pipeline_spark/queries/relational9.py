@@ -108,3 +108,75 @@ def scalar_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.substring("p_name", 1, 2), 3).alias("head_thrice"),
         F.reverse(F.substring(F.col("p_name"), -5, 5)).alias("tail_reversed"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "json_roundtrip_nested",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_totalprice AS first_price,
+           CAST(1 AS INT) AS n_prices,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+)
+def json_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed nested JSON round-trip: to_json(named_struct with an array +
+    nested struct) -> from_json with an explicit schema -> field access.
+    The oracle states the identity directly, so a pass proves from_json
+    reconstructs every typed field (string, double array, nested struct)
+    byte-exactly. Pure projections, no shuffle."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.array(F.col("o_totalprice")).alias("prices"),
+            F.struct(F.col("o_orderpriority").alias("prio")).alias("meta"),
+        )
+    )
+    schema = "status string, prices array<double>, meta struct<prio:string>"
+    parsed = F.from_json(js, schema)
+    return o.select(
+        "o_orderkey",
+        parsed["status"].alias("status"),
+        parsed["prices"][0].alias("first_price"),
+        F.size(parsed["prices"]).alias("n_prices"),
+        parsed["meta"]["prio"].alias("prio"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS src0_n,
+           (floor(avg(n_chars) FILTER (source = 'src0') * 100.0 + 0.5) / 100.0) AS src0_avg_chars,
+           CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS src1_n,
+           (floor(avg(n_chars) FILTER (source = 'src1') * 100.0 + 0.5) / 100.0) AS src1_avg_chars,
+           CAST(count(*) FILTER (source = 'src2') AS BIGINT) AS src2_n,
+           (floor(avg(n_chars) FILTER (source = 'src2') * 100.0 + 0.5) / 100.0) AS src2_avg_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (count + avg) and an
+    explicit pivot-value list — explicit values skip the extra
+    distinct-scan job Spark otherwise runs to discover them, and the
+    whole reshape stays one exchange on the groupBy key."""
+    docs = table(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            hround(F.avg("n_chars")).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+    # Spark names pivot columns '{value}_{aggAlias}' — already the oracle's
+    # shape; count cells for empty groups come back NULL, align to 0
+    for v in ("src0", "src1", "src2"):
+        out = out.withColumn(f"{v}_n", F.coalesce(F.col(f"{v}_n"), F.lit(0)))
+    return out
