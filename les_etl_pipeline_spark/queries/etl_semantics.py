@@ -247,3 +247,73 @@ def etl_scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = scd2_stamp(batch(1200, True), ["k", "val"])
     merged = scd2_merge(old, new, primary_cols=["k"])
     return merged.select("k", "val", "iscurrent").orderBy("k", "iscurrent")
+
+
+@register(
+    "etl_quarantine_report",
+    oracle="""
+    WITH dirty AS (
+      SELECT o_orderkey,
+             o_orderstatus AS status,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'oops'
+                  ELSE CAST(o_totalprice AS VARCHAR) END AS price,
+             CASE WHEN o_orderkey % 11 = 0 THEN '2150-01-01'
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS odate,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE 'ok' END AS req
+      FROM orders WHERE o_orderkey <= 3000
+    ), counts AS (
+      SELECT 'status.allowed' AS failed_check,
+             count(*) FILTER (status NOT IN ('F', 'O')) AS n FROM dirty
+      UNION ALL
+      SELECT 'price.number', count(*) FILTER (TRY_CAST(price AS DOUBLE) IS NULL)
+      FROM dirty
+      UNION ALL
+      SELECT 'odate.max', count(*) FILTER (TRY_CAST(odate AS DATE) > DATE '2100-12-31')
+      FROM dirty
+      UNION ALL
+      SELECT 'req.required', count(*) FILTER (req IS NULL) FROM dirty
+    )
+    SELECT failed_check, CAST(n AS BIGINT) AS n_rows
+    FROM counts WHERE n > 0 ORDER BY failed_check
+    """,
+)
+def etl_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine analytics (§2.8 downstream): run the rule compiler on a
+    deterministically-dirtied batch, then aggregate the machine-readable
+    qc_errors JSON of the bad rows into per-check failure counts — the
+    report a data-quality dashboard reads off the dirty_dumps table. The
+    JSON parse + explode is a projection; the count groupBy's domain is
+    the rule set, not the data."""
+    from ..operators.validation import profile_data
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    dirty = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("oops"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("2150-01-01"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("odate"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(F.lit("ok")).alias("req"),
+    )
+    rules = {
+        "o_orderkey": {},
+        "status": {"allowed": ["F", "O"]},
+        "price": {"type": "number"},
+        "odate": {"type": "datetime", "max": "2100-12-31"},
+        "req": {"nullable": False},
+    }
+    _good, bad = profile_data(dirty, rules, strict_columns=True)
+    failed = bad.select(
+        F.explode(
+            F.from_json("qc_errors", "struct<failed:array<string>>")["failed"]
+        ).alias("failed_check")
+    )
+    return (
+        failed.groupBy("failed_check")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(~F.col("failed_check").endswith(".min"))  # default min never fires here
+        .orderBy("failed_check")
+    )
