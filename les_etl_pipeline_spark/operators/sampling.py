@@ -61,6 +61,33 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row gets sample key u^(1/w) with u a
+    deterministic uniform from md5(key), and the k largest keys win.
+    Higher weight => higher inclusion probability, yet the draw is
+    reproducible across runs, engines, and partitionings (rand() is
+    none of these). One TakeOrderedAndProject — no full sort at scale.
+
+    The standard quality-weighted corpus subsample: weight by a quality
+    score and the sample leans high-quality without becoming a hard
+    top-k cutoff."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(key, buckets) + 1) / F.lit(float(buckets))  # (0, 1]
+    skey = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.withColumn("sample_key", skey)
+        .orderBy(F.col("sample_key").desc(), F.col(key))
+        .limit(k)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: str,

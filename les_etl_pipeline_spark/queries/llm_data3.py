@@ -200,3 +200,33 @@ def multimodal_byte_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
     chunks = multimodal.byte_chunks(multimodal.to_asset_table(docs), chunk_size=64)
     return chunks.orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000) + 1)
+               / 10000.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           (floor(pow(u, 1.0 / n_chars) * 1000000.0 + 0.5) / 1000000.0) AS sample_key_r
+    FROM t ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res,
+    operators/sampling.weighted_sample_topk): quality-weighted corpus
+    subsampling whose draw is a pure function of the content key — the
+    reproducible twin of rand()-based weighted reservoirs. Longer docs
+    (weight = n_chars) are favored but not guaranteed. One
+    TakeOrderedAndProject, no full sort."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+    return out.select(
+        "doc_id", "n_chars", hround(F.col("sample_key"), 6).alias("sample_key_r")
+    )

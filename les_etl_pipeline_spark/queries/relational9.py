@@ -180,3 +180,49 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in ("src0", "src1", "src2"):
         out = out.withColumn(f"{v}_n", F.coalesce(F.col(f"{v}_n"), F.lit(0)))
     return out
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_orderkey <= 300 AND b.l_orderkey <= 300
+    )
+    SELECT CAST((SELECT count(DISTINCT s) FROM
+                  (SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e)) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM e e1
+                 JOIN e e2 ON e1.s2 = e2.s1
+                 JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on join machinery: the supplier co-occurrence
+    graph (suppliers sharing an order) and its exact triangle count via
+    the canonical oriented 3-way self-join (s1<s2<s3 counts each
+    triangle once). Edge building shuffles on the order key; the
+    triangle join keys on vertex ids — both AQE-sized hash joins, no
+    nested loop, and integer-exact output."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    e = e.localCheckpoint()  # three consumers below; avoid triple re-build
+    nodes = e.select(F.col("s1").alias("s")).union(e.select("s2")).distinct()
+    e1 = e.select(F.col("s1").alias("x"), F.col("s2").alias("y"))
+    e2 = e.select(F.col("s1").alias("y"), F.col("s2").alias("z"))
+    e3 = e.select(F.col("s1").alias("x"), F.col("s2").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .join(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
