@@ -1,0 +1,58 @@
+"""Graph operators over edge-list DataFrames.
+
+Connected components (dedup clustering) lives in operators/dedup.py;
+this module holds the rank-propagation family. Same iterative posture:
+one shuffle per iteration, localCheckpoint lineage cuts, driver touches
+nothing but the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (columns: src, dst).
+
+    Deterministic for a fixed iteration count — no convergence test, so
+    the result is a pure function of the graph (an engine-portable
+    oracle can unroll the same iterations). ``symmetric`` mirrors each
+    edge (undirected graph); with it every node has out-degree >= 1, so
+    no dangling-mass term is needed. Each iteration is one join + one
+    groupBy on the vertex id; the rank vector is checkpointed per
+    iteration to cut lineage. Returns (node, rank).
+    """
+    e = edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst"))
+    if symmetric:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint()
+
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # scalar cardinality, driver-side by design
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out = e.join(deg, "src").localCheckpoint()  # (src, dst, deg) — loop-invariant
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            out.join(ranks, out.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

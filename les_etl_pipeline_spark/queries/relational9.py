@@ -226,3 +226,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+@register(
+    "graph_pagerank_fixed",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_orderkey <= 300 AND b.l_orderkey <= 300
+    ), e AS (
+      SELECT s1 AS src, s2 AS dst FROM base
+      UNION SELECT s2, s1 FROM base
+    ), nodes AS (SELECT DISTINCT src AS node FROM e),
+    n AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+    pr1 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM n)
+             + 0.85 * coalesce(sum(pr0.rank / deg.deg), 0) AS rank
+      FROM nodes
+      LEFT JOIN e ON e.dst = nodes.node
+      LEFT JOIN pr0 ON pr0.node = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY nodes.node
+    ), pr2 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM n)
+             + 0.85 * coalesce(sum(pr1.rank / deg.deg), 0) AS rank
+      FROM nodes
+      LEFT JOIN e ON e.dst = nodes.node
+      LEFT JOIN pr1 ON pr1.node = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY nodes.node
+    ), pr3 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM n)
+             + 0.85 * coalesce(sum(pr2.rank / deg.deg), 0) AS rank
+      FROM nodes
+      LEFT JOIN e ON e.dst = nodes.node
+      LEFT JOIN pr2 ON pr2.node = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY nodes.node
+    )
+    SELECT node, (floor(rank * 10000000.0 + 0.5) / 10000000.0) AS rank_r
+    FROM pr3 ORDER BY node
+    """,
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank, 3 iterations,
+    d=0.85) over the undirected supplier co-occurrence graph — the
+    second iterative-algorithm surface next to connected components.
+    Deterministic by construction (no convergence test), so the oracle
+    simply unrolls the same three iterations as chained CTEs."""
+    from ..operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=True)
+    return ranks.select("node", hround(F.col("rank"), 7).alias("rank_r")).orderBy("node")
