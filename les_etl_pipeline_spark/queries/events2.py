@@ -172,3 +172,49 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "events_sessionize_dynamic_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second', lag(ts) OVER w, ts)
+                       <= CASE WHEN event_type = 'purchase' THEN 3600 ELSE 900 END
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC inactivity gap — the threshold is an
+    expression of the incoming event (purchases hold the session open an
+    hour, everything else 15 minutes), the batch twin of
+    session_window's dynamic-gap form. Same one-exchange shape as the
+    fixed-gap query: the gap expression changes, the plan does not."""
+    ev = table(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap_allowed = F.when(F.col("event_type") == "purchase", 3600).otherwise(900)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(secs - F.lag(secs).over(w) <= gap_allowed, 0).otherwise(1)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(secs) - F.min(secs)).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -198,3 +198,38 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "region", "nation")
     )
+
+
+@register(
+    "window_range_value_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT) AS n_within_5k,
+           (floor(avg(o_totalprice) OVER w * 100.0 + 0.5) / 100.0) AS avg_within_5k
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+)
+def window_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a VALUE offset (not row counts): every order is
+    compared to the customer's other orders priced within 5000 below it
+    — peer rows enter the frame by value distance, the frame family
+    ROWS frames can't express. Same single exchange on the partition
+    key."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    # fractional RANGE boundaries need the SQL spelling — the PySpark
+    # rangeBetween builder only takes long offsets
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(f"count(*) {frame}").alias("n_within_5k"),
+        hround(F.expr(f"avg(o_totalprice) {frame}")).alias("avg_within_5k"),
+    ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
