@@ -462,3 +462,33 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow_sun1"),
         F.weekofyear(d).alias("week_no"),
     )
+
+
+@register(
+    "map_transform_entries",
+    oracle="""
+    SELECT o_orderkey, k AS key, v AS val FROM (
+      SELECT o_orderkey, 'price' AS k, o_totalprice * 2 AS v
+      FROM orders WHERE o_orderkey <= 300
+      UNION ALL
+      SELECT o_orderkey, 'key', CAST(o_orderkey AS DOUBLE) * 2
+      FROM orders WHERE o_orderkey <= 300
+    ) ORDER BY o_orderkey, key
+    """,
+)
+def map_transform_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + higher-order map transform: map_from_arrays ->
+    transform_values (double every value) -> explode back to (key, value)
+    rows. Exploded entries are the engine-portable face of the map (map
+    column ordering is undefined across engines); everything before the
+    explode is a pure projection."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    m = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("key")),
+        F.array(F.col("o_totalprice"), F.col("o_orderkey").cast("double")),
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    return (
+        o.select("o_orderkey", F.explode(doubled).alias("key", "val"))
+        .orderBy("o_orderkey", "key")
+    )

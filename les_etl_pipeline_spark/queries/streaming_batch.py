@@ -172,3 +172,42 @@ def stream_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n_events, CAST(rn AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                       ORDER BY n_events DESC, event_type) AS rn
+          FROM counts)
+    WHERE rn <= 2 ORDER BY win_start, rnk
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k event types per tumbling day window — the trending-topics
+    shape: windowed counts then rank within window. In true streaming
+    the rank step runs per micro-batch over the emitted window rows
+    (foreachBatch); here the batch twin lets DuckDB check values. Both
+    aggregations share the window-start key domain."""
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rk = W.partitionBy("win_start").orderBy(F.col("n_events").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk))
+        .where(F.col("rnk") <= 2)
+        .orderBy("win_start", "rnk")
+    )
