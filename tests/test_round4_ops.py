@@ -67,3 +67,20 @@ def test_byte_chunks_reassemble(spark):
     joined = bytes.fromhex("".join(r["chunk_hex"] for r in by_doc[1]))
     assert joined == b"abcdefghij" * 10
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_bytes"] == 2
+
+
+def test_pagerank_properties(spark):
+    """Fixed-iteration PageRank: ranks sum to ~1 on a symmetric graph
+    (no dangling mass), high-degree hubs outrank leaves, deterministic
+    across runs."""
+    from les_etl_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 5)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert abs(sum(r1.values()) - 1.0) < 1e-9
+    assert r1[1] == max(r1.values())          # hub (degree 3)
+    assert r1[5] < r1[4]                      # leaf below its hub
+    r2 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert r1 == r2
