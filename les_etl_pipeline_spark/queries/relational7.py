@@ -267,3 +267,84 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(returners(0, "cohort_size"), returners(1, "day1"), returners(7, "day7"))
         .orderBy("cohort_date")
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           (floor(sum(l_extendedprice * (1 - l_discount)
+                      - p_retailprice * 0.9 * l_quantity) * 100.0 + 0.5) / 100.0)
+             AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp: supply cost stands in as 90% of
+    p_retailprice): profit on red parts by supplier nation and order
+    year. Five-table star; the LIKE filter pushes into the part scan and
+    prunes the join tree at the source."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.9 * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(hround(F.sum(profit)).alias("profit"))
+        .orderBy("supp_nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_value_concentration",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, (floor(value * 100.0 + 0.5) / 100.0) AS value_r
+    FROM pv
+    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (lineitem value stands in for partsupp stock):
+    parts whose value through NATION_3 suppliers exceeds a fraction of
+    that nation's total — the aggregate-vs-scalar-of-itself shape. The
+    threshold comes from a 1-row aggregate broadcast against the
+    per-part rows, so the part table streams once."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    thr = pv.agg((F.sum("value") * 0.001).alias("thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .where(F.col("value") > F.col("thr"))
+        .select("l_partkey", hround(F.col("value")).alias("value_r"))
+        .orderBy(F.col("value_r").desc(), "l_partkey")
+    )
