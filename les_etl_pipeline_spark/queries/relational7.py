@@ -348,3 +348,47 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", hround(F.col("value")).alias("value_r"))
         .orderBy(F.col("value_r").desc(), "l_partkey")
     )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), pt AS (
+      SELECT l_partkey, sum(l_quantity) * 0.15 AS thr
+      FROM lineitem GROUP BY l_partkey
+    ), cand AS (
+      SELECT DISTINCT sp.l_suppkey
+      FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+      WHERE sp.sq > pt.thr
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM cand)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (availqty -> shipped quantity): suppliers who
+    shipped more than 15% of some part's total volume — the
+    correlated-aggregate semi-join shape (inner agg per supplier-part,
+    threshold agg per part, candidates semi-join the dimension). Both
+    aggregations reuse the partkey exchange; the final semi-join
+    broadcasts the candidate id set."""
+    li = table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("sq"))
+    pt = li.groupBy("l_partkey").agg((F.sum("l_quantity") * 0.15).alias("thr"))
+    cand = (
+        sp.join(pt, "l_partkey")
+        .where(F.col("sq") > F.col("thr"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(cand), supp.s_suppkey == cand.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
