@@ -240,3 +240,32 @@ def test_bond_info_e2e(spark, tmp_path):
     assert bi.schema["BL11"].dataType.typeName() == "double"
     vals = {r["BL11"] for r in bi.select("BL11").collect()}
     assert vals == {12345.67, None}  # ND1 -> NULL at ingest
+
+
+def test_distributed_xml_parity(spark, tmp_path):
+    """S5 at scale: the from_xml distributed reader reproduces the
+    driver-side walk field-for-field on the shared schema, across
+    multiple deal files in one scan."""
+    from .fixtures import write_deal_xml
+    from les_etl_pipeline_spark.sources.xml_ingest import (
+        DIST_DEAL_FIELDS,
+        DIST_SUBMISSION_FIELDS,
+        read_deal_details,
+        read_deal_details_distributed,
+    )
+
+    d = tmp_path / "deals"
+    d.mkdir()
+    paths = [str(write_deal_xml(str(d), ed)) for ed in ("LESIT01", "LESIT02")]
+    driver_df = read_deal_details(spark, paths)
+    dist_df = read_deal_details_distributed(spark, paths)
+    shared = [
+        ("ed_code" if f == "EDCode" else f) for f in DIST_DEAL_FIELDS
+    ] + ["ISIN"] + list(DIST_SUBMISSION_FIELDS)
+    a = {r["ed_code"]: r for r in driver_df.select(*shared).collect()}
+    b = {r["ed_code"]: r for r in dist_df.select(*shared).collect()}
+    assert set(a) == {"LESIT01", "LESIT02"} and a.keys() == b.keys()
+    for k in a:
+        assert a[k].asDict() == b[k].asDict()
+    # dropped fields must not leak through the distributed path
+    assert not {"Country", "DealVisibleToOrg", "MetricData"} & set(dist_df.columns)
