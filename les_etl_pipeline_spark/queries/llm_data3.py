@@ -230,3 +230,42 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_chars", hround(F.col("sample_key"), 6).alias("sample_key_r")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+    ), counts AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ), agg AS (
+      SELECT doc_id, sum(n) AS total, sum(n * ln(n)) AS nln
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(total AS BIGINT) AS n_chars_counted,
+           (floor((ln(total) - nln / total) * 1000000.0 + 0.5) / 1000000.0)
+             AS char_entropy
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (nats): the gibberish
+    / mojibake filter signal — natural prose sits in a narrow entropy
+    band, random bytes above it, repeated filler below. Computed as
+    H = ln(N) - sum(n*ln n)/N from per-char counts, so the shuffle
+    carries (doc, char) pairs, never text."""
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("c")).where(
+        F.col("c") != ""
+    )
+    counts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.log("n")).alias("nln"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total").alias("n_chars_counted"),
+        hround(F.log("total") - F.col("nln") / F.col("total"), 6).alias("char_entropy"),
+    ).orderBy("doc_id")
