@@ -294,3 +294,31 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85, symmetric=True)
     return ranks.select("node", hround(F.col("rank"), 7).alias("rank_r")).orderBy("node")
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT lang AS lang_source,
+           CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS src0,
+           CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS src1,
+           CAST(count(*) FILTER (source = 'src2') AS BIGINT) AS src2,
+           CAST(count(*) FILTER (source = 'src3') AS BIGINT) AS src3
+    FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrameStatFunctions.crosstab — the stat
+    helper face of the pivot shape (pair counts of two categoricals in
+    one pass). Restricted to a fixed source list so the column set is
+    stable; the driver's schema compare sorts column names, so crosstab's
+    engine-defined column order is harmless."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    ct = docs.stat.crosstab("lang", "source")
+    return ct.select(
+        "lang_source",
+        *[F.col(f"`{c}`").alias(c) for c in ("src0", "src1", "src2", "src3")],
+    ).orderBy("lang_source")
