@@ -322,3 +322,70 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_source",
         *[F.col(f"`{c}`").alias(c) for c in ("src0", "src1", "src2", "src3")],
     ).orderBy("lang_source")
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, 1365) AS BIGINT) AS xored,
+           CAST(o_orderkey << 3 AS BIGINT) AS shifted_l,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor, shifts, popcount — the bit-packing
+    toolkit (flag words, bloom/bitmap membership) as pure codegen
+    projections."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(k, 3).alias("shifted_l"),
+        F.shiftright(k, 2).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_bool_and_minmax_by",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 1) AS all_multi,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(max_by(l_orderkey,
+                       CAST(l_extendedprice * 100 AS BIGINT) * 10000000 + l_orderkey)
+                AS BIGINT) AS priciest_order,
+           CAST(min_by(l_orderkey,
+                       CAST(l_extendedprice * 100 AS BIGINT) * 10000000 + l_orderkey)
+                AS BIGINT) AS cheapest_order
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_bool_and_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or = SQL EVERY / ANY) and
+    argmin/argmax via min_by/max_by. The ranking value folds the
+    orderkey into integer cents so ties are broken deterministically —
+    max_by on a float with duplicates is engine-arbitrary, a correctness
+    trap this query pins down."""
+    li = table(spark, sf_dir, "lineitem")
+    rank_val = (
+        (F.col("l_extendedprice") * 100).cast("long") * 10000000 + F.col("l_orderkey")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.max_by("l_orderkey", rank_val).alias("priciest_order"),
+            F.min_by("l_orderkey", rank_val).alias("cheapest_order"),
+        )
+        .orderBy("l_returnflag")
+    )
