@@ -269,3 +269,67 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("n_chars_counted"),
         hround(F.log("total") - F.col("nln") / F.col("total"), 6).alias("char_entropy"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id <= 200
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u ORDER BY doc_id
+    """,
+)
+def text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing for web-corpus processing (domain extraction is the
+    first grouping key of every crawl pipeline): parse_url pulls HOST /
+    PATH / a QUERY parameter from deterministic synthesized URLs; the
+    oracle re-derives the same parts with regexes. Pure projections."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "scalar_regexp_extract_all",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '_') AS words_joined,
+           regexp_extract_all(p_name || ' ' || p_brand, '[0-9]+')[-1] AS last_number
+    FROM part WHERE p_partkey <= 800 ORDER BY p_partkey
+    """,
+)
+def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match as an array (count, join, last
+    element) — the multi-match face the single-capture regexp pack
+    doesn't cover. Array results are surfaced as scalars (count /
+    joined / element) so both engines hash identical cells."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 800)
+    words = F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), F.lit(0))
+    nums = F.regexp_extract_all(
+        F.concat_ws(" ", "p_name", "p_brand"), F.lit("[0-9]+"), F.lit(0)
+    )
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(words, "_").alias("words_joined"),
+        F.element_at(nums, -1).alias("last_number"),
+    ).orderBy("p_partkey")

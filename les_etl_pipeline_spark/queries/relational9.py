@@ -389,3 +389,29 @@ def agg_bool_and_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ';' ORDER BY l_linestatus) AS statuses,
+           CAST(count(DISTINCT l_linestatus) AS INT) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set made deterministic: the set aggregate is sorted then
+    joined, so the output is engine-portable despite collect_set's
+    undefined element order — the pattern for any list-valued aggregate
+    that must survive a value-hash comparison."""
+    li = table(spark, sf_dir, "lineitem")
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(statuses, ";").alias("statuses"),
+            F.size(statuses).alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
