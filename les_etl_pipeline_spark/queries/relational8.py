@@ -233,3 +233,70 @@ def window_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"count(*) {frame}").alias("n_within_5k"),
         hround(F.expr(f"avg(o_totalprice) {frame}")).alias("avg_within_5k"),
     ).orderBy("o_custkey", "o_totalprice", "o_orderkey")
+
+
+@register(
+    "arrays_zip_inline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id <= 40
+    )
+    SELECT doc_id,
+           toks[i] AS token,
+           CAST(len(toks[i]) AS INT) AS token_len,
+           CAST(i - 1 AS INT) AS pos
+    FROM t CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i) g
+    WHERE i <= n ORDER BY doc_id, pos
+    """,
+)
+def arrays_zip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + inline: two parallel arrays (tokens, their lengths,
+    positions) zip into structs and inline to columns in one generator —
+    completing the explode / posexplode / explode_outer / inline family.
+    The oracle indexes the arrays positionally."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 40)
+    toks = F.split("text", " ")
+    zipped = F.arrays_zip(
+        toks.alias("token"),
+        F.transform(toks, lambda x: F.length(x)).alias("token_len"),
+        F.sequence(F.lit(0), F.size(toks) - 1).alias("pos"),
+    )
+    return (
+        docs.select("doc_id", F.inline(zipped))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "window_lag_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey, o_custkey, flagged,
+           lag(flagged IGNORE NULLS) OVER w AS prev_flagged,
+           lead(flagged IGNORE NULLS) OVER w AS next_flagged
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS flagged
+      FROM orders WHERE o_custkey <= 150
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with IGNORE NULLS: the offset skips null rows entirely
+    (last/next OBSERVED value), not just returns null — the sparse
+    time-series carry-forward primitive plain lag can't express."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 150)
+    flagged = F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice"))
+    base = o.select("o_orderkey", "o_custkey", flagged.alias("flagged"))
+    over = "OVER (PARTITION BY o_custkey ORDER BY o_orderkey)"
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "flagged",
+        F.expr(f"lag(flagged) IGNORE NULLS {over}").alias("prev_flagged"),
+        F.expr(f"lead(flagged) IGNORE NULLS {over}").alias("next_flagged"),
+    ).orderBy("o_custkey", "o_orderkey")
