@@ -218,3 +218,48 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "events_max_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1 FROM events
+    ), swept AS (
+      SELECT CAST(t AS DATE) AS day,
+             sum(delta) OVER (ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS live
+      FROM pts
+    )
+    SELECT day, CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY day ORDER BY day
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep-line: each event opens a 5-minute
+    presence interval; starts emit +1, ends -1, and the running sum over
+    the merged point stream is the live count — max per day. The classic
+    interval-stacking shape (concurrent sessions / room occupancy)
+    without any interval self-join. Ordering ties break on delta so an
+    end and a start at the same instant close before they open (both
+    engines sort -1 before +1).
+
+    Scale note: the running sum is a single global-order window — at
+    100 TB this becomes per-shard sweeps (partition by day first, carry
+    boundary offsets), the same split pack_training_sequences uses."""
+    ev = table(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp")
+    pts = ev.select(t.alias("t"), F.lit(1).alias("delta")).unionAll(
+        ev.select((t + F.expr("INTERVAL 5 MINUTES")).alias("t"), F.lit(-1).alias("delta"))
+    )
+    live = F.sum("delta").over(
+        W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = pts.select(F.col("t").cast("date").alias("day"), live.alias("live"))
+    return (
+        swept.groupBy("day")
+        .agg(F.max("live").alias("peak_concurrency"))
+        .orderBy("day")
+    )
