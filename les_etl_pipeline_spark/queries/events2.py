@@ -246,20 +246,44 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     end and a start at the same instant close before they open (both
     engines sort -1 before +1).
 
-    Scale note: the running sum is a single global-order window — at
-    100 TB this becomes per-shard sweeps (partition by day first, carry
-    boundary offsets), the same split pack_training_sequences uses."""
+    Scale shape: the sweep is sharded by day — each day's running sum is
+    a partitioned window (parallel across shards), and cross-day state
+    is carried as a per-day offset (the cumulative sum of each earlier
+    day's net delta). The only ordered-unpartitioned window runs over
+    the one-row-per-day offset table — metadata scale (365 rows/year),
+    never the event stream. Same split pack_training_sequences uses.
+    Day is a prefix of the (t, delta) sort key, so per-day local order +
+    carried offsets reproduces the global sweep exactly."""
     ev = table(spark, sf_dir, "events")
     t = F.col("ts").cast("timestamp")
     pts = ev.select(t.alias("t"), F.lit(1).alias("delta")).unionAll(
         ev.select((t + F.expr("INTERVAL 5 MINUTES")).alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.col("t").cast("date"))
+    # Per-shard sweep: running sum partitioned by day — fully parallel.
+    local_live = F.sum("delta").over(
+        W.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    live = F.sum("delta").over(
-        W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow)
+    day_stats = (
+        pts.withColumn("local_live", local_live)
+        .groupBy("day")
+        .agg(
+            F.max("local_live").alias("local_peak"),
+            F.sum("delta").alias("day_net"),
+        )
     )
-    swept = pts.select(F.col("t").cast("date").alias("day"), live.alias("live"))
+    # Carried boundary offset: intervals still open at each day's start.
+    # This window is ordered-unpartitioned but runs over one row per day.
+    carried = F.coalesce(
+        F.sum("day_net").over(
+            W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
     return (
-        swept.groupBy("day")
-        .agg(F.max("live").alias("peak_concurrency"))
+        day_stats.select(
+            "day", (F.col("local_peak") + carried).alias("peak_concurrency")
+        )
         .orderBy("day")
     )

@@ -44,6 +44,35 @@ def test_no_unjustified_nested_loops(spark, sf_dir):
     assert not offenders, f"scale-killer join shapes: {offenders}"
 
 
+def test_concurrency_sweep_is_sharded(spark, sf_dir):
+    """The events_max_concurrency sweep-line must keep its data-scale
+    running sum partitioned by day: the window over the event point
+    stream (the one summing `delta` ordered by t) must carry a partition
+    spec, and the only ordered-unpartitioned window allowed is the
+    carried-offset cumulation over the one-row-per-day table (summing
+    `day_net`). Guards against regressing to a single-task global sort
+    of every event boundary."""
+    import re
+
+    from les_etl_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["events_max_concurrency"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    stream_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "sum(delta" in ln
+    ]
+    assert stream_windows, "sweep window over the point stream not found"
+    for ln in stream_windows:
+        assert re.search(r"windowspecdefinition\(day#\d+, t#", ln), (
+            f"point-stream window is not partitioned by day: {ln.strip()}"
+        )
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "sum(delta" not in ln:
+            assert "day_net" in ln, (
+                f"unexpected unpartitioned window over data-scale input: {ln.strip()}"
+            )
+
+
 def test_bnlj_allowlist_entries_exist():
     """Allowlist entries must name real queries — a renamed query must
     carry its justification along."""
