@@ -24,16 +24,25 @@ def pagerank(
     the result is a pure function of the graph (an engine-portable
     oracle can unroll the same iterations). ``symmetric`` mirrors each
     edge (undirected graph); with it every node has out-degree >= 1, so
-    no dangling-mass term is needed. Each iteration is one join + one
-    groupBy on the vertex id; the rank vector is checkpointed per
-    iteration to cut lineage. Returns (node, rank).
+    no dangling-mass term is needed and the plan stays a pure join+agg.
+    With ``symmetric=False`` the vertex set is src ∪ dst and each
+    iteration redistributes the dangling mass (rank parked on sink
+    nodes) uniformly — the standard correction, computed as a 1-row
+    aggregate broadcast, never a driver collect. Each iteration is one
+    join + one groupBy on the vertex id; the rank vector is checkpointed
+    per iteration to cut lineage. Returns (node, rank); ranks sum to 1
+    either way.
     """
     e = edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst"))
     if symmetric:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint()
 
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     n = nodes.count()  # scalar cardinality, driver-side by design
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     out = e.join(deg, "src").localCheckpoint()  # (src, dst, deg) — loop-invariant
@@ -47,11 +56,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        joined = nodes.join(contrib, "node", "left")
+        inflow = F.coalesce("inflow", F.lit(0.0))
+        if not symmetric:
+            # Mass parked on sinks (no out-edges) this iteration, spread
+            # uniformly. 1-row aggregate, broadcast to every partition.
+            dangling = ranks.join(
+                deg, ranks.node == deg.src, "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+            joined = joined.crossJoin(F.broadcast(dangling))
+            inflow = inflow + F.col("_dangling") / n
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+            joined.select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                (F.lit(base) + F.lit(damping) * inflow).alias("rank"),
             )
             .localCheckpoint()
         )

@@ -77,12 +77,17 @@ def weighted_sample_topk(
 
     The standard quality-weighted corpus subsample: weight by a quality
     score and the sample leans high-quality without becoming a hard
-    top-k cutoff."""
+    top-k cutoff.
+
+    A-Res requires w > 0: rows with zero, negative, or null weight are
+    filtered out before the draw (w=0 would divide by zero under ANSI
+    mode; w<0 would silently invert the ordering)."""
     w = F.col(weight) if isinstance(weight, str) else weight
     u = (hash_bucket(key, buckets) + 1) / F.lit(float(buckets))  # (0, 1]
     skey = F.pow(u, F.lit(1.0) / w)
     return (
-        df.withColumn("sample_key", skey)
+        df.where(w > 0)
+        .withColumn("sample_key", skey)
         .orderBy(F.col("sample_key").desc(), F.col(key))
         .limit(k)
     )

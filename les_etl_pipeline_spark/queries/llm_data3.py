@@ -209,7 +209,7 @@ def multimodal_byte_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_chars,
              ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000) + 1)
                / 10000.0 AS u
-      FROM documents
+      FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            (floor(pow(u, 1.0 / n_chars) * 1000000.0 + 0.5) / 1000000.0) AS sample_key_r

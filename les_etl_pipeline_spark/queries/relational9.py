@@ -313,11 +313,16 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     helper face of the pivot shape (pair counts of two categoricals in
     one pass). Restricted to a fixed source list so the column set is
     stable; the driver's schema compare sorts column names, so crosstab's
-    engine-defined column order is harmless."""
+    engine-defined column order is harmless. crosstab only emits columns
+    for values observed in the data, so any absent source is filled in
+    as a zero-count column rather than failing the projection."""
     docs = table(spark, sf_dir, "documents").where(
         F.col("source").isin("src0", "src1", "src2", "src3")
     )
     ct = docs.stat.crosstab("lang", "source")
+    for c in ("src0", "src1", "src2", "src3"):
+        if c not in ct.columns:
+            ct = ct.withColumn(c, F.lit(0).cast("long"))
     return ct.select(
         "lang_source",
         *[F.col(f"`{c}`").alias(c) for c in ("src0", "src1", "src2", "src3")],
@@ -361,10 +366,10 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_and(l_quantity > 1) AS all_multi,
            bool_or(l_discount > 0.09) AS any_deep_discount,
            CAST(max_by(l_orderkey,
-                       CAST(l_extendedprice * 100 AS BIGINT) * 10000000 + l_orderkey)
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000 + l_orderkey)
                 AS BIGINT) AS priciest_order,
            CAST(min_by(l_orderkey,
-                       CAST(l_extendedprice * 100 AS BIGINT) * 10000000 + l_orderkey)
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000 + l_orderkey)
                 AS BIGINT) AS cheapest_order
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -374,10 +379,13 @@ def agg_bool_and_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin/argmax via min_by/max_by. The ranking value folds the
     orderkey into integer cents so ties are broken deterministically —
     max_by on a float with duplicates is engine-arbitrary, a correctness
-    trap this query pins down."""
+    trap this query pins down. The cents conversion is floor(x*100+0.5)
+    on BOTH engines: a bare double→long CAST truncates in Spark but
+    rounds in DuckDB, so prices landing just below an integer in binary
+    floating point would rank differently across engines."""
     li = table(spark, sf_dir, "lineitem")
     rank_val = (
-        (F.col("l_extendedprice") * 100).cast("long") * 10000000 + F.col("l_orderkey")
+        F.floor(F.col("l_extendedprice") * 100 + 0.5) * 10000000 + F.col("l_orderkey")
     )
     return (
         li.groupBy("l_returnflag")

@@ -84,3 +84,22 @@ def test_pagerank_properties(spark):
     assert r1[5] < r1[4]                      # leaf below its hub
     r2 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
     assert r1 == r2
+
+
+def test_pagerank_directed_sinks(spark):
+    """symmetric=False: sink nodes (appearing only as dst) must be in
+    the vertex set, receive rank, and the dangling-mass redistribution
+    must keep the ranks summing to 1."""
+    from les_etl_pipeline_spark.operators.graph import pagerank
+
+    # 3 is a pure sink; 4 -> 5 -> 4 is a cycle feeding nothing.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 4)], "src long, dst long"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, iterations=4, symmetric=False).collect()
+    }
+    assert set(r) == {1, 2, 3, 4, 5}          # sink 3 present
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # dangling mass redistributed
+    assert r[3] > r[2] > r[1]                 # rank flows downstream

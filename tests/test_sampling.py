@@ -40,6 +40,20 @@ def test_hash_split_rejects_bad_fractions(spark):
         hash_split(df, "k", {"a": 0.9, "b": 0.3})
 
 
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """A-Res precondition w > 0: zero/negative/null-weight rows must be
+    excluded from the draw, not crash (ANSI divide-by-zero) or invert
+    the ordering."""
+    from les_etl_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 0.0), ("c", -3.0), ("d", None), ("e", 5.0)],
+        "k string, w double",
+    )
+    rows = weighted_sample_topk(df, "k", "w", k=10).collect()
+    assert {r["k"] for r in rows} == {"a", "e"}
+
+
 def test_stratified_sample_drops_unlisted_strata(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "de") for i in range(1000)], "k long, lang string"
