@@ -2,16 +2,21 @@
 with typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container — decode_image/decode_audio raise NotImplementedError, and
-fake_features computes deterministic byte-level features instead), but the
-Spark-side plumbing is real and tested: schema contract, binary payloads,
-Arrow batch shapes, partition-parallel mapInPandas execution. Swapping the
-stub for PIL/librosa changes one function body, not the plan.
+decode_image / decode_audio are REAL pure-stdlib decoders for the two
+formats that need no external library: uncompressed 24-bpp BMP (struct
+header parse, stride-aware pixel walk) and 16-bit PCM WAV (stdlib
+`wave`). Exotic formats (JPEG/PNG/MP3/...) would slot into the same
+mapInPandas contract via PIL/librosa — absent from this container, so
+those mimes raise ValueError rather than pretending. fake_features
+(byte-level stand-in features) remains for payloads of arbitrary mime.
 """
 
 from __future__ import annotations
 
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -34,13 +39,93 @@ def to_asset_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def decode_image(payload: bytes):
-    """Real decoder hook — intentionally unimplemented in this container."""
-    raise NotImplementedError("image decode requires PIL/opencv; not available here")
+def encode_bmp(width: int, height: int, pixel_value: int) -> bytes:
+    """Build a real uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up,
+    rows padded to 4 bytes) with every BGR byte = pixel_value. Fixture
+    builder for the decoder round-trip — the padding makes stride
+    handling observable."""
+    stride = (width * 3 + 3) // 4 * 4
+    row = bytes([pixel_value]) * (width * 3) + b"\x00" * (stride - width * 3)
+    pixels = row * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
 
 
-def decode_audio(payload: bytes):
-    raise NotImplementedError("audio decode requires librosa/soundfile; not available here")
+def decode_image(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bpp BMP with the stdlib only: struct
+    header parse, then a stride-aware walk of the pixel array (row
+    padding bytes are excluded from the mean). Returns width, height,
+    bpp, n_pixels, mean_pixel (mean over all B/G/R bytes). Other image
+    formats need PIL/opencv (absent here) and raise ValueError."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (real image libs unavailable here)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bpp BMP supported (bpp={bpp})")
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    total = 0
+    for y in range(height):
+        row = payload[data_offset + y * stride : data_offset + y * stride + width * 3]
+        total += sum(row)
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "n_pixels": n,
+        "mean_pixel": total / (n * 3) if n else 0.0,
+    }
+
+
+def encode_wav(
+    n_frames: int, amplitude: int, sample_rate: int = 8000, period: int = 2
+) -> bytes:
+    """Build a real 16-bit mono PCM WAV: a square wave alternating
+    ±amplitude every `period` frames. RMS is exactly `amplitude`, which
+    makes the decoder's math oracle-checkable in closed form."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_frames):
+            v = amplitude if (i // period) % 2 == 0 else -amplitude
+            frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode a 16-bit PCM WAV with the stdlib `wave` module: channel
+    count, sample rate/width, frame count, duration, and RMS amplitude
+    computed from the interleaved samples (little-endian per the RIFF
+    spec). Compressed audio needs librosa/soundfile (absent here) and
+    raises ValueError via wave's format check."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"only 16-bit PCM supported (sampwidth={sw})")
+    n = len(raw) // 2
+    sq = 0
+    for (s,) in struct.iter_unpack("<h", raw[: n * 2]):
+        sq += s * s
+    return {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_frames": nframes,
+        "duration_ms": round(nframes * 1000 / rate) if rate else 0,
+        "rms": math.sqrt(sq / n) if n else 0.0,
+    }
 
 
 def _fake_feature_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -89,6 +174,50 @@ def byte_chunks(assets: DataFrame, chunk_size: int = 64) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return assets.mapInPandas(op, schema=CHUNK_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "doc_id long, mime string, width int, height int, mean_pixel double, "
+    "n_channels int, sample_rate int, duration_ms long, rms double"
+)
+
+
+def decode_features(assets: DataFrame) -> DataFrame:
+    """Real decode step over the asset table: dispatch on mime inside an
+    Arrow-batched mapInPandas — image/bmp through decode_image, audio/wav
+    through decode_audio. One unified wide schema with NULLs for the
+    inapplicable modality (the union-typed feature-table shape a training
+    pipeline lands on). Partition-parallel; the driver never sees a
+    payload byte."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "mime", "width", "height", "mean_pixel",
+            "n_channels", "sample_rate", "duration_ms", "rms",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                row = dict.fromkeys(cols)
+                row["doc_id"], row["mime"] = doc_id, mime
+                if mime == "image/bmp":
+                    img = decode_image(bytes(payload))
+                    row["width"], row["height"] = img["width"], img["height"]
+                    row["mean_pixel"] = img["mean_pixel"]
+                elif mime == "audio/wav":
+                    au = decode_audio(bytes(payload))
+                    row["n_channels"] = au["n_channels"]
+                    row["sample_rate"] = au["sample_rate"]
+                    row["duration_ms"] = au["duration_ms"]
+                    row["rms"] = au["rms"]
+                else:
+                    raise ValueError(f"no decoder for mime {mime!r}")
+                for c in cols:
+                    out[c].append(row[c])
+            yield _pd.DataFrame(out)
+
+    return assets.mapInPandas(op, schema=DECODED_SCHEMA)
 
 
 def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFrame:

@@ -333,3 +333,60 @@ def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(words, "_").alias("words_joined"),
         F.element_at(nums, -1).alias("last_number"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "multimodal_decode_stdlib",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 8 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 5 + 1 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_pixel,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS INT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((160 + (doc_id % 40) * 8) / 8 AS BIGINT) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(500 + (doc_id % 97) * 7 AS DOUBLE) END AS rms
+    FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """,
+)
+def multimodal_decode_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image/audio decode, no external libraries: each doc becomes a
+    genuine binary asset (even ids: uncompressed 24-bpp BMP with padded
+    rows; odd ids: 16-bit PCM WAV square wave), then
+    operators/multimodal.decode_features parses the bytes back inside an
+    Arrow-batched mapInPandas — struct header walk for BMP (stride-aware
+    mean pixel), stdlib `wave` + RMS for audio. Every decoded feature is
+    a closed-form function of doc_id, so DuckDB can oracle-check the
+    full encode→decode round trip (a square wave of amplitude A has RMS
+    exactly A; a constant-v BMP has mean pixel exactly v — padding bytes
+    would skew it, which is what the stride test catches)."""
+    import pandas as pd  # local: only the Arrow batches touch pandas
+
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200).select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "mime": [], "n_bytes": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = multimodal.encode_bmp(d % 8 + 1, d % 5 + 1, d % 256)
+                    mime = "image/bmp"
+                else:
+                    payload = multimodal.encode_wav(
+                        160 + (d % 40) * 8, 500 + (d % 97) * 7
+                    )
+                    mime = "audio/wav"
+                out["doc_id"].append(d)
+                out["payload"].append(payload)
+                out["mime"].append(mime)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(enc, schema=multimodal.ASSET_SCHEMA)
+    return multimodal.decode_features(assets).orderBy("doc_id")

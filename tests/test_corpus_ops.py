@@ -118,3 +118,39 @@ def test_range_join_left_null_column_not_duplicated(spark):
     rows = sorted(map(tuple, got.select("pid", "iid").collect()))
     # pid=1 (NULL tag) matched -> exactly one row; pid=2 unmatched -> NULL iid
     assert rows == [(1, 10), (2, None)]
+
+
+def test_bmp_roundtrip_stride_aware():
+    """encode_bmp -> decode_image: header fields and mean pixel survive
+    the round trip, including widths whose 3-byte rows need padding
+    (stride handling would skew the mean if padding bytes leaked in)."""
+    from les_etl_pipeline_spark.operators import multimodal as mm
+
+    for width in (1, 2, 3, 4, 5):  # strides 4,8,12,12,16 — padded and not
+        img = mm.decode_image(mm.encode_bmp(width, 3, 200))
+        assert img["width"] == width and img["height"] == 3
+        assert img["bpp"] == 24 and img["n_pixels"] == width * 3
+        assert img["mean_pixel"] == 200.0  # exact: every BGR byte is 200
+
+    try:
+        mm.decode_image(b"\x89PNG not a bmp at all........................................")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("non-BMP payload must raise ValueError")
+
+
+def test_wav_roundtrip_exact_rms():
+    """encode_wav -> decode_audio: a ±A square wave has RMS exactly A
+    (A² is exact in double, sqrt is correctly rounded), and duration
+    follows from frames/rate."""
+    from les_etl_pipeline_spark.operators import multimodal as mm
+
+    au = mm.decode_audio(mm.encode_wav(n_frames=240, amplitude=1172, sample_rate=8000))
+    assert au == {
+        "n_channels": 1,
+        "sample_rate": 8000,
+        "n_frames": 240,
+        "duration_ms": 30,
+        "rms": 1172.0,
+    }
