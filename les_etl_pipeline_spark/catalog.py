@@ -32,6 +32,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: logical-plan cache: (applicationId, sf_dir, table) -> DataFrame.
+#: spark.read.parquet re-runs file listing + footer schema inference on
+#: every call (~50-100ms each); the returned DataFrame is an immutable
+#: logical plan, so reusing it across queries is free and safe. Keyed by
+#: applicationId so a stopped-and-restarted session never serves stale
+#: plans from a dead JVM context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table with normalized column types.
@@ -44,6 +52,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     loaded dtype so a session that already mapped the column to a timestamp
     is handled too.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Flip nanosAsLong only for the duration of THIS read, then restore
@@ -78,6 +90,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    _TABLE_CACHE[key] = df
     return df
 
 
