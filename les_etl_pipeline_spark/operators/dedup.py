@@ -237,6 +237,114 @@ def minhash_lsh_pairs(
     )
 
 
+def choose_lsh_params(threshold: float, n_hashes: int = 64) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for MinHash LSH banding from a target
+    Jaccard threshold via the standard S-curve approximation
+    t ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4.3): a pair with Jaccard s collides in at least one of
+    b bands of r rows with probability 1 - (1 - s^r)^b, and the curve's
+    steep point sits near (1/b)^(1/r). Enumerates every (b, r) with
+    b*r <= n_hashes and returns the pair whose curve threshold lands
+    closest to the target, ties preferring more bands (higher recall at
+    the threshold). Self-tuning knob for the 100 TB fuzzy-dedup tier —
+    banding hand-picked for one corpus quietly under- or over-candidates
+    the next."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    best_key, best = None, None
+    for r in range(1, n_hashes + 1):
+        b = n_hashes // r
+        t = (1.0 / b) ** (1.0 / r)
+        key = (abs(t - threshold), -b)
+        if best_key is None or key < best_key:
+            best_key, best = key, (b, r)
+    return best
+
+
+def minhash_signature_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """n-permutation MinHash signature as a native long-array column:
+    hash function i is xxhash64(seed + i, shingle) and signature element
+    i its minimum over the doc's distinct shingles. Pure column
+    expressions — no explode, no shuffle, whole-stage codegen end to
+    end; docs shorter than ``ngram`` words (no shingles) are excluded."""
+    sh = F.array_distinct(shingles(text_col, ngram))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.where(F.size(sh) > 0).select(
+        F.col(id_col).alias("doc_id"), sig.alias("minhash")
+    )
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    ngram: int = 3,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via self-tuned MinHash banding:
+    (b, r) come from choose_lsh_params(threshold), each band hashes r
+    consecutive signature elements to a bucket key, and same-bucket docs
+    become candidates. Unlike pyspark.ml's MinHashLSH (OR-amplification
+    only, r fixed at 1), real banding supports r > 1 — the AND step that
+    keeps low-similarity pairs from flooding the candidate set.
+
+    Shuffle shape mirrors ngram_jaccard_pairs: ONE exchange of the
+    (band, bucket) posting table, pairs expanded from grouped posting
+    lists, ``max_bucket`` capping degenerate buckets (boilerplate-heavy
+    corpora collapse many docs into one bucket; the cap bounds the
+    quadratic tail exactly like the stop-shingle frequency cap).
+    Deterministic for a fixed seed. Returns distinct (id_a < id_b)."""
+    b, r = choose_lsh_params(threshold, n_hashes)
+    sigs = minhash_signature_array(df, text_col, id_col, b * r, ngram, seed)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(F.lit(i), F.slice("minhash", i * r + 1, r)).alias("bucket"),
+            )
+            for i in range(b)
+        ]
+    )
+    posts = (
+        sigs.select("doc_id", F.explode(bands).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:

@@ -390,3 +390,21 @@ def multimodal_decode_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = docs.mapInPandas(enc, schema=multimodal.ASSET_SCHEMA)
     return multimodal.decode_features(assets).orderBy("doc_id")
+
+
+@register("dedup_minhash_banded")  # xxhash64 banding -> rows-only check
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuned MinHash banding (operators/dedup.minhash_banded_pairs):
+    (b, r) derived from the Jaccard threshold via the S-curve chooser
+    ((1/b)^(1/r) ≈ t), band buckets keyed by xxhash64 over r consecutive
+    signature rows, pairs expanded from grouped posting lists in ONE
+    exchange. xxhash64 has no DuckDB twin, so the driver records the
+    rows-only check; the candidate-recall bound vs true Jaccard pairs is
+    pinned in-repo by tests/test_round4_ops.py::
+    test_minhash_banded_recall_beats_naive."""
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_banded_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    return pairs.orderBy("id_a", "id_b")

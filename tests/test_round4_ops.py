@@ -103,3 +103,69 @@ def test_pagerank_directed_sinks(spark):
     assert set(r) == {1, 2, 3, 4, 5}          # sink 3 present
     assert abs(sum(r.values()) - 1.0) < 1e-9  # dangling mass redistributed
     assert r[3] > r[2] > r[1]                 # rank flows downstream
+
+
+def test_choose_lsh_params_s_curve():
+    """(b, r) chooser: the S-curve threshold (1/b)^(1/r) of the chosen
+    banding must be the closest achievable to the target, and known
+    exact points must be hit ((1/16)^(1/4) = 0.5 at n=64)."""
+    from les_etl_pipeline_spark.operators.dedup import choose_lsh_params
+
+    assert choose_lsh_params(0.5, 64) == (16, 4)
+    for thr in (0.2, 0.5, 0.8, 0.9):
+        b, r = choose_lsh_params(thr, 64)
+        assert b * r <= 64
+        t = (1.0 / b) ** (1.0 / r)
+        # every candidate banding's curve point is at least this far off
+        best = min(
+            abs((1.0 / (64 // rr)) ** (1.0 / rr) - thr) for rr in range(1, 65)
+        )
+        assert abs(t - thr) == best
+    # higher threshold -> more rows per band (steeper AND filtering)
+    assert choose_lsh_params(0.9, 64)[1] > choose_lsh_params(0.3, 64)[1]
+    try:
+        choose_lsh_params(1.5, 64)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("threshold outside (0,1) must raise")
+
+
+def test_minhash_banded_recall_beats_naive(spark, sf_dir):
+    """The self-tuned banding's candidate set must recover more of the
+    true Jaccard>=0.5 pairs than the naive single-band setting (b=1,
+    r=n — essentially exact-signature match only) on the test corpus."""
+    from les_etl_pipeline_spark.operators import dedup
+    from les_etl_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_freq=None
+        ).collect()
+    }
+    assert truth, "fixture corpus must contain true near-duplicate pairs"
+
+    tuned = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_banded_pairs(docs, threshold=0.5).collect()
+    }
+    # naive banding: one band of all 64 rows -> AND over everything
+    sigs = dedup.minhash_signature_array(docs)
+    from pyspark.sql import functions as F
+
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in sigs.groupBy("minhash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.col("ids")[0].alias("id_a"), F.explode(F.slice("ids", 2, 10000)).alias("id_b")
+        )
+        .collect()
+    }
+    recall_tuned = len(truth & tuned) / len(truth)
+    recall_naive = len(truth & naive) / len(truth)
+    assert recall_tuned > recall_naive
+    assert recall_tuned >= 0.8, (recall_tuned, recall_naive)
