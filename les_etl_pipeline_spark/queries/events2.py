@@ -87,19 +87,18 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_id
     """,
 )
-def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (30-min inactivity gap): lag -> new-session
-    flag -> running-sum session id -> per-session stats. The three
-    window steps share ONE user_id exchange (identical partitioning);
-    the streaming twin is stream_session_window (session_window +
-    watermark)."""
-    ev = table(spark, sf_dir, "events")
+def sessionize(ev: DataFrame, gap_allowed) -> DataFrame:
+    """Shared sessionization core: lag -> new-session flag (inactivity
+    exceeding ``gap_allowed`` seconds, a Column so the gap may depend on
+    the incoming event) -> running-sum session id -> per-session stats.
+    The three window steps share ONE user_id exchange (identical
+    partitioning). Fixed-gap sessionization is the gap_allowed=constant
+    special case — a property test pins that equivalence."""
     # TIMESTAMP_NTZ has no direct long cast in Spark 4; epoch seconds via
     # the (UTC-session) timestamp — DuckDB's date_diff('second',...) twin
     secs = F.col("ts").cast("timestamp").cast("long")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = secs - F.lag(secs).over(w)
-    new_session = F.when(gap <= 30 * 60, 0).otherwise(1)
+    new_session = F.when(secs - F.lag(secs).over(w) <= gap_allowed, 0).otherwise(1)
     sess = ev.withColumn(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
@@ -112,6 +111,13 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) via the shared
+    sessionize core; the streaming twin is stream_session_window
+    (session_window + watermark)."""
+    return sessionize(table(spark, sf_dir, "events"), F.lit(30 * 60))
 
 
 @register(
@@ -199,25 +205,11 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     """Sessionization with a DYNAMIC inactivity gap — the threshold is an
     expression of the incoming event (purchases hold the session open an
     hour, everything else 15 minutes), the batch twin of
-    session_window's dynamic-gap form. Same one-exchange shape as the
-    fixed-gap query: the gap expression changes, the plan does not."""
-    ev = table(spark, sf_dir, "events")
-    secs = F.col("ts").cast("timestamp").cast("long")
+    session_window's dynamic-gap form via the shared sessionize core.
+    Same one-exchange shape as the fixed-gap query: the gap expression
+    changes, the plan does not."""
     gap_allowed = F.when(F.col("event_type") == "purchase", 3600).otherwise(900)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    new_session = F.when(secs - F.lag(secs).over(w) <= gap_allowed, 0).otherwise(1)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.max(secs) - F.min(secs)).alias("duration_sec"),
-        )
-        .orderBy("user_id", "session_id")
-    )
+    return sessionize(table(spark, sf_dir, "events"), gap_allowed)
 
 
 @register(

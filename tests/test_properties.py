@@ -138,3 +138,24 @@ def test_approx_count_distinct_within_rsd(spark):
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_fixed_gap_is_special_case_of_dynamic_sessionize(spark, sf_dir):
+    """Locks the two sessionization operators together: the dynamic-gap
+    core with a CONSTANT gap expression must produce exactly the
+    sessions of the fixed-gap query (gap=const ⇒ the dynamic form
+    degenerates to the fixed form)."""
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.queries.events2 import (
+        events_sessionize_batch,
+        sessionize,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    # a "dynamic" gap expression that always evaluates to 30 minutes
+    const_gap = F.when(F.col("event_type").isNotNull(), 30 * 60).otherwise(30 * 60)
+    dyn = sessionize(ev, const_gap).collect()
+    fixed = events_sessionize_batch(spark, sf_dir).collect()
+    assert [tuple(r) for r in dyn] == [tuple(r) for r in fixed]
