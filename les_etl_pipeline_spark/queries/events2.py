@@ -64,29 +64,6 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sessionize_batch",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id, ts, event_id,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      FROM gaps
-    )
-    SELECT user_id, session_id,
-           count(*) AS n_events,
-           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
-    FROM sess
-    GROUP BY user_id, session_id
-    ORDER BY user_id, session_id
-    """,
-)
 def sessionize(ev: DataFrame, gap_allowed) -> DataFrame:
     """Shared sessionization core: lag -> new-session flag (inactivity
     exceeding ``gap_allowed`` seconds, a Column so the gap may depend on
@@ -113,6 +90,29 @@ def sessionize(ev: DataFrame, gap_allowed) -> DataFrame:
     )
 
 
+@register(
+    "events_sessionize_batch",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
 def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) via the shared
     sessionize core; the streaming twin is stream_session_window
