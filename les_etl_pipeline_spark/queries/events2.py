@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..functions.rounding import hround
 from .registry import register
 
 
@@ -279,3 +280,84 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_linear_interpolation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             count(*) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY hr
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT min(hr) FROM c),
+                                    (SELECT max(hr) FROM c))) AS hr
+    ), j AS (
+      SELECT spine.hr, c.c FROM spine LEFT JOIN c USING (hr)
+    ), f AS (
+      SELECT hr, c,
+             last_value(c IGNORE NULLS) OVER
+               (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS) OVER
+               (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(c IGNORE NULLS) OVER
+               (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS) OVER
+               (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT hr, CAST(c AS BIGINT) AS n_obs,
+           (floor((CASE
+              WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (hr - ph) / (nh - ph)
+              WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+              ELSE CAST(nv AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0) AS filled_r
+    FROM f ORDER BY hr
+    """,
+)
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR INTERPOLATION: hourly purchase
+    counts on a dense hour spine, silent hours filled by interpolating
+    between the nearest observed neighbors (edges carry the last/first
+    observation) — the imputation step between gap-fill (zeros,
+    events_hourly_gapfill) and forecasting. prev/next observations come
+    from last/first IGNORE NULLS frames.
+
+    Scale shape: the only data-sized operation is the count aggregate;
+    the spine and every window run over hours-since-epoch — time-domain
+    metadata (8.8k rows/year at ANY corpus size), so the unpartitioned
+    ordered windows are bounded by the calendar, not the data."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    hr = (F.col("ts").cast("timestamp").cast("long") / F.lit(3600)).cast("long")
+    counts = ev.groupBy(hr.alias("hr")).agg(F.count(F.lit(1)).alias("c"))
+    spine = counts.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    j = spine.join(F.broadcast(counts), "hr", "left")
+    wp = W.orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.orderBy("hr").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_hr = F.when(F.col("c").isNotNull(), F.col("hr"))
+    f = j.select(
+        "hr",
+        "c",
+        F.last("c", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(wp).alias("ph"),
+        F.first("c", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(wn).alias("nh"),
+    )
+    filled = (
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hr") - F.col("ph"))
+            / (F.col("nh") - F.col("ph")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv").cast("double"))
+        .otherwise(F.col("nv").cast("double"))
+    )
+    return f.select(
+        "hr", F.col("c").alias("n_obs"), hround(filled, 6).alias("filled_r")
+    ).orderBy("hr")

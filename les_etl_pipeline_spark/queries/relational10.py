@@ -95,3 +95,77 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@register(
+    "agg_stat_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag, avg(CAST(l_quantity AS DOUBLE)) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           (floor((avg(pow(l_quantity - m, 3)) / pow(avg(pow(l_quantity - m, 2)), 1.5))
+                  * 1000000.0 + 0.5) / 1000000.0) AS qty_skew,
+           (floor((avg(pow(l_quantity - m, 4)) / pow(avg(pow(l_quantity - m, 2)), 2) - 3)
+                  * 1000000.0 + 0.5) / 1000000.0) AS qty_kurt,
+           mode(l_linestatus) AS status_mode,
+           CAST(arg_max(l_quantity, c * 100 - l_quantity) AS BIGINT) AS qty_mode,
+           CAST(count_if(l_quantity > 40) AS BIGINT) AS n_heavy
+    FROM (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             count(*) OVER (PARTITION BY l_returnflag, l_quantity) AS c
+      FROM lineitem
+    ) l JOIN mu USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments and categorical modes per group:
+    population skewness/excess kurtosis (Spark's definitions — the
+    oracle spells out the central-moment formula so both engines compute
+    the same estimator; DuckDB's bare skewness() is sample-corrected and
+    would NOT match), mode of a column whose winner is unambiguous,
+    a deterministic numeric mode (max count, ties to the smaller value
+    — bare mode() on tied counts is engine-arbitrary, the same trap
+    agg_bool_and_minmax_by pins for max_by), and count_if. One map-side
+    combinable exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_counts = li.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("l_returnflag", "l_quantity"))
+    )
+    return (
+        qty_counts.groupBy("l_returnflag")
+        .agg(
+            hround(F.skewness("l_quantity"), 6).alias("qty_skew"),
+            hround(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
+            F.mode("l_linestatus").alias("status_mode"),
+            F.max_by("l_quantity", F.col("c") * 100 - F.col("l_quantity")).alias("qty_mode"),
+            F.count_if(F.col("l_quantity") > 40).alias("n_heavy"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_hll_sketch_union")  # Datasketches HLL — engine-specific, rows-only
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache Datasketches HLL, Spark
+    4 hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-flag
+    part sketches plus a TOTAL row whose estimate comes from UNIONING
+    the group sketches, not rescanning — the pre-aggregation pattern
+    that makes distinct counts composable across partitions/days at
+    100 TB (approx_count_distinct gives one number; sketches give a
+    reusable intermediate). Binary sketches are engine-specific →
+    rows-only check; merge-consistency bound pinned in
+    tests/test_approx_bounds.py."""
+    li = table(spark, sf_dir, "lineitem")
+    sketches = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    per_group = sketches.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("distinct_parts_est")
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_parts_est")
+    ).select(F.lit("TOTAL").alias("l_returnflag"), "distinct_parts_est")
+    return per_group.unionAll(total).orderBy("l_returnflag")

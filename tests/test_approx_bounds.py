@@ -70,3 +70,29 @@ def test_approx_percentiles_rank_bounds(spark, sf_dir):
                 f"{row['l_returnflag']} p{int(p*100)}: target rank "
                 f"{target:.0f} outside [{lo - tol:.0f}, {hi + tol:.0f}] (n={n})"
             )
+
+
+def test_hll_sketch_union_consistency(spark, sf_dir):
+    """The HLL sketch query's estimates must sit within the configured
+    relative error of exact distinct counts, and the TOTAL row — built
+    by UNIONING the per-group sketches, never rescanning — must agree
+    with the exact global distinct count (the mergeability property that
+    makes sketches composable across partitions at scale)."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.queries import QUERIES
+
+    out = {
+        r["l_returnflag"]: r["distinct_parts_est"]
+        for r in QUERIES["agg_hll_sketch_union"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["TOTAL"] = li.select("l_partkey").distinct().count()
+    assert set(out) == set(exact)
+    for k, est in out.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
