@@ -49,6 +49,7 @@ from . import llm_data3  # noqa: E402,F401
 from . import relational8  # noqa: E402,F401
 from . import relational9  # noqa: E402,F401
 from . import relational10  # noqa: E402,F401
+from . import llm_data4  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
