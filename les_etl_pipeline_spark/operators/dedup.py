@@ -448,24 +448,36 @@ def dedup_corpus(
     id_col: str = "doc_id",
     fuzzy_threshold: float | None = 0.8,
     k: int = 3,
+    fuzzy_method: str = "jaccard",
 ) -> DataFrame:
     """The end-to-end dedup a training-data pipeline actually runs:
     drop exact duplicates (normalized-hash groups), then drop fuzzy
     near-duplicates (Jaccard clusters), keeping the minimum-id canonical
     document of every group. Returns the surviving rows of ``df``.
 
-    fuzzy_threshold=None skips the fuzzy stage (exact-only). At 100 TB
-    swap ngram_jaccard_pairs for minhash_lsh_pairs — the cluster/keep
-    logic is identical.
+    fuzzy_threshold=None skips the fuzzy stage (exact-only).
+    ``fuzzy_method``: "jaccard" generates pairs with true shingle
+    Jaccard (exact recall at the threshold — the oracle-checkable
+    default); "lsh" swaps in the self-tuned MinHash banding
+    (minhash_banded_pairs) — the 100 TB path, where candidate
+    generation stays sublinear and the cluster/keep logic is
+    identical.
     """
     exact = exact_dedup_groups(df, text_col, id_col, normalize=True)
     keep_exact = exact.select(F.col("canonical_id").alias(id_col))
     survivors = df.join(keep_exact, id_col, "left_semi")
 
     if fuzzy_threshold is not None:
-        pairs = ngram_jaccard_pairs(
-            survivors, text_col, id_col, k=k, threshold=fuzzy_threshold
-        ).select("id_a", "id_b")
+        if fuzzy_method == "lsh":
+            pairs = minhash_banded_pairs(
+                survivors, text_col, id_col, threshold=fuzzy_threshold, ngram=k
+            )
+        elif fuzzy_method == "jaccard":
+            pairs = ngram_jaccard_pairs(
+                survivors, text_col, id_col, k=k, threshold=fuzzy_threshold
+            ).select("id_a", "id_b")
+        else:
+            raise ValueError(f"unknown fuzzy_method {fuzzy_method!r}")
         clusters = connected_components(pairs)
         # every clustered doc except its cluster's canonical (min id) drops
         drop = clusters.where(F.col("doc_id") != F.col("cluster")).select(

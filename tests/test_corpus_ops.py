@@ -154,3 +154,31 @@ def test_wav_roundtrip_exact_rms():
         "duration_ms": 30,
         "rms": 1172.0,
     }
+
+
+def test_dedup_corpus_lsh_tier_matches_exact_on_clear_dups(spark):
+    """The banded-LSH fuzzy tier must drop the same obvious
+    near-duplicates the exact Jaccard tier drops on a corpus where the
+    duplicate structure is unambiguous (identical and one-word-edited
+    docs, plus unique docs)."""
+    from les_etl_pipeline_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("today", "tonight")),       # near dup of 1
+        (4, "completely unrelated text about spark query planning at scale"),
+        (5, "another unique document mentioning parquet files and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact_ids = {
+        r["doc_id"]
+        for r in dedup_corpus(df, fuzzy_threshold=0.5, fuzzy_method="jaccard").collect()
+    }
+    lsh_ids = {
+        r["doc_id"]
+        for r in dedup_corpus(df, fuzzy_threshold=0.5, fuzzy_method="lsh").collect()
+    }
+    assert exact_ids == {1, 4, 5}
+    assert lsh_ids == exact_ids
