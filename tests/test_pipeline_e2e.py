@@ -269,3 +269,20 @@ def test_distributed_xml_parity(spark, tmp_path):
         assert a[k].asDict() == b[k].asDict()
     # dropped fields must not leak through the distributed path
     assert not {"Country", "DealVisibleToOrg", "MetricData"} & set(dist_df.columns)
+
+
+def test_observed_qc_metrics_ride_the_write(spark, tmp_path):
+    """observe()-based QC: row count and per-column null counts are
+    computed DURING the write action — no second scan — and match the
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators.qc import observed, standard_qc_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")], "id long, v string"
+    )
+    inst, obs = observed(df, standard_qc_metrics(df, null_cols=["v"]))
+    inst.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got == {"n_rows": 5, "n_null_v": 2}
