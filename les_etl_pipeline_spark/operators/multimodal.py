@@ -230,3 +230,45 @@ def extract_features(assets: DataFrame, batch_size: int | None = None) -> DataFr
             yield _fake_feature_batch(pdf)
 
     return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def arrow_byte_chunks(assets: DataFrame, chunk_size: int = 64) -> DataFrame:
+    """mapInArrow twin of byte_chunks: identical fan-out semantics, but
+    the batches stay raw pyarrow RecordBatches — no pandas conversion on
+    either side of the Python worker. For pure byte-slicing transforms
+    the pandas layer is wasted copies (object-dtype boxing of binary
+    cells); operating on the Arrow buffers directly is the cheapest
+    Python-side path Spark offers. Same per-partition parallelism, same
+    CHUNK_SCHEMA contract, so the two operators are drop-in
+    interchangeable (the oracle pins them to identical output)."""
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_idx", pa.int32()),
+            ("offset", pa.int64()),
+            ("n_bytes", pa.int32()),
+            ("chunk_hex", pa.string()),
+        ]
+    )
+
+    def op(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_pylist()
+            payloads = rb.column(rb.schema.get_field_index("payload")).to_pylist()
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "offset": [], "n_bytes": [], "chunk_hex": []
+            }
+            for doc_id, payload in zip(doc_ids, payloads):
+                b = bytes(payload or b"")
+                for idx, off in enumerate(range(0, len(b), chunk_size)):
+                    chunk = b[off : off + chunk_size]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(len(chunk))
+                    out["chunk_hex"].append(chunk.hex())
+            yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
+
+    return assets.mapInArrow(op, schema=CHUNK_SCHEMA)

@@ -1,0 +1,101 @@
+"""Fifth LLM-data pack: corpus-level language-model scoring and the
+raw-Arrow multimodal chunking twin.
+
+- ``text_unigram_logprob``: per-document mean unigram log-probability
+  under the corpus's own empirical unigram model — the classic cheap
+  perplexity proxy for pretraining quality filtering (low mean logprob
+  = rare-token soup / noise; suspiciously high = boilerplate).
+- ``multimodal_arrow_chunks``: byte-window chunking via mapInArrow
+  (operators/multimodal.arrow_byte_chunks) — pinned to the exact same
+  output as the mapInPandas path so the two Python-side batch APIs are
+  verified interchangeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from .registry import register
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), v AS (
+      SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT sum(n_tok) AS n_total FROM v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           (floor(avg(ln(n_tok / n_total)) * 1000000.0 + 0.5)
+            / 1000000.0) AS mean_logprob
+    FROM toks JOIN v USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    empirical unigram LM — the cheap perplexity proxy used for
+    pretraining quality filters. Three exchanges total: tokenize
+    (narrow), vocab groupBy, doc groupBy; the corpus-size total is a
+    1-row aggregate broadcast via crossJoin, never a driver collect.
+    The token->vocab join is left to AQE: at test scale it broadcasts,
+    at 100 TB a real vocab (1e7+ types, zipf-skewed counts) shuffles —
+    and zipf skew on the join key is exactly what AQE's skew-join
+    handles. hround(6) absorbs cross-engine float-sum ordering."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            hround(F.avg(F.ln(F.col("n_tok") / F.col("n_total"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_arrow_chunks",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id <= 50
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           CAST(k * 64 AS BIGINT) AS "offset",
+           CAST(least(64, nb - k * 64) AS INT) AS n_bytes,
+           lower(substring(hx, k * 128 + 1, 128)) AS chunk_hex
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS k) t
+    WHERE k * 64 < nb
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def multimodal_arrow_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-window chunking through mapInArrow (raw pyarrow
+    RecordBatches, no pandas conversion) — same semantics, oracle, and
+    output contract as multimodal_byte_chunks, so the two Python batch
+    APIs are provably interchangeable; the Arrow path skips the pandas
+    object-dtype boxing of binary cells, the cheapest Python-side route
+    for byte slicing."""
+    from ..operators import multimodal
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    chunks = multimodal.arrow_byte_chunks(
+        multimodal.to_asset_table(docs), chunk_size=64
+    )
+    return chunks.orderBy("doc_id", "chunk_idx")

@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "similarity_ivf_topk": "bounded query x n_cells centroid fan-out (broadcast)",
     "similarity_bruteforce_topk": "bounded broadcast of the small query set",
     "graph_triangle_count": "cross of three 1-row summary aggregates",
+    "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
 }
 
 

@@ -1,0 +1,72 @@
+"""Direct unit tests for round-5 operators: Morton z-order keys and the
+mapInArrow chunking twin (query-level coverage lives in
+test_queries_contract via the registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.functions.zorder import morton_key, morton_sql
+from les_etl_pipeline_spark.operators import multimodal
+
+
+def _interleave_py(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    pts = [(x, y) for x in (0, 1, 3, 5, 42, 63) for y in (0, 2, 7, 31, 63)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton_key(F.col("x"), F.col("y"), 6).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _interleave_py(x, y, 6), (x, y)
+
+
+def test_morton_sql_matches_column_form(spark):
+    df = spark.createDataFrame([(11, 29), (63, 0), (0, 63)], "x int, y int")
+    df.createOrReplaceTempView("morton_pts")
+    sql_rows = spark.sql(
+        f"SELECT x, y, ({morton_sql('x', 'y', 6)}) AS z FROM morton_pts"
+    ).collect()
+    for r in sql_rows:
+        assert r.z == _interleave_py(r.x, r.y, 6)
+
+
+def test_morton_key_is_locality_preserving(spark):
+    # nearby cells in (x, y) share high-order z bits: all 4 points of a
+    # 2x2 block starting at an even (x, y) land in one z "quad".
+    df = spark.createDataFrame(
+        [(bx + dx, by + dy) for bx, by in [(4, 8), (32, 16)] for dx in (0, 1) for dy in (0, 1)],
+        "x int, y int",
+    )
+    rows = df.select(
+        (F.col("x") / 2).cast("int").alias("bx"),
+        (F.col("y") / 2).cast("int").alias("by"),
+        F.shiftright(morton_key(F.col("x"), F.col("y"), 6), 2).alias("quad"),
+    ).collect()
+    quads: dict[tuple[int, int], set[int]] = {}
+    for r in rows:
+        quads.setdefault((r.bx, r.by), set()).add(r.quad)
+    assert all(len(q) == 1 for q in quads.values()), quads
+
+
+def test_arrow_chunks_match_pandas_chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "xyz"), (3, "")], "doc_id long, text string"
+    )
+    assets = multimodal.to_asset_table(docs)
+    via_pandas = sorted(
+        tuple(r) for r in multimodal.byte_chunks(assets, chunk_size=32).collect()
+    )
+    via_arrow = sorted(
+        tuple(r) for r in multimodal.arrow_byte_chunks(assets, chunk_size=32).collect()
+    )
+    assert via_arrow == via_pandas
+    assert len(via_arrow) == 4 + 1  # 100 bytes -> 4 chunks, "xyz" -> 1, "" -> 0
