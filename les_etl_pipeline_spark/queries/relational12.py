@@ -1,0 +1,232 @@
+"""Tenth relational pack: incremental-maintenance and data-quality
+operators — the operational layer a 100 TB warehouse runs nightly.
+
+- ``agg_incremental_merge``: mergeable partial aggregates (incremental
+  materialized-view maintenance). Batches are aggregated independently
+  and their STATES merged; the oracle is the from-scratch aggregate over
+  everything, so the hash-match IS the proof that merge(partials) ==
+  full recompute — the invariant that lets a daily pipeline fold one
+  day's partial into a running state instead of rescanning history.
+- ``qc_referential_integrity``: FK orphan audit via LEFT JOIN +
+  conditional counts — one shuffle per FK, total rows and orphan rows
+  from the same pass (no anti-join + second count).
+- ``profile_table_columns``: one-pass multi-column profiling (nulls,
+  exact distincts, numeric min/max) reshaped wide->long with inline().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from .registry import register
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           (floor(sum(l_quantity) * 100.0 + 0.5) / 100.0) AS sum_qty,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           (floor((sum(l_quantity) / count(*)) * 1000000.0 + 0.5)
+            / 1000000.0) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the table arrives as two
+    disjoint 'batches' (split on l_orderkey parity, standing in for
+    yesterday's running state + today's delta), each batch is reduced to
+    mergeable per-group STATES (count, sum, min, max), and the states
+    are merged — count/sum add, min/max fold, avg derives at the end
+    (avg itself is NOT mergeable; its state is (sum, n)). The oracle
+    aggregates everything from scratch, so the hash-match proves
+    merge(partial_states) == full recompute. At 100 TB this is the
+    difference between folding one day's partial into a running state
+    and rescanning the full history nightly. l_quantity is
+    integral-valued, so double sums are exact in any association
+    order."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_quantity").alias("ps"),
+            F.min("l_quantity").alias("pmin"),
+            F.max("l_quantity").alias("pmax"),
+        )
+
+    b1 = partial(li.where(F.col("l_orderkey") % 2 == 0))
+    b2 = partial(li.where(F.col("l_orderkey") % 2 == 1))
+    merged = (
+        b1.unionAll(b2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").alias("s"),
+            F.min("pmin").alias("min_qty"),
+            F.max("pmax").alias("max_qty"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        hround("s").alias("sum_qty"),
+        F.col("min_qty").cast("double"),
+        F.col("max_qty").cast("double"),
+        hround(F.col("s") / F.col("n"), 6).alias("avg_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "qc_referential_integrity",
+    oracle="""
+    SELECT 'events_customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_orphans
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    UNION ALL
+    SELECT 'lineitem_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders_customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    ORDER BY fk
+    """,
+)
+def qc_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit (the Deequ/dbt-test 'relationships'
+    check): each FK edge is ONE left outer join whose probe side keeps
+    only the key column, with total and orphan counts taken from the
+    same pass via count_if — never an anti-join followed by a second
+    scan for the denominator. Dimension keys are unique so the join
+    never fans out; at 100 TB each edge is a single key-shuffle (or a
+    broadcast when the dimension is small — left to AQE here)."""
+
+    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+        return (
+            fact.join(dim.select(pk), F.col(fk) == F.col(pk), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col(pk).isNull()).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    ev = table(spark, sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        audit(ev, "user_id", c, "c_custkey", "events_customer")
+        .unionAll(audit(li, "l_orderkey", o, "o_orderkey", "lineitem_orders"))
+        .unionAll(audit(o, "o_custkey", c, "c_custkey", "orders_customer"))
+        .orderBy("fk")
+    )
+
+
+@register(
+    "profile_table_columns",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (o_custkey IS NULL)     AS nn_custkey,
+             count(DISTINCT o_custkey)               AS nd_custkey,
+             count(*) FILTER (o_totalprice IS NULL)  AS nn_price,
+             count(DISTINCT o_totalprice)            AS nd_price,
+             count(*) FILTER (o_orderstatus IS NULL) AS nn_status,
+             count(DISTINCT o_orderstatus)           AS nd_status,
+             CAST(min(o_custkey) AS DOUBLE)    AS min_custkey,
+             CAST(max(o_custkey) AS DOUBLE)    AS max_custkey,
+             CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders
+    )
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           (floor(min_num * 100.0 + 0.5) / 100.0) AS min_num,
+           (floor(max_num * 100.0 + 0.5) / 100.0) AS max_num
+    FROM (
+      SELECT 'o_custkey' AS col_name, n_rows, nn_custkey AS n_nulls,
+             nd_custkey AS n_distinct, min_custkey AS min_num,
+             max_custkey AS max_num FROM a
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price, min_price, max_price
+      FROM a
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status, NULL, NULL FROM a
+    ) ORDER BY col_name
+    """,
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the data-catalog stats sweep): null
+    counts, exact distinct counts, and numeric min/max for several
+    columns computed in a SINGLE aggregate over the table, then reshaped
+    wide->long with inline() — the 1-row-to-N reshape is free. Exact
+    multi-column count_distinct expands the aggregate (one Expand branch
+    per distinct column); at 100 TB swap count_distinct for
+    approx_count_distinct (or the mergeable HLL sketches of
+    agg_hll_sketch_union) and the pass becomes single-Expand — the
+    docstring trade the reference's profiling DAG makes too."""
+    o = table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.count_if(F.col("o_orderstatus").isNull()).alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_custkey").cast("double").alias("min_custkey"),
+        F.max("o_custkey").cast("double").alias("max_custkey"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    null_d = F.lit(None).cast("double")
+    long = a.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col_name"),
+                    F.col("n_rows"),
+                    F.col("nn_custkey").alias("n_nulls"),
+                    F.col("nd_custkey").alias("n_distinct"),
+                    F.col("min_custkey").alias("min_num"),
+                    F.col("max_custkey").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col_name"),
+                    F.col("n_rows"),
+                    F.col("nn_price").alias("n_nulls"),
+                    F.col("nd_price").alias("n_distinct"),
+                    F.col("min_price").alias("min_num"),
+                    F.col("max_price").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col_name"),
+                    F.col("n_rows"),
+                    F.col("nn_status").alias("n_nulls"),
+                    F.col("nd_status").alias("n_distinct"),
+                    null_d.alias("min_num"),
+                    null_d.alias("max_num"),
+                ),
+            )
+        )
+    )
+    return long.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        hround("min_num").alias("min_num"),
+        hround("max_num").alias("max_num"),
+    ).orderBy("col_name")
