@@ -261,3 +261,133 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound scale path that complements ivf_topk's
+    compute-bound one (production systems compose them as IVF-PQ).
+
+    Vectors are unit-normalized (so L2 ranking == cosine ranking), split
+    into ``m`` contiguous subvectors, and each subspace gets its own
+    ``n_codes``-entry k-means codebook (m driver-looped fits over a
+    constant m; each fit is distributed). Every vector compresses to m
+    small code ids — at 100 TB the candidate table the query touches is
+    m bytes/vector instead of 4*dim, which is the entire point: PQ trades
+    a full-vector scan's memory bandwidth for table lookups. A query
+    precomputes its (m x n_codes) subspace-distance table (tiny,
+    broadcast); the approximate distance of a candidate is the sum of m
+    table lookups keyed by its codes — one broadcast join on (subspace,
+    code) + one groupBy, never a full-vector dot product per pair.
+
+    ``rerank=C`` (C > k) adds the production second stage: the ADC
+    short-list of C candidates per query is re-scored with EXACT cosine
+    (a join of C*Q rows against the vector table — tiny) and the final
+    top-k comes from the exact scores. ADC alone ranks coarsely on
+    near-orthogonal data; shortlist-then-rerank is how IVF-PQ systems
+    actually serve (the 100 TB cost stays with the code-table scan, the
+    rerank touches only C full vectors per query).
+
+    Approximate by construction -> rows-only correctness check; recall
+    against brute force is bounded in tests/test_similarity_pq.py.
+    Argmin code assignment tie-breaks on the lower code id (min_by over
+    a (d2, code) struct) so encoding is deterministic."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "ud", F.transform("vd", lambda x: x / F.col("nrm"))
+    )
+    dim = len(base.select("ud").first()[0])
+    bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+
+    # per-subspace codebooks: (j, code, cvec) — m*n_codes rows, broadcastable
+    spark = df.sparkSession
+    cb_rows = []
+    for j, (lo, hi) in enumerate(bounds):
+        feats = base.select(
+            array_to_vector(F.slice("ud", lo + 1, hi - lo)).alias("features")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + j, featuresCol="features", predictionCol="code"
+        ).fit(feats)
+        cb_rows += [
+            (j, c, [float(x) for x in center])
+            for c, center in enumerate(model.clusterCenters())
+        ]
+    codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.slice("ud", lo + 1, hi - lo).alias("svec")
+            )
+            for j, (lo, hi) in enumerate(bounds)
+        ]
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    # encode every vector: nearest code per subspace (deterministic argmin)
+    exploded = base.select(F.col(id_col), F.inline(sub_structs))
+    codes = (
+        exploded.join(F.broadcast(codebook), "j")
+        .withColumn("d2", d2)
+        .groupBy(id_col, "j")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+    # per-query subspace distance tables: (query_id, j, code, d2)
+    q = base.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.inline(sub_structs)
+    )
+    qtab = (
+        q.join(F.broadcast(codebook), "j")
+        .withColumn("d2", d2)
+        .select("query_id", "j", "code", "d2")
+    )
+
+    # ADC: m table lookups per (query, candidate), summed
+    scored = (
+        codes.join(F.broadcast(qtab), ["j", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist"), F.col(id_col))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max(rerank, k))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adist", "rank")
+    )
+    if rerank <= k:
+        return shortlist
+
+    # exact re-rank of the short-list: C*Q rows join the unit vectors
+    vecs = base.select(F.col(id_col).alias("_vid"), F.col("ud").alias("_ud"))
+    qv = vecs.select(F.col("_vid").alias("query_id"), F.col("_ud").alias("_qud"))
+    cv = vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_ud").alias("_cud"))
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", dot(F.col("_qud"), F.col("_cud")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

@@ -99,3 +99,21 @@ def multimodal_arrow_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.to_asset_table(docs), chunk_size=64
     )
     return chunks.orderBy("doc_id", "chunk_idx")
+
+
+@register("similarity_pq_topk")  # approximate by construction — rows-only
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): vectors
+    compress to m=8 sub-space code ids against k-means codebooks;
+    queries score candidates with m table lookups (ADC), never a
+    full-vector dot product; the ADC short-list is then re-scored with
+    exact cosine (rerank=50 vectors per query, ~10% of this corpus).
+    The memory-bandwidth scale path that composes with IVF into IVF-PQ.
+    Approximate -> rows-only check; recall vs brute force is bounded in
+    tests/test_similarity_pq.py."""
+    from ..operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, F.col("vec_id") < 8, k=5, m=8, n_codes=16, rerank=50
+    ).orderBy("query_id", "rank")

@@ -230,3 +230,45 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround("min_num").alias("min_num"),
         hround("max_num").alias("max_num"),
     ).orderBy("col_name")
+
+
+@register(
+    "asof_join_cogroup",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(view_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS last_view_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(last_view_ts, '%Y-%m-%d %H:%M:%S') AS prior_view_ts
+    FROM filled WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join through the COGROUP grouped-map surface
+    (operators/grouped.cogroup_asof_pandas): purchases and views shuffle
+    once on user_id and meet as per-key pandas frames; a merged sort +
+    forward-fill reproduces the union+window running max exactly, and
+    the oracle is the SAME SQL as asof_join_union_window — pinning the
+    cogroup path and the native path to identical semantics. The native
+    form stays the 100 TB default (no Python workers); cogroup is the
+    escape hatch for per-key logic windows can't express."""
+    from ..operators.grouped import cogroup_asof_pandas
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    out = cogroup_asof_pandas(purchases, views, "user_id")
+    return out.select(
+        F.col("left_id").alias("purchase_id"),
+        F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("match_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_view_ts"),
+    ).orderBy("purchase_id")

@@ -70,3 +70,64 @@ def test_arrow_chunks_match_pandas_chunks(spark):
     )
     assert via_arrow == via_pandas
     assert len(via_arrow) == 4 + 1  # 100 bytes -> 4 chunks, "xyz" -> 1, "" -> 0
+
+
+def test_zordered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.sinks.layout import write_zordered
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 61).cast("int").alias("x"),
+        ((F.col("id") * 7) % 53).cast("int").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, F.col("x"), F.col("y"), path, bits=6, n_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "zkey"
+            )
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # repartitionByRange gives a total range partitioning: file/row-group
+    # key ranges must not interleave (boundary equality allowed) — this
+    # is exactly what makes zone-map skipping effective.
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
+
+
+def test_cogroup_asof_matches_native_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.grouped import cogroup_asof_pandas
+    from les_etl_pipeline_spark.queries import QUERIES
+
+    native = {
+        (r["purchase_id"], r["prior_view_ts"])
+        for r in QUERIES["asof_join_union_window"](spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    co = cogroup_asof_pandas(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        "user_id",
+    )
+    got = {
+        (r["purchase_id"], r["prior_view_ts"])
+        for r in co.select(
+            F.col("left_id").alias("purchase_id"),
+            F.date_format("match_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_view_ts"),
+        ).collect()
+    }
+    assert got == native
