@@ -5,7 +5,7 @@ whole-stage codegen, no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # stopword lists for the n-gram/stopword language heuristic (tiny on
@@ -162,3 +162,93 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, w: (acc * 31 + tok_h(w)) % F.lit(FINGERPRINT_MOD),
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    vocab_partitions: int = 4,
+) -> list[tuple[str, str, int]]:
+    """Train byte-pair-encoding merges on a corpus — the distributed
+    face of tokenizer training. Returns the ordered merge list
+    [(left_symbol, right_symbol, pair_count), ...].
+
+    The scale structure is the point: BPE statistics live on the WORD
+    VOCABULARY (unique word, count), not the corpus — one corpus-sized
+    shuffle builds the weighted vocab, and every merge iteration then
+    touches only vocab-sized data (explode adjacent symbol pairs →
+    groupBy pair → arg-max). At 100 TB the corpus pass is unavoidable
+    and linear; the n_merges iterations ride on data that is orders of
+    magnitude smaller. Per iteration the driver receives exactly ONE
+    row (the winning pair — a model parameter, like a k-means centroid),
+    and the symbol-array rewrite is a pure higher-order-function fold
+    (greedy left-to-right non-overlapping merge, the standard BPE
+    application order) — no Python worker anywhere.
+
+    Deterministic: ties break on (count desc, left, right); merge
+    application is a left fold, so the result is a pure function of the
+    corpus. Exactness vs a pure-Python reference implementation is
+    pinned in tests/test_round5_ops.py."""
+    # corpus pass: weighted word vocabulary, words as char-symbol arrays
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        # split(limit=-1) keeps the empty match at end-of-string — drop it
+        .select(
+            F.filter(F.split(F.col("w"), "(?!^)"), lambda x: x != "").alias("syms"),
+            "wc",
+        )
+        # the vocab is orders of magnitude smaller than the corpus: shrink
+        # its partitioning so each merge iteration schedules a handful of
+        # tasks, not a corpus-sized task wave (size vocab_partitions to
+        # vocab bytes / 128MB on a cluster)
+        .repartition(vocab_partitions)
+        .localCheckpoint()
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("pc"))
+        )
+        best = pairs.orderBy(F.col("pc").desc(), "l", "r").limit(1).collect()
+        if not best or best[0]["pc"] < 2:
+            break
+        a, b, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
+        merges.append((a, b, pc))
+
+        # greedy left-to-right non-overlapping merge as a pure fold:
+        # append x, unless (last == a and x == b) in which case the last
+        # element becomes a||b — a just-merged token can never match as
+        # `a` again within the same pass unless it IS the same string,
+        # which is exactly BPE's symbols-are-strings semantics.
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "wc").localCheckpoint()
+
+    return merges

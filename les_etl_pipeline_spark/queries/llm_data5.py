@@ -117,3 +117,22 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, F.col("vec_id") < 8, k=5, m=8, n_codes=16, rerank=50
     ).orderBy("query_id", "rank")
+
+
+@register("text_bpe_train_merges")  # iterative training loop — rows-only
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/text.bpe_train_merges):
+    one corpus pass builds the weighted word vocabulary, then each merge
+    iteration runs on vocab-sized data only (adjacent-pair explode →
+    groupBy → arg-max; the driver sees ONE row per iteration — the
+    winning pair is a model parameter). Iterative by nature -> no SQL
+    oracle; exactness vs a pure-Python reference BPE is pinned in
+    tests/test_round5_ops.py."""
+    from ..operators.text import bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    merges = bpe_train_merges(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count long",
+    ).orderBy("merge_rank")

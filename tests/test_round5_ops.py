@@ -131,3 +131,56 @@ def test_cogroup_asof_matches_native_window(spark, sf_dir):
         ).collect()
     }
     assert got == native
+
+
+def _bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.text import bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 120)
+    got = bpe_train_merges(docs, n_merges=6)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _bpe_reference(texts, 6)
+    # merges must be usable: counts positive and non-increasing is NOT
+    # guaranteed by BPE (a merge can create a more frequent pair), but
+    # every chosen pair must have been worth merging
+    assert all(c >= 2 for _a, _b, c in got)
