@@ -272,3 +272,102 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("match_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_view_ts"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "stat_correlation_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT corr(l_quantity, l_extendedprice) AS qp,
+             corr(l_quantity, l_discount)      AS qd,
+             corr(l_extendedprice, l_discount) AS pd
+      FROM lineitem
+    )
+    SELECT col_x, col_y,
+           (floor(r * 1000000.0 + 0.5) / 1000000.0) AS corr_r
+    FROM (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, qp AS r FROM a
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', qd FROM a
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', pd FROM a
+    ) ORDER BY col_x, col_y
+    """,
+)
+def stat_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations for a numeric column set in ONE
+    aggregate pass (the profiling/feature-selection sweep), reshaped to
+    (col_x, col_y, r) rows via inline — the same one-pass + free-reshape
+    structure as profile_table_columns. corr is a mergeable state
+    (count, means, co-moments), so the pass stays map-side combinable;
+    n_cols^2/2 pairs is a width, not a data, cost. hround(6) absorbs
+    cross-engine co-moment accumulation order."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qp"),
+        F.corr("l_quantity", "l_discount").alias("qd"),
+        F.corr("l_extendedprice", "l_discount").alias("pd"),
+    )
+    long = a.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("col_x"),
+                    F.lit("l_extendedprice").alias("col_y"),
+                    F.col("qp").alias("r"),
+                ),
+                F.struct(
+                    F.lit("l_quantity").alias("col_x"),
+                    F.lit("l_discount").alias("col_y"),
+                    F.col("qd").alias("r"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("col_x"),
+                    F.lit("l_discount").alias("col_y"),
+                    F.col("pd").alias("r"),
+                ),
+            )
+        )
+    )
+    return long.select("col_x", "col_y", hround("r", 6).alias("corr_r")).orderBy(
+        "col_x", "col_y"
+    )
+
+
+@register(
+    "events_rollup_cascade",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+    FROM events GROUP BY month ORDER BY month
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup pyramid (the hypertable/continuous-aggregate
+    pattern): hourly partials roll into daily, daily into monthly — each
+    level aggregates the level below, never the raw events, and the
+    oracle aggregates raw events directly, so the hash-match proves the
+    cascade is lossless. At 100 TB the hourly layer is the only
+    event-scale shuffle; day and month levels run on partial-state rows
+    (24/day, ~30/month) — the same merge-don't-rescan invariant as
+    agg_incremental_merge, applied up a calendar hierarchy. Distinct-day
+    counting rides the hierarchy for free (days are exact units of the
+    day level)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "purchase").alias("np"),
+    )
+    daily = hourly.groupBy(F.to_date("hour").alias("day")).agg(
+        F.sum("n").alias("n"), F.sum("np").alias("np")
+    )
+    monthly = daily.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("np").alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_active_days"),
+    )
+    return monthly.orderBy("month")
