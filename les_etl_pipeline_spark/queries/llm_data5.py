@@ -24,45 +24,60 @@ from .registry import register
 @register(
     "text_unigram_logprob",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      FROM documents WHERE text IS NOT NULL
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY doc_id, tok
     ), v AS (
-      SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok
+      SELECT tok, sum(c) AS n_tok FROM tc GROUP BY tok
     ), tot AS (
       SELECT sum(n_tok) AS n_total FROM v
     )
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           (floor(avg(ln(n_tok / n_total)) * 1000000.0 + 0.5)
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           (floor((sum(c * ln(n_tok / n_total)) / sum(c)) * 1000000.0 + 0.5)
             / 1000000.0) AS mean_logprob
-    FROM toks JOIN v USING (tok) CROSS JOIN tot
+    FROM tc JOIN v USING (tok) CROSS JOIN tot
     GROUP BY doc_id ORDER BY doc_id
     """,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean unigram log-probability per document under the corpus's own
     empirical unigram LM — the cheap perplexity proxy used for
-    pretraining quality filters. Three exchanges total: tokenize
-    (narrow), vocab groupBy, doc groupBy; the corpus-size total is a
-    1-row aggregate broadcast via crossJoin, never a driver collect.
-    The token->vocab join is left to AQE: at test scale it broadcasts,
-    at 100 TB a real vocab (1e7+ types, zipf-skewed counts) shuffles —
-    and zipf skew on the join key is exactly what AQE's skew-join
-    handles. hround(6) absorbs cross-engine float-sum ordering."""
+    pretraining quality filters.
+
+    ONE corpus scan: the (doc, token, count) table is built once and
+    localCheckpointed, then reused for the vocab rollup, the corpus
+    total, and the per-doc scoring join — without the checkpoint
+    Catalyst re-derives each use from the raw text (a naive formulation
+    here planned THREE corpus scans; at 100 TB that is the whole cost).
+    The per-doc mean is the count-weighted form sum(c*ln p)/sum(c) —
+    algebraically the instance-level mean, computed on the much smaller
+    (doc, token) table. The corpus total is a 1-row broadcast, never a
+    driver collect; the token->vocab join is left to AQE (zipf skew on
+    the key is what AQE's skew-join handles). hround(6) absorbs
+    cross-engine float-sum ordering."""
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    vocab = tc.groupBy("tok").agg(F.sum("c").alias("n_tok"))
     total = vocab.agg(F.sum("n_tok").alias("n_total"))
     return (
-        toks.join(vocab, "tok")
+        tc.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            hround(F.avg(F.ln(F.col("n_tok") / F.col("n_total"))), 6).alias(
-                "mean_logprob"
-            ),
+            F.sum("c").alias("n_tokens"),
+            hround(
+                F.sum(F.col("c") * F.ln(F.col("n_tok") / F.col("n_total")))
+                / F.sum("c"),
+                6,
+            ).alias("mean_logprob"),
         )
         .orderBy("doc_id")
     )
