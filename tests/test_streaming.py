@@ -18,6 +18,7 @@ import datetime as dt
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from les_etl_pipeline_spark.streaming import windows as SW
 
@@ -227,3 +228,53 @@ def test_transform_with_state_histogram(spark, stream_dir):
     assert u1 == [2, 4]
     # user 2 clicked once in batch 1 only
     assert any(r["user_id"] == 2 and r["event_type"] == "click" and r["n"] == 1 for r in rows)
+
+
+def test_incremental_agg_state_matches_full_recompute(spark, stream_dir, tmp_path):
+    """Streaming MV maintenance: after draining the stream one file per
+    micro-batch, the maintained state table equals the from-scratch
+    aggregate over all events — merge(partials) == recompute, the
+    streaming face of agg_incremental_merge. Re-running against the same
+    checkpoint is a no-op (exactly-once per batch id)."""
+    from les_etl_pipeline_spark.streaming import incremental as SI
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt_inc")
+    SI.incremental_agg_to_state(
+        SW.read_event_stream(spark, stream_dir),
+        group_col="event_type",
+        value_col="value",
+        state_path=state,
+        checkpoint_dir=ckpt,
+    )
+    got = {
+        r["grp"]: (r["n"], r["s"], r["mn"], r["mx"], r["avg"])
+        for r in SI.read_state(spark, state).collect()
+    }
+    full = spark.read.parquet(stream_dir)
+    expect = {
+        r["grp"]: (r["n"], r["s"], r["mn"], r["mx"], r["s"] / r["n"])
+        for r in full.groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("double")).alias("s"),
+            F.min(F.col("value").cast("double")).alias("mn"),
+            F.max(F.col("value").cast("double")).alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expect
+    # replay with the same checkpoint: stream has no new files -> state
+    # unchanged (and a replayed batch id would be skipped by the ledger)
+    SI.incremental_agg_to_state(
+        SW.read_event_stream(spark, stream_dir),
+        group_col="event_type",
+        value_col="value",
+        state_path=state,
+        checkpoint_dir=ckpt,
+    )
+    again = {
+        r["grp"]: (r["n"], r["s"], r["mn"], r["mx"], r["avg"])
+        for r in SI.read_state(spark, state).collect()
+    }
+    assert again == expect
