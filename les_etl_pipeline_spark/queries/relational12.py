@@ -16,6 +16,7 @@ operators — the operational layer a 100 TB warehouse runs nightly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -371,3 +372,49 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_days"),
     )
     return monthly.orderBy("month")
+
+
+@register(
+    "agg_pandas_udaf_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           (floor(exp(avg(ln(l_extendedprice))) * 100.0 + 0.5) / 100.0)
+             AS geomean_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function via a GROUPED_AGG pandas_udf
+    (Series -> scalar, Arrow-batched): per-flag geometric mean of the
+    price. This is the UDAF API surface — the escape hatch for aggregate
+    math Spark lacks (exotic robust estimators, model updates); for the
+    geometric mean itself the native exp(avg(ln)) is the 100 TB form
+    (map-side combinable; a grouped-agg pandas UDF ships each group's
+    FULL value series to one Python worker — no partial aggregation), so
+    the oracle doubles as the native twin pinning the UDAF's result.
+    np.log sums in one pass per group; hround(2) absorbs the
+    accumulation-order difference vs the oracle's streaming avg."""
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # grouped-agg pandas UDFs cannot mix with native aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a second
+    # pandas aggregate over the same series
+    @F.pandas_udf("long")
+    def n_vals(v: pd.Series) -> int:
+        return int(len(v))
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            hround(geomean("l_extendedprice")).alias("geomean_price"),
+            n_vals("l_extendedprice").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
