@@ -159,3 +159,70 @@ def test_fixed_gap_is_special_case_of_dynamic_sessionize(spark, sf_dir):
     dyn = sessionize(ev, const_gap).collect()
     fixed = events_sessionize_batch(spark, sf_dir).collect()
     assert [tuple(r) for r in dyn] == [tuple(r) for r in fixed]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 63), st.integers(0, 63)), min_size=1, max_size=24
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_key_bijective_and_bounded(spark, pts):
+    """Property: the 6-bit Morton key is a bijection of (x, y) — it
+    decodes back to its inputs and stays inside [0, 2^12)."""
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.functions.zorder import morton_key
+
+    df = spark.createDataFrame(list(set(pts)), "x int, y int")
+    rows = df.select(
+        "x", "y", morton_key(F.col("x"), F.col("y"), 6).alias("z")
+    ).collect()
+    for r in rows:
+        assert 0 <= r.z < 4096
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(6))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(6))
+        assert (x, y) == (r.x, r.y)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-1000, 1000), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_incremental_merge_equals_full_aggregate(spark, rows):
+    """Property: for ANY split of the input into two batches, merging
+    the batches' partial (count, sum, min, max) states equals the
+    from-scratch aggregate — the invariant agg_incremental_merge and
+    streaming/incremental.py rely on. The boolean column is the
+    arbitrary split predicate."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "g string, v long, in_b1 boolean")
+
+    def partial(b):
+        return b.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = (
+        partial(df.where("in_b1"))
+        .unionAll(partial(df.where("NOT in_b1")))
+        .groupBy("g")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    full = partial(df)
+    got = {tuple(r) for r in merged.collect()}
+    expect = {tuple(r) for r in full.collect()}
+    assert got == expect
