@@ -184,3 +184,38 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
     # guaranteed by BPE (a merge can create a more frequent pair), but
     # every chosen pair must have been worth merging
     assert all(c >= 2 for _a, _b, c in got)
+
+
+def test_multiformat_roundtrip_parity(spark, sf_dir, tmp_path):
+    """Source/sink format coverage: the same table written and re-read
+    through parquet, ORC, CSV (with header + explicit schema), and JSON
+    round-trips value-identically. Avro is NOT bundled in this Spark
+    distribution (external spark-avro module; verified ImportError-like
+    AnalysisException) — documented env limit, same class as Delta."""
+    from les_etl_pipeline_spark.catalog import table
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .where(F.col("o_orderkey") <= 500)
+    )
+    expect = sorted(tuple(r) for r in src.collect())
+    schema = src.schema
+
+    p = str(tmp_path / "fmt_parquet")
+    src.write.mode("overwrite").parquet(p)
+    assert sorted(tuple(r) for r in spark.read.parquet(p).collect()) == expect
+
+    o = str(tmp_path / "fmt_orc")
+    src.write.mode("overwrite").orc(o)
+    assert sorted(tuple(r) for r in spark.read.orc(o).collect()) == expect
+
+    c = str(tmp_path / "fmt_csv")
+    src.write.mode("overwrite").option("header", True).csv(c)
+    got_csv = spark.read.schema(schema).option("header", True).csv(c)
+    assert sorted(tuple(r) for r in got_csv.collect()) == expect
+
+    j = str(tmp_path / "fmt_json")
+    src.write.mode("overwrite").json(j)
+    got_json = spark.read.schema(schema).json(j)
+    assert sorted(tuple(r) for r in got_json.collect()) == expect
