@@ -282,3 +282,49 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "json_variant_explode",
+    oracle="""
+    WITH j AS (
+      SELECT event_id, json_object('uid', user_id, 'et', event_type) AS doc
+      FROM events WHERE event_id <= 500
+    ), k AS (
+      SELECT event_id, unnest(json_keys(doc)) AS key, doc FROM j
+    )
+    SELECT event_id,
+           CAST(row_number() OVER (PARTITION BY event_id ORDER BY key) - 1
+                AS INT) AS pos,
+           key,
+           CAST(json_extract(doc, '$.' || key) AS VARCHAR) AS val_json
+    FROM k ORDER BY event_id, pos
+    """,
+)
+def json_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema field iteration via the variant_explode generator
+    (Spark 4): each event's variant object fans out to (pos, key, value)
+    rows — the schema-on-read sweep over semi-structured payloads whose
+    keys aren't known at query-author time (the companion to
+    json_variant_extract's known-path lookups). The variant encoding
+    stores object fields under a sorted key dictionary, so iteration
+    order is alphabetical — the oracle reproduces pos by ranking keys.
+    Values surface as JSON text (to_json) so heterogeneous field types
+    fit one output column; a lateral generator compiles to Generate,
+    partition-parallel like any explode."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    doc = F.parse_json(
+        F.to_json(
+            F.struct(F.col("user_id").alias("uid"), F.col("event_type").alias("et"))
+        )
+    )
+    ev.select("event_id", doc.alias("doc")).createOrReplaceTempView(
+        "variant_explode_events"
+    )
+    return spark.sql(
+        """
+        SELECT event_id, v.pos, v.key, to_json(v.value) AS val_json
+        FROM variant_explode_events, LATERAL variant_explode(doc) v
+        ORDER BY event_id, pos
+        """
+    )
