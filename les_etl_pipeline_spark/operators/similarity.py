@@ -391,3 +391,146 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition of this module's two scale
+    paths. The IVF coarse quantizer (k-means cells) bounds WHICH vectors
+    a query touches (~n_probe/n_cells of the corpus); product
+    quantization bounds HOW MUCH is read per touched vector (m code
+    bytes, ADC table lookups instead of full-vector dot products); the
+    optional exact re-rank of the short-list restores rank quality. At
+    100 TB: cells are the partition key, codebooks and per-query
+    distance tables broadcast, and the full vectors are only read for
+    the C*Q short-list rows.
+
+    Deterministic (seeded k-means, min_by/struct tie-breaks); recall vs
+    brute force bounded in tests/test_similarity_pq.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "ud", F.transform("vd", lambda x: x / F.col("nrm"))
+    )
+    dim = len(base.select("ud").first()[0])
+    spark = df.sparkSession
+
+    # ---- IVF: coarse cells over the unit vectors
+    feats = base.withColumn("features", array_to_vector(F.col("ud")))
+    coarse = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(feats)
+    assigned = coarse.transform(feats).select(id_col, "ud", "cell").localCheckpoint()
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+        "cell int, cvec array<double>",
+    )
+
+    # ---- PQ: per-subspace codebooks + code assignment (reuses the
+    # pq_topk construction over the cell-assigned table)
+    bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+    cb_rows = []
+    for j, (lo, hi) in enumerate(bounds):
+        sub_feats = assigned.select(
+            array_to_vector(F.slice("ud", lo + 1, hi - lo)).alias("features")
+        )
+        model = KMeans(
+            k=n_codes, seed=seed + 100 + j, featuresCol="features", predictionCol="code"
+        ).fit(sub_feats)
+        cb_rows += [
+            (j, c, [float(x) for x in center])
+            for c, center in enumerate(model.clusterCenters())
+        ]
+    codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+    sub_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.slice("ud", lo + 1, hi - lo).alias("svec"))
+            for j, (lo, hi) in enumerate(bounds)
+        ]
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        assigned.select(id_col, "cell", F.inline(sub_structs))
+        .join(F.broadcast(codebook), "j")
+        .withColumn("d2", d2)
+        .groupBy(id_col, "cell", "j")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+    # ---- query side: probe the n_probe nearest cells, build ADC tables
+    q = assigned.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("ud").alias("qud")
+    )
+    cd2 = F.aggregate(
+        F.zip_with(F.col("qud"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.col("cd2"), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("cd2", cd2)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    qtab = (
+        assigned.where(query_pred)
+        .select(F.col(id_col).alias("query_id"), F.inline(sub_structs))
+        .join(F.broadcast(codebook), "j")
+        .withColumn("d2", d2)
+        .select("query_id", "j", "code", "d2")
+    )
+
+    # ---- ADC restricted to probed cells
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qtab), ["query_id", "j", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("adist"), F.count(F.lit(1)).alias("_nj"))
+        .where(F.col("_nj") == m)  # all m subspace lookups present
+        .drop("_nj")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist"), F.col(id_col))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max(rerank, k))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adist", "rank")
+    )
+    if rerank <= k:
+        return shortlist
+    vecs = assigned.select(F.col(id_col).alias("_vid"), F.col("ud").alias("_ud"))
+    exact = (
+        shortlist.join(
+            vecs.select(F.col("_vid").alias("query_id"), F.col("_ud").alias("_qud")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_ud").alias("_cud")),
+            "neighbor_id",
+        )
+        .withColumn("cos", dot(F.col("_qud"), F.col("_cud")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

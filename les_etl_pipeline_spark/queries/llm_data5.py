@@ -151,3 +151,20 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank int, left string, right string, pair_count long",
     ).orderBy("merge_rank")
+
+
+@register("similarity_ivf_pq_topk")  # approximate by construction — rows-only
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.ivf_pq_topk): k-means
+    cells bound WHICH vectors a query touches (n_probe/n_cells of the
+    corpus), product quantization bounds the BYTES per touched vector
+    (m codes + ADC table lookups), and the exact re-rank of the
+    short-list restores rank quality — the production vector-index
+    layout. Approximate -> rows-only; recall bounds in
+    tests/test_similarity_pq.py."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, F.col("vec_id") < 8, k=5, n_cells=8, n_probe=4, m=8, n_codes=16, rerank=50
+    ).orderBy("query_id", "rank")

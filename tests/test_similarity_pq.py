@@ -59,3 +59,23 @@ def test_pq_adist_nonnegative_and_ranked(spark, sf_dir):
         pairs.sort()
         dists = [d for _r, d in pairs]
         assert dists == sorted(dists)  # rank order == distance order
+
+
+def test_ivf_pq_recall_and_probe_restriction(spark, sf_dir):
+    """The composed index: recall above the coarse-quantizer floor, and
+    determinism across runs (seeded k-means at both levels)."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    }
+    a = similarity.ivf_pq_topk(
+        emb, F.col("vec_id") < 10, k=5, n_cells=8, n_probe=4, m=8, n_codes=16, rerank=50
+    ).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+    b = similarity.ivf_pq_topk(
+        emb, F.col("vec_id") < 10, k=5, n_cells=8, n_probe=4, m=8, n_codes=16, rerank=50
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
