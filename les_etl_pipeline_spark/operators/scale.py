@@ -113,3 +113,53 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables — plan contains no Exchange."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def global_row_ids(
+    df: DataFrame,
+    key: str,
+    id_name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign global consecutive 1-based ids in ``key`` order WITHOUT a
+    global-order window (which would sort every row in one task — the
+    same scale-killer the sweep-line and sequence-packing operators
+    shard away).
+
+    Three-phase plan: range-partition on the key (contiguous key ranges
+    per partition), rank within each partition in parallel
+    (partitionBy(spark_partition_id) — every window task independent),
+    then add each partition's carried offset (cumulated per-partition
+    counts — a window over ONE ROW PER PARTITION, metadata scale). The
+    assigned id equals rank-in-total-order, so the output is invariant
+    to where the sampled range boundaries happen to fall. Requires
+    ``key`` values to be unique (total order); the classic
+    zipWithIndex, expressed in DataFrame operations."""
+    from pyspark.sql.window import Window as W
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("_pid").orderBy(key)
+    local = parts.withColumn("_local", F.row_number().over(local_w))
+    # one row per partition; the only ordered-unpartitioned window
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_name, (F.col("_local") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )

@@ -105,3 +105,25 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = table(spark, sf_dir, "lineitem").select("l_shipdate")
     j = point_in_interval_join(pts, iv, "l_shipdate", "lo", "hi", bin_width=30 * 86400)
     return j.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped"))
+
+
+@register(
+    "scale_global_row_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS row_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def scale_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global consecutive ids in key order without a global sort
+    (operators/scale.global_row_ids): range partitions rank in parallel
+    and a carried per-partition offset (a window over one row per
+    partition) lifts local ranks to global ones — the DataFrame
+    zipWithIndex. The oracle is the naive global-order row_number the
+    operator exists to avoid; identical output, sharded plan (asserted
+    window-shape test in tests/test_scale.py)."""
+    from ..operators.scale import global_row_ids
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_ids(docs, "doc_id").orderBy("doc_id")

@@ -157,3 +157,23 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with _pytest.raises(ValueError):
             scale.salted_join(df, small, "k", buckets=4, how=how)
+
+
+def test_global_row_ids_plan_has_no_global_data_window(spark, sf_dir):
+    """The data-scale window must be partitioned by _pid; the only
+    ordered-unpartitioned window runs over the one-row-per-partition
+    offset table (summing _n)."""
+    from les_etl_pipeline_spark.catalog import table as _table
+    from les_etl_pipeline_spark.operators.scale import global_row_ids
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    df = global_row_ids(docs, "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "row_number" in ln:
+            assert "_pid" in ln, f"data window not partitioned: {ln.strip()}"
+    # ids are exactly 1..n in key order
+    rows = df.orderBy("doc_id").collect()
+    assert [r["row_id"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r["doc_id"] for r in rows]
+    assert keys == sorted(keys)
