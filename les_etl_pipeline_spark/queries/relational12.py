@@ -418,3 +418,64 @@ def agg_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, 'v1' AS version, upper(c_mktsegment) AS segment,
+             TIMESTAMP '1992-01-01' AS valid_from,
+             TIMESTAMP '1995-06-01' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'v2', lower(c_mktsegment),
+             TIMESTAMP '1995-06-01', TIMESTAMP '9999-12-31'
+      FROM customer
+    )
+    SELECT o_orderkey, c_custkey, version, segment
+    FROM orders JOIN dim
+      ON o_custkey = c_custkey
+     AND o_orderdate >= valid_from AND o_orderdate < valid_to
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join — the consumer side of the
+    SCD2 machinery: each fact joins the dimension VERSION that was valid
+    at the fact's timestamp, `ON key AND ts >= valid_from AND ts <
+    valid_to`. The scale shape: this is an EQUI-join on the business key
+    with the validity window as a residual filter — versions per key are
+    few (SCD2 history depth), so the fan-out is bounded by history depth
+    and the plan is a plain key-shuffle (or broadcast when the dimension
+    fits), never an interval nested-loop. The versioned dimension is
+    built deterministically from customer (two versions split at
+    1995-06-01) so both engines construct identical history."""
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.lit("v1").alias("version"),
+        F.upper("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("1995-06-01").cast("timestamp_ntz").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.lit("v2").alias("version"),
+        F.lower("c_mktsegment").alias("segment"),
+        F.lit("1995-06-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("9999-12-31").cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 5000)
+    return (
+        o.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .select("o_orderkey", "c_custkey", "version", "segment")
+        .orderBy("o_orderkey")
+    )
