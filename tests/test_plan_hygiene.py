@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "events_hourly_gapfill": "1-row min/max spine aggregate broadcast",
     "stream_late_data_cutoff": "1-row max-event-time cutoff broadcast",
     "similarity_ivf_topk": "bounded query x n_cells centroid fan-out (broadcast)",
+    "similarity_ivf_pq_topk": "bounded query x n_cells centroid fan-out (broadcast)",
     "similarity_bruteforce_topk": "bounded broadcast of the small query set",
     "graph_triangle_count": "cross of three 1-row summary aggregates",
     "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
