@@ -479,3 +479,49 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "c_custkey", "version", "segment")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "agg_robust_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, abs(l_quantity - med_qty) AS adev,
+             l_quantity, med_qty
+      FROM lineitem l JOIN med USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           (floor(any_value(med_qty) * 100.0 + 0.5) / 100.0) AS med_qty,
+           (floor(median(adev) * 100.0 + 0.5) / 100.0) AS mad_qty,
+           CAST(count(*) FILTER (adev > 3 * 1.4826 * 14.0) AS BIGINT)
+             AS n_outliers
+    FROM dev GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median + median-absolute-deviation
+    (MAD) and an outlier count at the 3-sigma-equivalent MAD fence
+    (1.4826*MAD ~ sigma for normal data; the fence radius is pinned to a
+    constant so both engines count identical rows — a fence derived from
+    the group's own MAD would be the production form). Two grouped
+    exact-percentile passes joined back on the group key: medians don't
+    partial-aggregate, so each pass shuffles the full column — the
+    approx twin (percentile_approx, mergeable) is the 100 TB default and
+    this exact form is the auditor. Exact interpolated medians match
+    across engines (both interpolate at even counts)."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med_qty"))
+    dev = li.join(med, "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_quantity") - F.col("med_qty"))
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            hround(F.any_value("med_qty")).alias("med_qty"),
+            hround(F.median("adev")).alias("mad_qty"),
+            F.count_if(F.col("adev") > 3 * 1.4826 * 14.0).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )

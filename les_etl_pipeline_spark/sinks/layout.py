@@ -40,3 +40,38 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction — the nightly operational chore of any
+    streaming/append lakehouse: thousands of per-micro-batch files make
+    every scan pay per-file open/footer costs and starve the driver's
+    file index. Reads the directory, rewrites it as ``target_files``
+    files (range-partitioned and sorted on ``sort_col`` when given, so
+    compaction doubles as a clustering pass; plain coalesce otherwise),
+    and swaps atomically-enough via a staging directory + rename.
+    Returns the resulting file count. On a table format (Delta/Iceberg)
+    this is OPTIMIZE/rewrite_data_files; this is the stock-writer form
+    for plain parquet directories the reference's bronze layer uses."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(target_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.coalesce(target_files)
+    staging = path.rstrip("/") + "._compacting"
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -219,3 +219,28 @@ def test_multiformat_roundtrip_parity(spark, sf_dir, tmp_path):
     src.write.mode("overwrite").json(j)
     got_json = spark.read.schema(schema).json(j)
     assert sorted(tuple(r) for r in got_json.collect()) == expect
+
+
+def test_compact_parquet_preserves_data_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.sinks.layout import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    # simulate a streaming landing zone: 16 tiny appends
+    for i in range(16):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        ).write.mode("append").parquet(path)
+    before_files = len(glob.glob(f"{path}/part-*.parquet"))
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n = compact_parquet(spark, path, target_files=2, sort_col="id")
+    after_files = len(glob.glob(f"{path}/part-*.parquet"))
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    assert after == before
+    assert n == after_files
+    assert after_files <= 2 < before_files
