@@ -244,3 +244,38 @@ def test_compact_parquet_preserves_data_and_shrinks_files(spark, tmp_path):
     assert after == before
     assert n == after_files
     assert after_files <= 2 < before_files
+
+
+def test_incremental_read_high_water_mark(spark, tmp_path):
+    import datetime as dt
+
+    from les_etl_pipeline_spark.sources import incremental as inc
+
+    path = str(tmp_path / "landing")
+    state = str(tmp_path / "hwm.json")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(rows, "id long, ts timestamp_ntz").write.mode(
+            "append"
+        ).parquet(path)
+
+    write([(1, t0), (2, t0 + dt.timedelta(hours=1))])
+    d1 = inc.incremental_read(spark, path, "ts", state)
+    assert {r["id"] for r in d1.collect()} == {1, 2}
+    inc.commit_high_water_mark(d1, "ts", state)
+
+    # re-run before new data: empty delta, mark untouched
+    d_empty = inc.incremental_read(spark, path, "ts", state)
+    assert d_empty.count() == 0
+    mark_before = inc.read_high_water_mark(state)
+    inc.commit_high_water_mark(d_empty, "ts", state)
+    assert inc.read_high_water_mark(state) == mark_before
+
+    write([(3, t0 + dt.timedelta(hours=2)), (4, t0 + dt.timedelta(minutes=30))])
+    # id=4 is LATE (before the mark): an hwm read skips it by design —
+    # late data belongs to the watermarked streaming path, not CDC-lite
+    d2 = inc.incremental_read(spark, path, "ts", state)
+    assert {r["id"] for r in d2.collect()} == {3}
+    inc.commit_high_water_mark(d2, "ts", state)
+    assert inc.read_high_water_mark(state).startswith("2024-01-01 02:00:00")
