@@ -158,3 +158,17 @@ def stream_to_lakehouse(
     )
     q.awaitTermination()
     return q
+
+
+def enrich_with_static(stream_df: DataFrame, dim_df: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join — the most common streaming shape:
+    each micro-batch of the stream joins a BATCH dimension (no watermark
+    needed on either side; the static side is re-evaluated per batch, so
+    a dimension refreshed on disk is picked up by later batches). Spark
+    broadcasts the static side when it fits — at scale pin the dimension
+    small (current SCD2 snapshot, not history) or pre-bucket both sides.
+    Inner join: unmatched stream rows drop; use a left join + quarantine
+    for audit paths."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim_df), key)

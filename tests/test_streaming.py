@@ -278,3 +278,21 @@ def test_incremental_agg_state_matches_full_recompute(spark, stream_dir, tmp_pat
         for r in SI.read_state(spark, state).collect()
     }
     assert again == expect
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, stream_dir, tmp_path):
+    """Stream-static join: drained stream enriched by a batch dimension
+    equals the same join run fully in batch."""
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "engage"), ("purchase", "convert")],
+        "event_type string, stage string",
+    )
+    out = SW.enrich_with_static(SW.read_event_stream(spark, stream_dir), dim, "event_type")
+    SW.run_to_memory(out, "enriched_stream")
+    got = {
+        (r["event_id"], r["stage"])
+        for r in spark.sql("SELECT event_id, stage FROM enriched_stream").collect()
+    }
+    batch = spark.read.parquet(stream_dir).join(dim, "event_type")
+    expect = {(r["event_id"], r["stage"]) for r in batch.collect()}
+    assert got == expect and len(got) > 0
