@@ -168,3 +168,79 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, F.col("vec_id") < 8, k=5, n_cells=8, n_probe=4, m=8, n_codes=16, rerank=50
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS INT) AS n_toks,
+             len(list_distinct(string_split(text,' '))) * 1.0
+               / len(string_split(text,' ')) AS distinct_ratio,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS en,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['el','la','de','y','que','en','un'], x))) AS INT) AS es,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['le','la','de','et','que','en','un'], x))) AS INT) AS fr,
+             CAST(len(list_filter(string_split(text,' '),
+                  x -> list_contains(['der','die','das','und','zu','in','ist'], x))) AS INT) AS de
+      FROM documents WHERE text IS NOT NULL
+    ), langed AS (
+      SELECT *,
+             CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                  WHEN en = greatest(en, es, fr, de) THEN 'en'
+                  WHEN es = greatest(en, es, fr, de) THEN 'es'
+                  WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                  ELSE 'de' END AS predicted_lang,
+             (len(string_split(text,' ')) >= 20 AND
+              len(list_distinct(string_split(text,' '))) * 1.0
+                / len(string_split(text,' ')) >= 0.3) AS kept
+      FROM s JOIN documents USING (doc_id)
+    )
+    SELECT predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+           (floor((count(*) FILTER (kept)) * 1.0 / count(*) * 10000.0 + 0.5)
+            / 10000.0) AS kept_frac,
+           (floor(avg(n_toks) FILTER (kept) * 100.0 + 0.5) / 100.0)
+             AS avg_kept_tokens
+    FROM langed GROUP BY predicted_lang ORDER BY predicted_lang
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning report — the composition the pieces
+    exist for: language-ID (stopword heuristic), per-doc quality
+    features (token count, type-token ratio), a keep/drop gate, and the
+    per-language yield report a data curator reads before a pretraining
+    run. Everything is one projection + one groupBy (no joins, no UDFs)
+    — at 100 TB this is a single corpus scan with map-side combine,
+    which is the point of keeping quality signals as column
+    expressions."""
+    from ..operators import text as T
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = T.ws_tokens("text")
+    n_toks = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    kept = (n_toks >= 20) & (distinct_ratio >= 0.3)
+    staged = docs.select(
+        T.predicted_lang(toks).alias("predicted_lang"),
+        n_toks.alias("n_toks"),
+        kept.alias("kept"),
+    )
+    return (
+        staged.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("kept")).alias("n_kept"),
+            hround(F.count_if(F.col("kept")) / F.count(F.lit(1)), 4).alias(
+                "kept_frac"
+            ),
+            hround(F.avg(F.when(F.col("kept"), F.col("n_toks")))).alias(
+                "avg_kept_tokens"
+            ),
+        )
+        .orderBy("predicted_lang")
+    )
