@@ -525,3 +525,35 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_try_sum_avg",
+    oracle="""
+    SELECT l_returnflag,
+           (floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0) AS sum_price,
+           (floor(avg(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0)
+             AS avg_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_long
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_try_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe aggregates: try_sum / try_avg return NULL on overflow
+    instead of failing the job — under Spark 4's ANSI default, plain
+    sum() over longs THROWS on overflow, so a 100 TB aggregation over
+    untrusted magnitudes wants the try_ forms (one poisoned group yields
+    a null, not a dead job; the overflow->null behavior itself is pinned
+    in tests/test_round5_ops.py, since an overflowing oracle can't be
+    portable). On non-overflowing data they equal the plain aggregates,
+    which is what the oracle checks."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            hround(F.try_sum("l_extendedprice")).alias("sum_price"),
+            hround(F.try_avg("l_extendedprice"), 6).alias("avg_price"),
+            F.try_sum(F.col("l_quantity").cast("long")).alias("sum_qty_long"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -59,10 +59,13 @@ def sliding_averages(events: DataFrame, window: str = "1 hour", slide: str = "30
     )
 
 
-def session_aggregates(events: DataFrame, gap: str = "30 minutes",
+def session_aggregates(events: DataFrame, gap="30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Gap-based session windows per user (stateful; state store holds
-    open sessions until watermark passes)."""
+    open sessions until watermark passes). ``gap`` is a duration string
+    OR a Column expression of the incoming row (dynamic gap — e.g.
+    purchases hold sessions open longer), the same form the batch twin
+    events_sessionize_dynamic_gap pins against its oracle."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

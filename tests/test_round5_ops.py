@@ -279,3 +279,15 @@ def test_incremental_read_high_water_mark(spark, tmp_path):
     assert {r["id"] for r in d2.collect()} == {3}
     inc.commit_high_water_mark(d2, "ts", state)
     assert inc.read_high_water_mark(state).startswith("2024-01-01 02:00:00")
+
+
+def test_try_sum_overflow_yields_null_not_error(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(9223372036854775807,), (9223372036854775807,), (1,)], "v long"
+    )
+    row = df.agg(
+        F.try_sum("v").alias("s"), F.try_avg("v").alias("a")
+    ).collect()[0]
+    assert row["s"] is None  # overflow -> NULL, job survives

@@ -296,3 +296,26 @@ def test_stream_static_enrichment_matches_batch_join(spark, stream_dir, tmp_path
     batch = spark.read.parquet(stream_dir).join(dim, "event_type")
     expect = {(r["event_id"], r["stage"]) for r in batch.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_session_window_dynamic_gap_stream(spark, stream_dir):
+    """session_window with a per-row gap EXPRESSION in true streaming:
+    'view' events hold the session open 90 minutes, others 30 — the
+    batch-1 views at 00:05/00:20 and the batch-2 duplicate coalesce with
+    the 01:05 click only under the longer view gap."""
+    gap = F.when(
+        F.col("event_type") == "view", F.make_interval(mins=F.lit(90))
+    ).otherwise(F.make_interval(mins=F.lit(30)))
+    out = SW.session_aggregates(SW.read_event_stream(spark, stream_dir), gap=gap)
+    SW.run_to_memory(out, "t_dyn_sessions")
+    rows = spark.sql("SELECT * FROM t_dyn_sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: views at 00:05, 00:20 (x2 with duplicate) -> 90-min gap keeps
+    # the session open until 01:50; closed and emitted by the 03:00 mark
+    u1 = by_user[1][0]
+    assert u1["n_events"] == 3
+    assert u1["session_end"] == T0 + dt.timedelta(minutes=110)  # 00:20 + 90min
+    # user 2's click session closes 30 min after 01:05
+    assert by_user[2][0]["session_end"] == T0 + dt.timedelta(hours=1, minutes=35)
