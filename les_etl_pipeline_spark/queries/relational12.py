@@ -557,3 +557,31 @@ def agg_try_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scalar_regexp_count_substr",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS INT) AS n_the,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INT) AS n_a_words,
+           nullif(regexp_extract(text, 'q[a-z]+'), '') AS first_q_word,
+           nullif(regexp_extract(text, '[a-z]*join[a-z]*'), '') AS first_join_word
+    FROM documents WHERE doc_id <= 800 ORDER BY doc_id
+    """,
+)
+def scalar_regexp_count_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 3.4/3.5 regexp additions: regexp_count (match count
+    without materializing the match array) and regexp_substr (first
+    match, NULL when absent — the oracle wraps DuckDB's empty-string
+    no-match convention in nullif). Pure codegen projections; the
+    corpus-analysis face is counting stopword/pattern hits without an
+    explode."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 800)
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\bthe\b")).alias("n_the"),
+        F.regexp_count("text", F.lit(r"[a-z]+a[a-z]*")).alias("n_a_words"),
+        F.regexp_substr("text", F.lit(r"q[a-z]+")).alias("first_q_word"),
+        F.regexp_substr("text", F.lit(r"[a-z]*join[a-z]*")).alias("first_join_word"),
+    ).orderBy("doc_id")
