@@ -585,3 +585,40 @@ def scalar_regexp_count_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_substr("text", F.lit(r"q[a-z]+")).alias("first_q_word"),
         F.regexp_substr("text", F.lit(r"[a-z]*join[a-z]*")).alias("first_join_word"),
     ).orderBy("doc_id")
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           string_agg(DISTINCT CAST(o_custkey % 5 AS VARCHAR), '|'
+                      ORDER BY CAST(o_custkey % 5 AS VARCHAR)) AS cohorts
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — SQL:2016 LISTAGG ... WITHIN GROUP
+    (Spark 4): DISTINCT values concatenated in an explicit order, the
+    deterministic form (bare listagg concatenates in partition-arrival
+    order — nondeterministic under parallelism, the same trap as bare
+    collect_list). The second column uses the array-native twin
+    (array_join over a sorted collect_set) deliberately: TWO
+    listagg-DISTINCT aggregates over different columns in one GROUP BY
+    throw a ClassCastException in Spark 4.1 (AttributeReference vs
+    SortOrder in the distinct rewrite — reproduced and pinned here), and
+    the native form is the drop-in workaround with identical output."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "cohort", (F.col("o_custkey") % 5).cast("string")
+    )
+    o.createOrReplaceTempView("listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               array_join(array_sort(collect_set(cohort)), '|') AS cohorts
+        FROM listagg_orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
