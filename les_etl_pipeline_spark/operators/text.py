@@ -232,23 +232,82 @@ def bpe_train_merges(
         a, b, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
         merges.append((a, b, pc))
 
-        # greedy left-to-right non-overlapping merge as a pure fold:
-        # append x, unless (last == a and x == b) in which case the last
-        # element becomes a||b — a just-merged token can never match as
-        # `a` again within the same pass unless it IS the same string,
-        # which is exactly BPE's symbols-are-strings semantics.
-        la, lb = F.lit(a), F.lit(b)
-        merged = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        vocab = vocab.select(merged.alias("syms"), "wc").localCheckpoint()
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
+        ).localCheckpoint()
 
     return merges
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping BPE merge of (a, b) as a pure
+    fold: append x, unless (last == a and x == b) in which case the last
+    element becomes a||b — a just-merged token can never match as ``a``
+    again within the same pass unless it IS the same string, which is
+    exactly BPE's symbols-are-strings semantics."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_partitions: int = 4,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Encode documents with a trained BPE merge list — the apply side
+    of ``bpe_train_merges``. Returns (id_col, tokens array<string>,
+    n_tokens), token order preserving the document's word order.
+
+    Scale structure mirrors training: merges are applied to the DISTINCT
+    WORD VOCABULARY (vocab-sized work — orders of magnitude below the
+    corpus), then words map to their token arrays through one join and
+    the corpus pass is a pure reassembly. Encoding never re-runs the
+    merge fold over corpus-sized data. All merge folds are JVM
+    higher-order functions chained into one plan; every
+    ``checkpoint_every`` merges the vocab is localCheckpoint()ed so
+    expression depth stays bounded for production-sized merge lists
+    (32k merges would otherwise build a 32k-deep expression tree).
+
+    Deterministic: a pure function of (corpus, merges); exactness vs a
+    pure-Python reference encoder is pinned in tests/test_round5_ops.py.
+    """
+    words = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    uniq = words.select("w").distinct().repartition(vocab_partitions)
+    enc = uniq.select(
+        "w", F.filter(F.split(F.col("w"), "(?!^)"), lambda x: x != "").alias("toks")
+    )
+    for i, m in enumerate(merges):
+        enc = enc.select("w", _merge_pair(F.col("toks"), m[0], m[1]).alias("toks"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    # corpus-side reassembly: word -> tokens via ONE join (the encoded
+    # vocab is small next to the corpus; AQE broadcasts it when it fits),
+    # then per-doc ordered flatten.
+    return (
+        words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+    )

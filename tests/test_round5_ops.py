@@ -291,3 +291,153 @@ def test_try_sum_overflow_yields_null_not_error(spark):
         F.try_sum("v").alias("s"), F.try_avg("v").alias("a")
     ).collect()[0]
     assert row["s"] is None  # overflow -> NULL, job survives
+
+
+def _bpe_encode_reference(
+    texts: list[tuple[int, str]], merges: list[tuple[str, str, int]]
+) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {}
+    for doc_id, t in texts:
+        toks: list[str] = []
+        for w in (t or "").split():
+            if not w:
+                continue
+            syms = list(w)
+            for a, b, _c in merges:
+                merged: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            toks.extend(syms)
+        out[doc_id] = toks
+    return out
+
+
+def test_bpe_encode_matches_pure_python_reference(spark, sf_dir):
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.text import bpe_encode, bpe_train_merges
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 80)
+    merges = bpe_train_merges(docs, n_merges=6)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(docs, merges, checkpoint_every=3).collect()
+    }
+    texts = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    want = _bpe_encode_reference(texts, merges)
+    assert set(got) == {d for d, t in texts if (t or "").split()}
+    for d in got:
+        assert got[d] == want[d], f"doc {d}: {got[d][:8]} vs {want[d][:8]}"
+
+
+def test_cms_estimate_bounds(spark, sf_dir):
+    """CMS guarantees: est >= true always; est <= true + eps*N w.h.p.
+    (eps = e/width). Checked for EVERY distinct token, not just heavy
+    hitters."""
+    import math
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import sketches
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    n_total = toks.count()
+    depth, width = 4, 2048
+    sketch = sketches.cms_build(toks, "tok", depth=depth, width=width)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_c"))
+    est = sketches.cms_estimate(sketch, truth, "tok", depth=depth, width=width)
+    rows = est.collect()
+    assert rows, "no tokens"
+    eps_bound = math.e / width * n_total
+    n_over = 0
+    for r in rows:
+        assert r["est_c"] >= r["true_c"], f"{r['tok']}: CMS underestimated"
+        if r["est_c"] > r["true_c"] + eps_bound:
+            n_over += 1
+    # P(overshoot > eps*N) <= (1/e)^depth ~ 1.8% per query; allow slack
+    assert n_over <= max(3, 0.05 * len(rows)), f"{n_over}/{len(rows)} beyond eps bound"
+
+
+def test_cms_merge_equals_single_build(spark, sf_dir):
+    """Shard-and-merge == single pass: the mergeable-partial property
+    that makes the sketch usable as a streaming accumulator."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import sketches
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") <= 200))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    whole = sketches.cms_build(toks, "tok")
+    half_a = sketches.cms_build(toks.where(F.col("doc_id") % 2 == 0), "tok")
+    half_b = sketches.cms_build(toks.where(F.col("doc_id") % 2 == 1), "tok")
+    merged = sketches.cms_merge(half_a, half_b)
+    w = {(r["row"], r["pos"]): r["c"] for r in whole.collect()}
+    m = {(r["row"], r["pos"]): r["c"] for r in merged.collect()}
+    assert w == m
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import sketches
+
+    o = table(spark, sf_dir, "orders")
+    got = {
+        r["o_orderstatus"]: r["n_distinct"]
+        for r in sketches.bitmap_distinct(o, ["o_orderstatus"], "o_custkey").collect()
+    }
+    want = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_chunk_dedup_reconstruct_properties(spark, sf_dir):
+    """Idempotence-flavored invariants: every surviving chunk text is
+    globally unique; per-doc n_kept <= n_total; total kept == distinct
+    chunk texts in the corpus."""
+    from les_etl_pipeline_spark.queries.llm_data6 import (
+        CHUNK_TOKENS,
+        dedup_chunk_reconstruct,
+    )
+    from les_etl_pipeline_spark.catalog import table
+
+    res = dedup_chunk_reconstruct(spark, sf_dir)
+    rows = res.collect()
+    assert all(r["n_kept"] <= r["n_total"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    n_distinct_chunks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("p", "w"))
+        .withColumn("ci", (F.col("p") / CHUNK_TOKENS).cast("long"))
+        .groupBy("doc_id", "ci")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))), lambda s: s["w"]
+                ),
+            ).alias("chunk")
+        )
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    assert total_kept == n_distinct_chunks
