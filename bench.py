@@ -70,10 +70,13 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm up the JVM/codegen paths once on the smallest table
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # one untimed warmup pass over the whole list: JIT/codegen compile,
+    # parquet footers and pages into OS cache. Without it each query's
+    # first rep mixes one-time process costs into the median, and the
+    # suite number tracks machine state more than plan quality (r4's
+    # "uniform drift" was exactly this).
+    for name in names:
+        run_one(spark, name, sf_dir)
     # interleave reps (all queries, then repeat) so one query's reps don't
     # all land on the same transient system load spike
     times: dict[str, list[float]] = {n: [] for n in names}
