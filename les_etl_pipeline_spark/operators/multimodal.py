@@ -39,6 +39,50 @@ def to_asset_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+#: extension -> mime for the binaryFile ingest path
+_EXT_MIME = {
+    "bmp": "image/bmp",
+    "wav": "audio/wav",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+}
+
+
+def read_binary_assets(spark, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw asset FILES through Spark's built-in ``binaryFile``
+    source into the ASSET_SCHEMA contract — how image/audio payloads
+    actually arrive in a lake (a directory of media files), as opposed
+    to payloads already inside a table column.
+
+    binaryFile reads each file as one row (path, modificationTime,
+    length, content) with the bytes loaded executor-side — the driver
+    never touches payloads, and files spread across tasks for parallel
+    decode downstream. doc_id is the xxhash64 of the file path (stable
+    across re-runs and re-orderings); mime comes from the extension.
+    ``pathGlobFilter`` prunes non-matching files at the LISTING, before
+    any bytes are read. At 100 TB-of-assets scale the same reader works
+    over an object-store prefix; pair it with maxPartitionBytes to keep
+    a task's resident payload bound."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return df.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias("mime"),
+        F.col("length").cast("long").alias("n_bytes"),
+    )
+
+
 def encode_bmp(width: int, height: int, pixel_value: int) -> bytes:
     """Build a real uncompressed 24-bpp BMP (BITMAPINFOHEADER, bottom-up,
     rows padded to 4 bytes) with every BGR byte = pixel_value. Fixture

@@ -441,3 +441,42 @@ def test_chunk_dedup_reconstruct_properties(spark, sf_dir):
         .count()
     )
     assert total_kept == n_distinct_chunks
+
+
+def test_binaryfile_ingest_to_decoded_features(spark, tmp_path):
+    """End-to-end multimodal ingest: real BMP/WAV files on disk -> the
+    built-in binaryFile source -> ASSET_SCHEMA -> mime-dispatched decode.
+    Glob pruning happens at listing time (the .txt distractor is never
+    read)."""
+    from les_etl_pipeline_spark.operators import multimodal
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.bmp").write_bytes(multimodal.encode_bmp(5, 3, 100))
+    (d / "b.wav").write_bytes(multimodal.encode_wav(400, 1000))
+    (d / "junk.txt").write_text("not an asset")
+
+    assets = multimodal.read_binary_assets(spark, str(d), glob="*.{bmp,wav}")
+    rows = {r["mime"]: r for r in assets.collect()}
+    assert set(rows) == {"image/bmp", "audio/wav"}
+    assert rows["image/bmp"]["n_bytes"] == len(multimodal.encode_bmp(5, 3, 100))
+
+    feats = {r["mime"]: r for r in multimodal.decode_features(assets).collect()}
+    img = feats["image/bmp"]
+    assert (img["width"], img["height"]) == (5, 3)
+    assert abs(img["mean_pixel"] - 100.0) < 1e-9
+    au = feats["audio/wav"]
+    assert au["sample_rate"] == 8000 and au["n_channels"] == 1
+    assert abs(au["rms"] - 1000.0) < 1e-6
+    assert au["duration_ms"] == 50
+
+
+def test_binaryfile_doc_ids_stable(spark, tmp_path):
+    from les_etl_pipeline_spark.operators import multimodal
+
+    d = tmp_path / "assets2"
+    d.mkdir()
+    (d / "x.bmp").write_bytes(multimodal.encode_bmp(2, 2, 7))
+    a = multimodal.read_binary_assets(spark, str(d)).select("doc_id").collect()
+    b = multimodal.read_binary_assets(spark, str(d)).select("doc_id").collect()
+    assert a == b and len(a) == 1
