@@ -1,0 +1,183 @@
+"""Custom Python data sources (Spark 4 DataSource API).
+
+The reference's ingestion surface is fixed (CSV dumps + XML deal files,
+SURVEY.md §2.1); a Spark-native engine can instead EXTEND the source
+registry. Two sources demonstrate the full API:
+
+- ``synthdocs`` (reader): a deterministic synthetic document corpus
+  generated executor-side, partition-parallel, at any requested scale —
+  no bytes on disk. Scale probing ("does this dedup plan survive 100M
+  docs?") needs corpus SHAPE, not stored data; a generating source
+  makes the 100x test a config change instead of a 100x dataset copy.
+  Every row is a pure function of doc_id, so two reads (any partition
+  count) produce identical tables — the property the determinism test
+  pins.
+- ``jsonl_shards`` (writer): one .jsonl shard per task with a driver
+  commit step that writes a manifest listing exactly the shards whose
+  tasks reported success — the two-phase write-commit contract
+  (executors stage, driver publishes; abandoned shards from failed or
+  speculative tasks are not listed). Complements sources/jsonl_ingest
+  (the read side).
+
+Both register with ``spark.dataSource.register`` and are then ordinary
+``spark.read.format(...)`` / ``df.write.format(...)`` citizens — the
+extension point itself is the feature under test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+_VOCAB = (
+    "the fast key order sort table scan merge part window small hash join "
+    "batch stream spark data query plan shuffle broadcast filter agg dup "
+    "doc text token chunk score clean split train eval model corpus"
+).split()
+
+_LANGS = ("en", "es", "de", "fr", "it")
+
+SYNTH_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _synth_row(doc_id: int, mean_words: int) -> tuple:
+    """One synthetic document, a pure function of doc_id (md5-driven so
+    any engine/process reproduces it byte-for-byte)."""
+    h = hashlib.md5(f"synthdoc:{doc_id}".encode()).digest()
+    n_words = 5 + (int.from_bytes(h[:4], "big") % (2 * mean_words - 9))
+    words = []
+    x = int.from_bytes(h[4:12], "big")
+    for i in range(n_words):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        words.append(_VOCAB[x % len(_VOCAB)])
+    text = " ".join(words)
+    return (
+        doc_id,
+        text,
+        _LANGS[h[12] % len(_LANGS)],
+        f"src{h[13] % 8}",
+        len(text),
+    )
+
+
+class _SynthPartition(InputPartition):
+    def __init__(self, lo: int, hi: int, mean_words: int):
+        self.lo, self.hi, self.mean_words = lo, hi, mean_words
+
+
+class _SynthReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_parts = int(options.get("n_partitions", 8))
+        self.mean_words = int(options.get("mean_words", 40))
+
+    def partitions(self) -> list[InputPartition]:
+        # even doc_id ranges; partition count is the read parallelism
+        # knob exactly like file splits are for a file source
+        step = max(1, (self.n_docs + self.n_parts - 1) // self.n_parts)
+        return [
+            _SynthPartition(lo, min(lo + step, self.n_docs), self.mean_words)
+            for lo in range(0, self.n_docs, step)
+        ]
+
+    def read(self, partition: _SynthPartition) -> Iterator[tuple]:
+        for doc_id in range(partition.lo, partition.hi):
+            yield _synth_row(doc_id, partition.mean_words)
+
+
+class SynthDocsDataSource(DataSource):
+    """spark.read.format("synthdocs").option("n_docs", N) — generated
+    corpus, no storage."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SynthReader(self.options)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, shard: str, n_rows: int):
+        self.shard = shard
+        self.n_rows = n_rows
+
+
+class _JsonlShardWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema):
+        self.path = options["path"]
+        self.field_names = [f.name for f in schema.fields]
+
+    def write(self, rows: Iterator) -> _ShardCommit:
+        """Executor-side: stage one shard under a unique name (staging
+        name includes a uuid so a retried/speculative task never
+        collides with its twin)."""
+        os.makedirs(self.path, exist_ok=True)
+        shard = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, shard), "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(self.field_names, row))) + "\n")
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages: list[_ShardCommit]) -> None:
+        """Driver-side publish: the manifest lists exactly the shards of
+        successful tasks; readers that honor the manifest never see
+        abandoned duplicates."""
+        manifest = {
+            "shards": sorted(m.shard for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages: list[_ShardCommit]) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.shard))
+                except OSError:
+                    pass
+
+
+class JsonlShardsDataSource(DataSource):
+    """df.write.format("jsonl_shards").option("path", dir) — staged
+    shards published by a driver manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlShardWriter(self.options, schema)
+
+
+def read_manifest_shards(spark, path: str):
+    """Read back a jsonl_shards directory through its manifest — only
+    published shards, never stragglers."""
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, s) for s in manifest["shards"]]
+    return spark.read.json(files)
+
+
+def register_all(spark) -> None:
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(JsonlShardsDataSource)
