@@ -105,3 +105,35 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, acctbal DESC, custkey
         """
     )
+
+
+@register(
+    "agg_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           (floor(sum(l_quantity) * 100.0 + 0.5) / 100.0) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the DuckDB-originated dialect sugar
+    Spark 4 adopted: grouping keys inferred as every non-aggregate
+    select item, ordering as the full select list. Same physical plan
+    as the explicit form (one partial+final hash aggregate); what's
+    under test is dialect parity between the two engines' inference
+    rules, which must pick identical key sets for the hashes to match.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               (floor(sum(l_quantity) * 100.0D + 0.5D) / 100.0D) AS sum_qty
+        FROM lineitem_v
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

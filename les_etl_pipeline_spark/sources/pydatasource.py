@@ -2,7 +2,7 @@
 
 The reference's ingestion surface is fixed (CSV dumps + XML deal files,
 SURVEY.md §2.1); a Spark-native engine can instead EXTEND the source
-registry. Two sources demonstrate the full API:
+registry. Three sources demonstrate the full API:
 
 - ``synthdocs`` (reader): a deterministic synthetic document corpus
   generated executor-side, partition-parallel, at any requested scale —
@@ -18,8 +18,13 @@ registry. Two sources demonstrate the full API:
   (executors stage, driver publishes; abandoned shards from failed or
   speculative tasks are not listed). Complements sources/jsonl_ingest
   (the read side).
+- ``synthevents`` (stream reader): a bounded deterministic event stream
+  through SimpleDataSourceStreamReader — micro-batch offsets are row
+  counts and every batch is a pure function of its offset range, so
+  recovery replay (readBetweenOffsets) is byte-identical: the
+  deterministic-replay contract exactly-once sinks rely on.
 
-Both register with ``spark.dataSource.register`` and are then ordinary
+All three register with ``spark.dataSource.register`` and are then ordinary
 ``spark.read.format(...)`` / ``df.write.format(...)`` citizens — the
 extension point itself is the feature under test.
 """
@@ -33,6 +38,7 @@ import uuid
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
+    SimpleDataSourceStreamReader,
     DataSource,
     DataSourceReader,
     DataSourceWriter,
@@ -178,6 +184,66 @@ def read_manifest_shards(spark, path: str):
     return spark.read.json(files)
 
 
+SYNTH_EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+_EVENT_TYPES = ("view", "click", "purchase", "scroll")
+_EPOCH0 = 1700000000  # fixed stream epoch: rows are pure offset functions
+
+
+def _synth_event(i: int) -> tuple:
+    import datetime
+
+    h = hashlib.md5(f"synthevent:{i}".encode()).digest()
+    return (
+        i,
+        datetime.datetime.utcfromtimestamp(_EPOCH0 + i * 7),
+        int.from_bytes(h[:4], "big") % 500,
+        _EVENT_TYPES[h[4] % len(_EVENT_TYPES)],
+        (int.from_bytes(h[5:9], "big") % 10_000) / 100.0,
+    )
+
+
+class _SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch offsets are plain row counts; every batch is a pure
+    function of its offset range, so failure replay
+    (readBetweenOffsets) regenerates byte-identical rows — the
+    deterministic-replay contract exactly-once sinks rely on."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.n_total = int(options.get("n_total", 200))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = start["offset"]
+        hi = min(lo + self.rows_per_batch, self.n_total)
+        return iter([_synth_event(i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_synth_event(i) for i in range(start["offset"], end["offset"])])
+
+
+class SynthEventsStreamDataSource(DataSource):
+    """spark.readStream.format("synthevents") — a deterministic event
+    stream generated in Python, micro-batch paced by rows_per_batch and
+    bounded by n_total (an exhausted source returns empty increments, so
+    trigger(availableNow=True) terminates — the replayable-fixture shape
+    for streaming tests at any volume)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthevents"
+
+    def schema(self) -> str:
+        return SYNTH_EVENT_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SynthEventsStreamReader(self.options)
+
+
 def register_all(spark) -> None:
     spark.dataSource.register(SynthDocsDataSource)
     spark.dataSource.register(JsonlShardsDataSource)
+    spark.dataSource.register(SynthEventsStreamDataSource)
