@@ -1,0 +1,193 @@
+"""Seventh LLM-data pack: retrieval-grade text scoring and robust
+fingerprinting.
+
+- ``text_bm25_topk``: Okapi BM25 ranking of the corpus against a fixed
+  term query — the retrieval scorer (data curation reuses it for
+  query-targeted corpus selection). One corpus scan builds tf; df and
+  avgdl derive from it; no per-term rescans.
+- ``text_winnowing_fingerprints``: MOSS-style winnowing (Schleimer/
+  Wilkerson/Aiken, SIGMOD'03): per window of w consecutive k-gram
+  hashes keep the minimum (rightmost on ties) — guarantees any shared
+  substring of length >= w+k-1 shares a fingerprint, with ~2/(w+1)
+  selection density. The robust upgrade of the rolling-hash
+  fingerprinter (text_fingerprint_rolling) for partial-overlap
+  detection.
+
+Reference parity: no counterpart (reference text surface = cleaning,
+SURVEY.md §2.4); LLM-data gap operators from the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from .registry import register
+
+BM25_TERMS = ("spark", "window", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+WIN_K = 3  # k-gram size (words)
+WIN_W = 4  # winnowing window (k-gram hashes)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), dl AS (
+      SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id
+    ), avgdl AS (
+      SELECT avg(dlen) AS avgdl, count(*) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({BM25_K1} + 1.0)
+               / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dlen / avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (w)
+      JOIN dl USING (doc_id)
+      CROSS JOIN avgdl
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, (floor(score * 1000000.0 + 0.5) / 1000000.0) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed 3-term query. Plan shape: ONE
+    token-explode scan feeds everything — tf filters to the query terms
+    BEFORE its groupBy (the explode stream shrinks by ~|vocab|/3
+    immediately), df and avgdl are tiny aggregates of tf/dl, both
+    broadcast; the final ranking is TakeOrderedAndProject, never a
+    global sort. At 100 TB the doc-length table is the only corpus-sized
+    aggregate, and it's the same single exchange the quality-score
+    queries already pay."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    avgdl = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        tok.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", hround("score", 6).alias("bm25"))
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents WHERE doc_id < 150 AND text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, pos - 1 AS gpos,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), hashes AS (
+      SELECT doc_id, gpos,
+             ('0x' || substr(md5(g), 1, 10))::BIGINT * 1048576
+               + (1048575 - gpos) AS hkey
+      FROM grams WHERE g IS NOT NULL
+    ), mins AS (
+      SELECT doc_id,
+             min(hkey) OVER (PARTITION BY doc_id ORDER BY gpos
+                             ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS sel,
+             count(*) OVER (PARTITION BY doc_id ORDER BY gpos
+                            ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS wsize
+      FROM hashes
+    )
+    SELECT DISTINCT doc_id,
+           CAST(sel // 1048576 AS BIGINT) AS fp_hash,
+           CAST(1048575 - (sel % 1048576) AS INT) AS fp_pos
+    FROM mins WHERE wsize = {WIN_W}
+    ORDER BY doc_id, fp_pos
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: hash every {WIN_K}-word gram (40-bit
+    md5 prefix — engine-portable), slide a {WIN_W}-hash window, keep
+    each window's minimum hash with RIGHTMOST-position tie-break, then
+    distinct per document. The tie-break and the min ride in ONE 60-bit
+    key (hash * 2^20 + (2^20-1-pos)): minimizing it minimizes the hash
+    and, among equal hashes, maximizes the position — so the window min
+    is a plain ``min`` over a ROWS frame, no argmin gymnastics, and
+    both engines compute the identical integer. Windows are per-doc
+    ROWS frames (partition-parallel, no global order); density is
+    ~2/(w+1) of grams, the paper's guarantee that any shared run of
+    >= w+k-1 words leaves a shared fingerprint."""
+    docs = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 150) & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("gpos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("gpos")
+    g = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    )
+    grams = (
+        toks.select("doc_id", "gpos", F.lead("w", 2).over(win).alias("_ok"), g.alias("g"))
+        .where(F.col("_ok").isNotNull())
+    )
+    hkey = (
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("long") * F.lit(1048576)
+        + (F.lit(1048575) - F.col("gpos"))
+    )
+    frame = (
+        W.partitionBy("doc_id").orderBy("gpos").rowsBetween(W.currentRow, WIN_W - 1)
+    )
+    mins = grams.select(
+        "doc_id",
+        F.min(hkey).over(frame).alias("sel"),
+        F.count(F.lit(1)).over(frame).alias("wsize"),
+    ).where(F.col("wsize") == WIN_W)
+    return (
+        mins.select(
+            "doc_id",
+            # integer DIV, not `/`: these keys exceed 2^53, double math
+            # would corrupt the high bits
+            F.expr("CAST(sel DIV 1048576 AS BIGINT)").alias("fp_hash"),
+            (F.lit(1048575) - F.col("sel") % 1048576).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )
