@@ -191,3 +191,104 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "fp_pos")
     )
+
+
+TOKEN_BUDGET = 6000
+MIX_BUCKETS = 10000
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), per_source AS (
+      SELECT source, sum(n_tokens) AS src_tokens, count(*) AS n_docs
+      FROM per_doc GROUP BY source
+    ), plan AS (
+      SELECT source, src_tokens, n_docs,
+             least(1.0, CAST({TOKEN_BUDGET} AS DOUBLE)
+                        / (SELECT count(*) FROM per_source) / src_tokens) AS rate
+      FROM per_source
+    ), sampled AS (
+      SELECT d.source,
+             sum(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           % {MIX_BUCKETS} < p.rate * {MIX_BUCKETS}
+                      THEN d.n_tokens ELSE 0 END) AS sampled_tokens,
+             sum(CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                           % {MIX_BUCKETS} < p.rate * {MIX_BUCKETS}
+                      THEN 1 ELSE 0 END) AS sampled_docs
+      FROM per_doc d JOIN plan p USING (source)
+      GROUP BY d.source
+    )
+    SELECT p.source,
+           CAST(p.src_tokens AS BIGINT) AS src_tokens,
+           (floor(p.rate * 1000000.0 + 0.5) / 1000000.0) AS rate,
+           CAST(s.sampled_tokens AS BIGINT) AS sampled_tokens,
+           CAST(s.sampled_docs AS BIGINT) AS sampled_docs
+    FROM plan p JOIN sampled s USING (source)
+    ORDER BY p.source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the data-mixing step of a
+    pretraining pipeline: target an equal token share per source under a
+    total budget, derive each source's sampling rate
+    (min(1, budget/n_sources/source_tokens)), apply it as a
+    DETERMINISTIC md5-bucket filter on doc_id (reproducible across
+    runs/engines/partitionings, unlike rand()), and report planned rate
+    vs achieved tokens/docs per source.
+
+    Plan shape: one corpus scan builds (doc, source, n_tokens); the
+    per-source plan is a tiny aggregate joined back BROADCAST (sources
+    number in the hundreds at web scale, the fact side never
+    reshuffles); the sampled accounting rides the same scan — two
+    exchanges total. The rate column is also exactly what a writer would
+    use to emit the mixed corpus itself (sample_hash_split applies the
+    identical bucket filter)."""
+    per_doc = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    n_sources = per_source.select(F.count(F.lit(1)).alias("n_sources"))
+    plan = per_source.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(TOKEN_BUDGET)) / F.col("n_sources") / F.col("src_tokens"),
+        ).alias("rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % MIX_BUCKETS
+    )
+    keep = bucket < F.col("rate") * MIX_BUCKETS
+    sampled = (
+        per_doc.join(F.broadcast(plan), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("sampled_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("sampled_docs"),
+        )
+    )
+    return (
+        plan.join(sampled, "source")
+        .select(
+            "source",
+            F.col("src_tokens").cast("long").alias("src_tokens"),
+            hround("rate", 6).alias("rate"),
+            F.col("sampled_tokens").cast("long").alias("sampled_tokens"),
+            F.col("sampled_docs").cast("long").alias("sampled_docs"),
+        )
+        .orderBy("source")
+    )
