@@ -1,0 +1,93 @@
+"""Deterministic Lloyd k-means over embedding columns.
+
+``pyspark.ml.clustering.KMeans`` (used by the IVF/PQ index builders in
+``operators/similarity.py``) is seeded but not engine-portable: its
+k-means|| init and float32 aggregation cannot be reproduced by an oracle
+SQL engine. This module is the oracle-checkable face of clustering —
+corpus bucketing for mixture curation / semantic dedup tiers:
+
+- seeds are the ``k`` lowest-id vectors (rank order = cluster id), so
+  both engines start from identical centroids;
+- every distance is a sequential in-array fold over ``zip_with``
+  (deterministic summation order, bit-equal to DuckDB's
+  ``list_aggregate(list_transform(...), 'sum')``), rounded to 6dp
+  before the argmin so a last-ulp divergence cannot flip an assignment;
+- argmin ties break on the lower cluster id (lexicographic
+  ``array_min`` over (dist, cluster) structs == ``ORDER BY d, cluster``);
+- per-iteration centroids are the 6dp-rounded per-dimension means, so
+  Spark's partition-order-dependent ``avg`` noise (~1e-15) is squashed
+  before it feeds the next iteration's distances.
+
+Scale posture (100 TB): centroids are k x d SCALARS — metadata, not
+data. Each iteration collects them to the driver and re-embeds them as
+literal arrays (MLlib's broadcast-variable design), so the per-iteration
+plan is ONE scan with in-array argmin + ONE (cluster, dim) groupBy —
+k x d aggregation keys, map-side combined; no join, no
+BroadcastNestedLoopJoin, nothing driver-side but the k x d floats.
+
+Reference parity: none (the reference has no clustering; LLM-data gap
+operator from the build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import hround
+
+
+def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Add (cluster, d) = argmin over ``cents`` of the 6dp-rounded
+    squared euclidean distance. ``e`` must have columns (vec_id, v)."""
+    choices = []
+    for c in sorted(cents):
+        arr = F.array(*[F.lit(float(x)) for x in cents[c]])
+        d = hround(
+            F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        choices.append(F.struct(d.alias("d"), F.lit(c).alias("cluster")))
+    best = F.array_min(F.array(*choices))
+    return e.select("vec_id", "v", best["cluster"].alias("cluster"), best["d"].alias("d"))
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd assignment steps (assign -> update centroids
+    -> ... -> final assign) and return the final assignment
+    (vec_id, v, cluster, d) with d the 6dp squared distance.
+
+    ``iters=2`` means: assign to the seed centroids, recompute centroids
+    as cluster means, assign again. Empty clusters simply drop out of
+    the centroid table (both engines skip them identically)."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # k x d scalar seed fetch — metadata-scale by design (see module doc)
+    seeds = e.orderBy("vec_id").limit(k).collect()
+    cents = {i: list(r.v) for i, r in enumerate(seeds)}
+    assign = _assign(e, cents)
+    for _ in range(iters - 1):
+        rows = (
+            assign.select("cluster", F.posexplode("v"))
+            .groupBy("cluster", "pos")
+            .agg(hround(F.avg("col"), 6).alias("cd"))
+            .collect()  # k x d scalars back to the driver (broadcast vars)
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.cd
+        cents = {c: [dims[p] for p in sorted(dims)] for c, dims in by_cluster.items()}
+        assign = _assign(e, cents)
+    return assign

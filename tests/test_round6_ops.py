@@ -1,0 +1,87 @@
+"""Unit/property tests for the round-6 additions: deterministic Lloyd
+k-means, lossless SimHash Hamming banding, and EWMA folding (oracle
+parity for each lives in test_queries_contract via the registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.operators import clustering, dedup
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(1 for x, y in zip(a, b) if x != y)
+
+
+def test_simhash_banding_is_lossless(spark, sf_dir):
+    """Pigeonhole guarantee: the banded candidate filter finds EXACTLY
+    the brute-force Hamming<=3 pair set (no recall loss)."""
+    from les_etl_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _hamming(sigs[a], sigs[b]) <= 3
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_hamming_pairs(docs, max_hamming=3, n_bands=4).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_hamming_requires_enough_bands():
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_kmeans_lloyd_partition_and_monotonicity(spark, sf_dir):
+    """Every vector assigned exactly once; total within-cluster squared
+    distance does not increase from the seed assignment to the
+    post-update assignment (Lloyd monotonicity, up to the 6dp centroid
+    rounding tolerance)."""
+    from les_etl_pipeline_spark.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a1 = clustering.kmeans_lloyd(emb, k=4, iters=1)
+    a2 = clustering.kmeans_lloyd(emb, k=4, iters=2)
+    assert a1.count() == n and a2.count() == n
+    assert a2.select("vec_id").distinct().count() == n
+    sse1 = a1.agg(F.sum("d")).collect()[0][0]
+    sse2 = a2.agg(F.sum("d")).collect()[0][0]
+    assert sse2 <= sse1 + 1e-3 * n  # rounding tolerance
+    assert a2.select("cluster").distinct().count() <= 4
+
+
+def test_ewma_degenerate_alphas(spark, monkeypatch):
+    """alpha folding sanity on a hand-built series: the fold reproduces
+    the recurrence exactly, and a constant series stays constant."""
+    from les_etl_pipeline_spark.queries import llm_data8
+
+    rows = [(1, f"2024-01-{d:02d} 00:00:0{i}", i) for d in (1, 2, 3) for i in range(d)]
+    df = spark.createDataFrame(
+        [(u, ts, 0) for (u, ts, _e) in rows], "user_id long, ts_s string, pad int"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    class _T:
+        @staticmethod
+        def fake_table(_spark, _sf, name):
+            assert name == "events"
+            return df
+
+    monkeypatch.setattr(llm_data8, "table", _T.fake_table)
+    got = {
+        (r.user_id, str(r.day)): (r.n_events, r.ewma)
+        for r in llm_data8.events_ewma_daily(spark, "unused").collect()
+    }
+    # counts per day: 1, 2, 3 -> ewma: 1.0, .3*2+.7*1=1.3, .3*3+.7*1.3=1.81
+    assert got[(1, "2024-01-01")] == (1, 1.0)
+    assert got[(1, "2024-01-02")] == (2, 1.3)
+    assert abs(got[(1, "2024-01-03")][1] - 1.81) < 1e-9
