@@ -19,7 +19,7 @@ generate_asset_silver.py:106-108); these generalize it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -605,3 +605,58 @@ def decontaminate(
         .distinct()
     )
     return tr.join(F.broadcast(ev), "sh", "left_semi").select(id_col).distinct()
+
+
+def aligned_fingerprint_spans(
+    fp: DataFrame,
+    k: int = 3,
+    min_aligned: int = 2,
+    max_fp_freq: int = 50,
+) -> DataFrame:
+    """Shared-substring span detection from winnowing fingerprints — the
+    scalable approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses suffix arrays; a distributed engine gets the same signal from
+    aligned fingerprint runs).
+
+    Input: (doc_id, fp_hash, fp_pos) from
+    ``operators/text.winnowing_fingerprints``. Matching fingerprints
+    across two docs that sit on the SAME DIAGONAL (fp_pos_a - fp_pos_b
+    constant) witness one contiguous shared word run; the winnowing
+    guarantee (a shared run of >= w+k-1 words leaves >= 1 shared
+    fingerprint, density ~2/(w+1)) makes n_aligned a calibrated
+    lower-bound witness for span length. Output per pair: the best
+    diagonal with its aligned-match count, start offset in doc A, and
+    the spanned word length (max_pos - min_pos + k).
+
+    Plan shape: fingerprints self-join ON fp_hash (equi-shuffle, no
+    BNLJ); ``max_fp_freq`` prunes boilerplate fingerprints whose
+    posting lists would make pair expansion quadratic (the same
+    frequency-cap discipline as ngram_jaccard_pairs — both engines
+    apply it, so oracle parity is exact); the per-diagonal groupBy and
+    the per-pair top-1 window shuffle only (pair, diag) keys."""
+    freq_ok = (
+        fp.groupBy("fp_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") <= max_fp_freq)
+        .select("fp_hash")
+    )
+    ok = fp.join(freq_ok, "fp_hash")
+    a = ok.select(F.col("doc_id").alias("id_a"), "fp_hash", F.col("fp_pos").alias("pa"))
+    b = ok.select(F.col("doc_id").alias("id_b"), "fp_hash", F.col("fp_pos").alias("pb"))
+    m = a.join(b, "fp_hash").where(F.col("id_a") < F.col("id_b"))
+    d = (
+        m.groupBy("id_a", "id_b", (F.col("pa") - F.col("pb")).alias("diag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_aligned"),
+            F.min("pa").alias("start_a"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).alias("span_words"),
+        )
+        .where(F.col("n_aligned") >= min_aligned)
+    )
+    w = W.partitionBy("id_a", "id_b").orderBy(F.desc("n_aligned"), "diag")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b", "diag", "n_aligned", "start_a", "span_words")
+    )

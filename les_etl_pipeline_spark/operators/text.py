@@ -311,3 +311,53 @@ def bpe_encode(
         )
         .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
     )
+
+
+def winnowing_fingerprints(
+    df,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-word gram (40-bit md5 prefix), slide a
+    w-hash window, keep each window's minimum with RIGHTMOST tie-break,
+    distinct per document. Returns (doc_id, fp_hash, fp_pos).
+
+    The min and the tie-break ride in one 60-bit integer key
+    (hash * 2^20 + (2^20 - 1 - pos)) so the window selection is a plain
+    ``min`` over a per-doc ROWS frame — partition-parallel, no global
+    order, identical integer in any engine. Guarantee: any shared word
+    run of length >= w + k - 1 leaves a shared fingerprint (density
+    ~2/(w+1)). Shared by the text_winnowing_fingerprints query and the
+    aligned-span near-dup detector (dedup_substring_spans)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("gpos", "w"),
+    )
+    win = W.partitionBy("doc_id").orderBy("gpos")
+    g = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(win) for i in range(1, k)])
+    grams = toks.select(
+        "doc_id", "gpos", F.lead("w", k - 1).over(win).alias("_ok"), g.alias("g")
+    ).where(F.col("_ok").isNotNull())
+    hkey = (
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("long") * F.lit(1048576)
+        + (F.lit(1048575) - F.col("gpos"))
+    )
+    frame = W.partitionBy("doc_id").orderBy("gpos").rowsBetween(W.currentRow, w - 1)
+    mins = grams.select(
+        "doc_id",
+        F.min(hkey).over(frame).alias("sel"),
+        F.count(F.lit(1)).over(frame).alias("wsize"),
+    ).where(F.col("wsize") == w)
+    return mins.select(
+        "doc_id",
+        # integer DIV, not `/`: keys exceed 2^53, double math would
+        # corrupt the high bits
+        F.expr("CAST(sel DIV 1048576 AS BIGINT)").alias("fp_hash"),
+        (F.lit(1048575) - F.col("sel") % 1048576).cast("int").alias("fp_pos"),
+    ).distinct()

@@ -388,6 +388,58 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical_keep_best",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_PAIRS_CTE.replace("WITH tok", "tok", 1).lstrip()
+    + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ), scored AS (
+      SELECT c.cluster, c.doc_id, len(d.text) AS n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT s.cluster, s.doc_id AS kept_doc, CAST(s.n_chars AS INT) AS kept_chars,
+           CAST(g.n_members AS BIGINT) AS n_members
+    FROM (SELECT cluster, doc_id, n_chars FROM scored
+          QUALIFY row_number() OVER (PARTITION BY cluster
+                                     ORDER BY n_chars DESC, doc_id) = 1) s
+    JOIN (SELECT cluster, count(*) AS n_members FROM comp GROUP BY cluster) g
+      USING (cluster)
+    ORDER BY s.cluster
+    """,
+)
+def dedup_canonical_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection over near-dup clusters: the
+    keep-the-longest policy real cleaning pipelines apply after
+    clustering (longest text retains the most content; doc_id breaks
+    ties deterministically). Components from the jaccard pair graph, a
+    per-cluster top-1 window (shuffles only (cluster, doc, n_chars)),
+    and the member count ride the same cluster key — no extra pass over
+    document text."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    scored = comp.join(docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
+    w = W.partitionBy("cluster").orderBy(F.desc("n_chars"), "doc_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("kept_doc"), F.col("n_chars").alias("kept_chars"))
+    )
+    members = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return best.join(members, "cluster").orderBy("cluster")
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH RECURSIVE e AS (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.rounding import hround
+from ..operators import dedup, text as text_ops
 from .registry import register
 
 BM25_TERMS = ("spark", "window", "hash")
@@ -111,9 +112,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_winnowing_fingerprints",
-    oracle=f"""
+# winnowing as a reusable oracle CTE: tok -> 3-grams -> 40-bit hashes with
+# the rightmost-tie-break key -> window minima -> distinct fingerprints
+_WINNOW_CTE = f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w,
              unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
@@ -134,12 +135,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY doc_id ORDER BY gpos
                             ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING) AS wsize
       FROM hashes
+    ), fp AS (
+      SELECT DISTINCT doc_id,
+             CAST(sel // 1048576 AS BIGINT) AS fp_hash,
+             CAST(1048575 - (sel % 1048576) AS INT) AS fp_pos
+      FROM mins WHERE wsize = {WIN_W}
     )
-    SELECT DISTINCT doc_id,
-           CAST(sel // 1048576 AS BIGINT) AS fp_hash,
-           CAST(1048575 - (sel % 1048576) AS INT) AS fp_pos
-    FROM mins WHERE wsize = {WIN_W}
-    ORDER BY doc_id, fp_pos
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_CTE
+    + """
+    SELECT doc_id, fp_hash, fp_pos FROM fp ORDER BY doc_id, fp_pos
     """,
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,40 +166,53 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").where(
         (F.col("doc_id") < 150) & F.col("text").isNotNull()
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("gpos", "w")
+    return text_ops.winnowing_fingerprints(docs, k=WIN_K, w=WIN_W).orderBy(
+        "doc_id", "fp_pos"
     )
-    win = W.partitionBy("doc_id").orderBy("gpos")
-    g = F.concat_ws(
-        " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+
+
+@register(
+    "dedup_substring_spans",
+    # full corpus: the span detector's own frequency cap bounds the work,
+    # so unlike the raw fingerprint listing it needs no doc_id cap
+    oracle=_WINNOW_CTE.replace("doc_id < 150 AND ", "", 1)
+    + """
+    , freq AS (
+      SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(DISTINCT doc_id) <= 50
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp_pos AS pa, b.fp_pos AS pb
+      FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      WHERE a.fp_hash IN (SELECT fp_hash FROM freq)
+    ), d AS (
+      SELECT id_a, id_b, pa - pb AS diag, count(*) AS n_aligned,
+             min(pa) AS start_a, max(pa) - min(pa) + 3 AS span_words
+      FROM m GROUP BY id_a, id_b, pa - pb
+      HAVING count(*) >= 2
     )
-    grams = (
-        toks.select("doc_id", "gpos", F.lead("w", 2).over(win).alias("_ok"), g.alias("g"))
-        .where(F.col("_ok").isNotNull())
-    )
-    hkey = (
-        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("long") * F.lit(1048576)
-        + (F.lit(1048575) - F.col("gpos"))
-    )
-    frame = (
-        W.partitionBy("doc_id").orderBy("gpos").rowsBetween(W.currentRow, WIN_W - 1)
-    )
-    mins = grams.select(
-        "doc_id",
-        F.min(hkey).over(frame).alias("sel"),
-        F.count(F.lit(1)).over(frame).alias("wsize"),
-    ).where(F.col("wsize") == WIN_W)
-    return (
-        mins.select(
-            "doc_id",
-            # integer DIV, not `/`: these keys exceed 2^53, double math
-            # would corrupt the high bits
-            F.expr("CAST(sel DIV 1048576 AS BIGINT)").alias("fp_hash"),
-            (F.lit(1048575) - F.col("sel") % 1048576).cast("int").alias("fp_pos"),
-        )
-        .distinct()
-        .orderBy("doc_id", "fp_pos")
-    )
+    SELECT id_a, id_b, CAST(diag AS INT) AS diag,
+           CAST(n_aligned AS BIGINT) AS n_aligned,
+           CAST(start_a AS INT) AS start_a, CAST(span_words AS INT) AS span_words
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY id_a, id_b
+                               ORDER BY n_aligned DESC, diag) = 1
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring span detection (the Lee et al. 2022
+    exact-substring-dedup signal, distributed): matching winnowing
+    fingerprints aligned on one diagonal (fp_pos_a - fp_pos_b constant)
+    witness a contiguous shared word run; per pair, report the best
+    diagonal with its aligned count, start offset, and spanned word
+    length. The oracle replays the identical fingerprint join +
+    diagonal grouping brute-force; operators/dedup.
+    aligned_fingerprint_spans documents the 100 TB plan shape
+    (equi-join on fp_hash, frequency-capped postings, no BNLJ)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    fp = text_ops.winnowing_fingerprints(docs, k=WIN_K, w=WIN_W)
+    return dedup.aligned_fingerprint_spans(
+        fp, k=WIN_K, min_aligned=2, max_fp_freq=50
+    ).orderBy("id_a", "id_b")
 
 
 TOKEN_BUDGET = 6000

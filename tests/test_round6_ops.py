@@ -85,3 +85,28 @@ def test_ewma_degenerate_alphas(spark, monkeypatch):
     assert got[(1, "2024-01-01")] == (1, 1.0)
     assert got[(1, "2024-01-02")] == (2, 1.3)
     assert abs(got[(1, "2024-01-03")][1] - 1.81) < 1e-9
+
+
+def test_aligned_spans_detect_planted_overlap(spark):
+    """Two docs sharing a 20-word run (>= w+k-1 guarantee zone) must
+    surface as a pair whose best diagonal matches the planted offset and
+    whose span covers most of the run; two unrelated docs must not."""
+    from les_etl_pipeline_spark.operators import dedup, text as text_ops
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    docs = [
+        (1, "alpha beta " + shared + " gamma"),          # run starts at word 2
+        (2, shared + " delta epsilon zeta"),             # run starts at word 0
+        (3, " ".join(f"other{i}" for i in range(30))),   # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = text_ops.winnowing_fingerprints(df, k=3, w=4)
+    spans = {
+        (r.id_a, r.id_b): r
+        for r in dedup.aligned_fingerprint_spans(fp, k=3, min_aligned=2).collect()
+    }
+    assert set(spans) == {(1, 2)}
+    r = spans[(1, 2)]
+    assert r.diag == 2                # planted alignment offset
+    assert r.span_words >= 10         # covers a large part of the 20-word run
+    assert r.n_aligned >= 2
