@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import schemas
@@ -117,11 +117,27 @@ def _silver(
         bronze = bronze.where(F.col("part") == part)  # partition-pruned scan (S6/P1)
     snap = scd2_ops.current_snapshot(bronze)
 
+    # single-pass QC accounting (Observation API): row counts ride the
+    # quarantine write's own scan — at 100 TB a separate .count() per
+    # metric would re-read the whole snapshot once per number. The `bad`
+    # branch filters `snap`, so its write evaluates every snapshot row
+    # and materializes BOTH observations in that one action.
+    obs_all, obs_bad = Observation("qc_rows"), Observation("qc_bad")
+    snap = snap.observe(obs_all, F.count(F.lit(1)).alias("n_rows"))
     good, bad = profile_data(snap, rules, strict_columns=False,
                              lineage_cols=schemas.LINEAGE_COLS)
+    bad = bad.observe(obs_bad, F.count(F.lit(1)).alias("n_bad"))
     good = good.persist(StorageLevel.MEMORY_AND_DISK)  # shared across topic fan-out
     try:
         write_quarantine(bad, os.path.join(out_dir, "dirty_dumps", data_type))
+        n_rows = obs_all.get["n_rows"]
+        n_bad = obs_bad.get["n_bad"]
+        spark.createDataFrame(
+            [(data_type, n_rows, n_bad, n_rows - n_bad)],
+            "data_type string, n_rows long, n_bad long, n_good long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "qc_metrics", data_type)
+        )
         if good.isEmpty():
             return {}
         typed = cast_to_datatype(good, cast_map)

@@ -169,3 +169,30 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_parts_est")
     ).select(F.lit("TOTAL").alias("l_returnflag"), "distinct_parts_est")
     return per_group.unionAll(total).orderBy("l_returnflag")
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n DESC, item
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via the approx_top_k sketch (Spark 4.1): a single
+    bounded-memory map-side sketch replaces the full groupBy when only
+    the top items matter — at 100 TB the shuffle carries one sketch per
+    partition instead of every distinct key. Oracle-PAIRED (not
+    rows-only): with maxItemsTracked (100k) >= distinct values (5
+    priorities), the sketch tracks every key exactly, so its counts
+    equal the exact GROUP BY — the query pins this exactness regime, and
+    sorting by (count, item) removes tie order as a variable."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        spark.sql(
+            "SELECT inline(approx_top_k(o_orderpriority, 10, 100000)) FROM {t}", t=o
+        )
+        .select("item", F.col("count").alias("n"))
+        .orderBy(F.desc("n"), "item")
+    )

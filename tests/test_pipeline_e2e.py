@@ -88,6 +88,12 @@ def test_bronze_to_silver_e2e(spark, raw_dir, tmp_path):
     assert lease.schema["AL1"].dataType.typeName() == "date"
     al30 = {r["AL30"] for r in lease.select("AL30").collect()}
     assert al30 == {7.25, 1.5}
+    # zero-extra-pass QC accounting (Observation API): the metrics row
+    # written from the quarantine action's own scan matches reality
+    qc = spark.read.parquet(os.path.join(out_dir, "qc_metrics", "assets")).collect()[0]
+    n_current = b.where(F.col("iscurrent") == 1).count()
+    assert (qc["n_rows"], qc["n_bad"]) == (n_current, 1)
+    assert qc["n_good"] == n_current - 1
 
 
 def test_bronze_rerun_idempotent(spark, raw_dir, tmp_path):

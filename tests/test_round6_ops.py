@@ -110,3 +110,29 @@ def test_aligned_spans_detect_planted_overlap(spark):
     assert r.diag == 2                # planted alignment offset
     assert r.span_words >= 10         # covers a large part of the 20-word run
     assert r.n_aligned >= 2
+
+
+def test_sql_scripting_control_flow(spark, sf_dir):
+    """Spark 4 SQL scripting: DECLARE + WHILE control flow runs
+    server-side (compound statements), returning the final SELECT.
+    Engine-feature coverage: scripted orchestration replaces driver-side
+    Python loops for simple iterative SQL logic."""
+    from les_etl_pipeline_spark.catalog import table
+
+    table(spark, sf_dir, "nation").createOrReplaceTempView("t_nation")
+    out = spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          WHILE i < 5 DO
+            SET total = total + (SELECT count(*) FROM t_nation WHERE n_regionkey = i);
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS n_nations;
+        END
+        """
+    ).collect()
+    expect = spark.table("t_nation").where("n_regionkey < 5").count()
+    assert out[0]["n_nations"] == expect
+    spark.catalog.dropTempView("t_nation")
