@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.rounding import hround
-from ..operators import clustering, dedup
+from ..operators import clustering, dedup, text as text_ops
 from .registry import register
 
 EWMA_ALPHA = 0.3
@@ -198,4 +198,61 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.col("s.ewma"), 6).alias("ewma"),
         )
         .orderBy("user_id", "day")
+    )
+
+
+QL_W0, QL_WSTOP, QL_WDIST, QL_WLEN = -2.0, 3.0, 2.5, 0.4
+
+
+@register(
+    "corpus_quality_logit",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                  AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), z AS (
+      SELECT doc_id, source,
+             {QL_W0} + {QL_WSTOP} * (n_stop / n_tokens)
+                     + {QL_WDIST} * (n_distinct / n_tokens)
+                     + {QL_WLEN} * ln(n_tokens) AS z
+      FROM f WHERE n_tokens > 0
+    )
+    SELECT doc_id, source,
+           (floor(z * 1000000.0 + 0.5) / 1000000.0) AS quality_logit,
+           z >= 0.0 AS keep
+    FROM z ORDER BY doc_id
+    """,
+)
+def corpus_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, distilled to the Spark-side
+    plumbing: score every document with a fixed linear model over
+    cheap text features (the fastText/DCLM-classifier serving pattern —
+    weights trained offline, inference is pure column math riding the
+    corpus scan, no UDF). Scores stay in LOGIT space: the sigmoid is
+    monotone, so ranking and the keep-threshold (z >= 0 == p >= 0.5)
+    are identical while the oracle needs no exp() — one less libm
+    surface to keep bit-aligned across engines."""
+    docs = table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features("text")
+    z = (
+        F.lit(QL_W0)
+        + F.lit(QL_WSTOP) * feats["stopword_ratio"]
+        + F.lit(QL_WDIST) * feats["distinct_ratio"]
+        + F.lit(QL_WLEN) * F.log(feats["n_tokens"].cast("double"))
+    )
+    return (
+        docs.select("doc_id", "source", feats["n_tokens"].alias("nt"), z.alias("z"))
+        .where(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            "source",
+            hround("z", 6).alias("quality_logit"),
+            (F.col("z") >= 0.0).alias("keep"),
+        )
+        .orderBy("doc_id")
     )

@@ -136,3 +136,46 @@ def test_sql_scripting_control_flow(spark, sf_dir):
     expect = spark.table("t_nation").where("n_regionkey < 5").count()
     assert out[0]["n_nations"] == expect
     spark.catalog.dropTempView("t_nation")
+
+
+def test_ewma_matches_python_reference_random_series(spark):
+    """events_ewma_daily vs a plain-Python recurrence over 20 seeded
+    random series (one Spark job for all of them — per-series jobs would
+    be all overhead)."""
+    import random
+
+    from les_etl_pipeline_spark.queries import llm_data8
+
+    rnd = random.Random(7)
+    events, expect = [], {}
+    for u in range(20):
+        days = [d for d in range(1, 28) if rnd.random() < 0.6]
+        counts = {d: rnd.randint(1, 5) for d in days}
+        prev = None
+        for d in days:
+            for i in range(counts[d]):
+                events.append((u, f"2024-03-{d:02d} 12:00:{i:02d}"))
+            x = float(counts[d])
+            prev = x if prev is None else 0.3 * x + 0.7 * prev
+            expect[(u, f"2024-03-{d:02d}")] = (counts[d], prev)
+    df = spark.createDataFrame(events, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+    def fake_table(_spark, _sf, name):
+        assert name == "events"
+        return df
+
+    orig = llm_data8.table
+    llm_data8.table = fake_table
+    try:
+        got = {
+            (r.user_id, str(r.day)): (r.n_events, r.ewma)
+            for r in llm_data8.events_ewma_daily(spark, "unused").collect()
+        }
+    finally:
+        llm_data8.table = orig
+    assert set(got) == set(expect)
+    for k, (n, e) in expect.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - e) < 1e-6, k  # query rounds ewma to 6dp

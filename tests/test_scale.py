@@ -223,3 +223,21 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     physical = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in physical.lower(), physical
     assert joined.count() == sum(1 for i in range(len(days)) if i % 7 == 0)
+
+
+def test_scan_pruning_reaches_parquet(spark, sf_dir):
+    """Column pruning + predicate pushdown must reach the parquet
+    FileScan: a 2-column projection with a selective filter reads a
+    2-column ReadSchema and carries the predicate in PushedFilters —
+    at 100 TB this is the difference between scanning 2 columns of the
+    row groups that can match and scanning all 16 of every row group."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity," in plan, plan
+    assert "ReadSchema: struct<l_orderkey:" in plan, plan
+    # nothing beyond the two projected columns reaches the scan
+    assert "l_extendedprice" not in plan
