@@ -361,3 +361,44 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "hr", F.col("c").alias("n_obs"), hround(filled, 6).alias("filled_r")
     ).orderBy("hr")
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the non-additive rolling
+    metric that naively needs a 7x re-scan (the oracle does exactly
+    that: a 7-day range self-join). The Spark plan pre-aggregates ONE
+    per-day user set (map-side combined collect_set, one shuffle of
+    (day, user) pairs) and slides a RANGE window over the DAY-grain
+    table — the window input is <= timeline-days rows (metadata scale,
+    the same per-day-table discipline as events_max_concurrency), so
+    the unpartitioned window never sees event-grain data. At 100 TB
+    this is the sketch-free exact variant; agg_hll_sketch_union is the
+    mergeable-sketch tier for when even per-day sets are too wide."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.collect_set("user_id").alias("users")
+    )
+    day_i = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    w = W.orderBy(day_i).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+            .cast("long")
+            .alias("users_7d"),
+        )
+        .orderBy("day")
+    )

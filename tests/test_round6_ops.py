@@ -179,3 +179,22 @@ def test_ewma_matches_python_reference_random_series(spark):
     for k, (n, e) in expect.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - e) < 1e-6, k  # query rounds ewma to 6dp
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across ingestion batches: a later batch adds a
+    column; mergeSchema reads the union schema with nulls for the old
+    batch, and the narrow read stays narrow (evolution must not force a
+    rewrite of historical partitions)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(f"{p}/b=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{p}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "score", "b"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+    narrow = spark.read.option("mergeSchema", "true").parquet(p).select("id", "v")
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "score" not in plan  # pruned despite the merged schema
