@@ -402,3 +402,48 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_cohort_retention_matrix",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, min(day) AS cohort FROM activity GROUP BY user_id
+    ), offsets AS (
+      SELECT c.cohort, a.user_id, date_diff('day', c.cohort, a.day) AS off
+      FROM activity a JOIN cohorts c USING (user_id)
+    )
+    SELECT cohort,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id) FILTER (off = 1) AS BIGINT) AS d1,
+           CAST(count(DISTINCT user_id) FILTER (off = 2) AS BIGINT) AS d2,
+           CAST(count(DISTINCT user_id) FILTER (off = 3) AS BIGINT) AS d3,
+           CAST(count(DISTINCT user_id) FILTER (off = 7) AS BIGINT) AS d7,
+           CAST(count(DISTINCT user_id) FILTER (off = 14) AS BIGINT) AS d14
+    FROM offsets GROUP BY cohort ORDER BY cohort
+    """,
+)
+def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, with
+    distinct-user counts at day offsets 1/2/3/7/14 — the generalization
+    of events_user_retention's single-offset report. One distinct
+    activity pass, a per-user min (cohort), and ONE grouped aggregate
+    with conditional distinct counts (no pivot shuffle per offset);
+    everything shuffles on user/cohort keys only."""
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    off = activity.join(cohorts, "user_id").select(
+        "cohort", "user_id", F.datediff("day", "cohort").alias("off")
+    )
+    conds = {1: "d1", 2: "d2", 3: "d3", 7: "d7", 14: "d14"}
+    aggs = [F.countDistinct("user_id").alias("n_users")] + [
+        F.countDistinct(F.when(F.col("off") == k, F.col("user_id"))).alias(name)
+        for k, name in conds.items()
+    ]
+    return off.groupBy("cohort").agg(*aggs).orderBy("cohort")
