@@ -91,24 +91,32 @@ def ngram_jaccard_pairs(
     staging table."""
     # group key is the 64-bit hash of the shingle, not the string: same
     # counts (collisions ~2^-64), ~5x fewer shuffle bytes at scale.
-    # No standalone distinct: within-doc duplicate shingles are folded by
-    # countDistinct / collect_set inside each consumer's aggregate — one
-    # fewer shuffle of the whole posting table.
+    # The per-doc DISTINCT shingle-hash ARRAY is the materialized unit
+    # (one row per doc, array_distinct applied in-array): set sizes then
+    # read off as size(array) with NO shuffle at all — the former
+    # exploded-row design paid a full groupBy of the shingle table just
+    # to count per-doc distincts (measured 0.64 s of a 2.2 s total at
+    # sf0.1). The posting explode re-derives rows from the compact
+    # checkpoint, so the explode work happens once either way.
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
     # parallelism guard: a small input file scans as one split, which
-    # would serialize the explode+hash (and the checkpoint below would
-    # freeze that single partition). Metadata probe only — at real scale
-    # the scan already has >= defaultParallelism splits and this is a
-    # no-op, so no text bytes are ever shuffled on the 100 TB path.
+    # would serialize the shingle+hash work (and the checkpoint below
+    # would freeze that single partition). Metadata probe only — at real
+    # scale the scan already has >= defaultParallelism splits and this is
+    # a no-op, so no text bytes are ever shuffled on the 100 TB path.
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    sh = src.select(
-        "doc_id", F.explode(shingles("_txt", k)).alias("sh_str")
-    ).select("doc_id", F.xxhash64("sh_str").alias("sh"))
+    sh_arr = src.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles("_txt", k), lambda s: F.xxhash64(s))
+        ).alias("shs"),
+    )
     if materialize:
-        sh = sh.localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.countDistinct("sh").alias("n_sh"))
+        sh_arr = sh_arr.localCheckpoint()
+    sizes = sh_arr.select("doc_id", F.size("shs").alias("n_sh"))  # shuffle-free
+    sh = sh_arr.select("doc_id", F.explode("shs").alias("sh"))
     posts = (
         sh.groupBy("sh")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
