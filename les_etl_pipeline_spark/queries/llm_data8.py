@@ -1,5 +1,6 @@
 """Eighth LLM-data pack: deterministic clustering, lossless SimHash
-banding, and EWMA time-series smoothing.
+banding, EWMA smoothing, classifier-based quality filtering, batching /
+split construction, and multi-tier dedup fusion.
 
 - ``embedding_kmeans_lloyd``: two Lloyd iterations from deterministic
   seeds (k lowest vec_ids) — the corpus-bucketing step behind mixture
@@ -256,3 +257,241 @@ def corpus_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+@register(
+    "corpus_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt
+      FROM documents WHERE text IS NOT NULL
+    ), b AS (
+      SELECT doc_id, nt,
+             CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                  WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                  WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+                  ELSE 1024 END AS bucket
+      FROM t
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           (floor((sum(nt) / (count(*) * bucket)) * 1000000.0 + 0.5)
+            / 1000000.0) AS padding_efficiency
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats — the inference/training batching
+    concern: documents grouped into power-of-two token buckets, with the
+    padding efficiency (real tokens / padded capacity) each bucket would
+    achieve. Fixed CASE thresholds instead of log2() keep the bucketing
+    integer-exact across engines. One scan, one tiny aggregate."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    nt = F.size(F.split("text", " "))
+    bucket = F.lit(LEN_BUCKETS[-1])
+    for b in reversed(LEN_BUCKETS[:-1]):
+        bucket = F.when(nt <= b, F.lit(b)).otherwise(bucket)
+    return (
+        docs.select(nt.alias("nt"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("sum_tokens"),
+            hround(
+                F.sum("nt") / (F.count(F.lit(1)) * F.col("bucket")), 6
+            ).alias("padding_efficiency"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "sample_quality_stratified_split",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                  AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), z AS (
+      SELECT doc_id, source,
+             {QL_W0} + {QL_WSTOP} * (n_stop / n_tokens)
+                     + {QL_WDIST} * (n_distinct / n_tokens)
+                     + {QL_WLEN} * ln(n_tokens) AS z
+      FROM f WHERE n_tokens > 0
+    ), ranked AS (
+      SELECT doc_id, source, z,
+             ntile(10) OVER (PARTITION BY source ORDER BY z DESC, doc_id) AS decile,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10
+               AS bucket
+      FROM z
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (floor(avg(z) * 1000000.0 + 0.5) / 1000000.0) AS avg_logit
+    FROM ranked GROUP BY split, decile ORDER BY split, decile
+    """,
+)
+def sample_quality_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set construction: per-source quality deciles (ntile over the
+    classifier logit, doc_id tie-break for determinism) crossed with a
+    deterministic md5-bucket 80/10/10 split — the report shows each
+    split samples every quality decile evenly (no quality leakage
+    between train and eval). The window partitions by source; the hash
+    split is per-row scalar math, stable under appends/repartitioning
+    like sampling.hash_split."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features("text")
+    z = (
+        F.lit(QL_W0)
+        + F.lit(QL_WSTOP) * feats["stopword_ratio"]
+        + F.lit(QL_WDIST) * feats["distinct_ratio"]
+        + F.lit(QL_WLEN) * F.log(feats["n_tokens"].cast("double"))
+    )
+    base = (
+        docs.select("doc_id", "source", feats["n_tokens"].alias("nt"), z.alias("z"))
+        .where(F.col("nt") > 0)
+    )
+    decile = F.ntile(10).over(
+        W.partitionBy("source").orderBy(F.desc("z"), "doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        base.select("z", decile.cast("long").alias("decile"), split.alias("split"))
+        .groupBy("split", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            hround(F.avg("z"), 6).alias("avg_logit"),
+        )
+        .orderBy("split", "decile")
+    )
+
+
+@register(
+    "dedup_evidence_fusion",
+    oracle="""
+    WITH jtok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), jsh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM jtok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), jsz AS (
+      SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id
+    ), jp AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) q JOIN jsz sa ON sa.doc_id = id_a JOIN jsz sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.1
+    ), stok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), sbits AS (
+      SELECT doc_id, j,
+             CAST(floor(CAST(('0x' || substr(md5(w), (j // 4) + 1, 1)) AS INT)
+                  / power(2, 3 - j % 4)) AS INT) % 2 AS bit
+      FROM stok, generate_series(0, 63) g(j)
+    ), svotes AS (
+      SELECT doc_id, j, sum(bit * 2 - 1) AS vote FROM sbits GROUP BY doc_id, j
+    ), ssig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+      FROM svotes GROUP BY doc_id
+    ), sp AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range(1, 65),
+                   i -> substr(a.sh, i, 1) <> substr(b.sh, i, 1))) AS hm
+        FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+      ) WHERE hm <= 3
+    ), nh AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents
+    ), ex AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM nh a JOIN nh b ON a.h = b.h AND a.doc_id < b.doc_id
+    ), allp AS (
+      SELECT * FROM ex UNION SELECT * FROM jp UNION SELECT * FROM sp
+    )
+    SELECT p.id_a, p.id_b,
+           (e.id_a IS NOT NULL) AS exact_dup,
+           (j.id_a IS NOT NULL) AS jaccard_dup,
+           (s.id_a IS NOT NULL) AS simhash_dup,
+           CAST(CAST(e.id_a IS NOT NULL AS INT) + CAST(j.id_a IS NOT NULL AS INT)
+                + CAST(s.id_a IS NOT NULL AS INT) AS INT) AS n_evidence
+    FROM allp p
+    LEFT JOIN ex e ON e.id_a = p.id_a AND e.id_b = p.id_b
+    LEFT JOIN jp j ON j.id_a = p.id_a AND j.id_b = p.id_b
+    LEFT JOIN sp s ON s.id_a = p.id_a AND s.id_b = p.id_b
+    ORDER BY p.id_a, p.id_b
+    """,
+)
+def dedup_evidence_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tier dedup evidence fusion — the adjudication table a real
+    cleaning pipeline reviews before dropping documents: every candidate
+    pair from the exact-normalized, shingle-Jaccard, and SimHash-Hamming
+    tiers, flagged per tier with an agreement count. Each tier keeps its
+    own scale path (hash groupBy / posting lists / lossless banding);
+    the fusion joins operate on PAIR tables (tiny next to the corpus),
+    so the three left joins shuffle only pair keys."""
+    docs = table(spark, sf_dir, "documents")
+    h = dedup.content_hash("text", normalize=True)
+    groups = (
+        docs.select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    ex = groups.select(F.explode(pair_structs).alias("p")).select("p.id_a", "p.id_b")
+    jp = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).select("id_a", "id_b")
+    sp = dedup.simhash_hamming_pairs(docs, max_hamming=3, n_bands=4).select(
+        "id_a", "id_b"
+    )
+    allp = ex.unionByName(jp).unionByName(sp).distinct()
+    out = (
+        allp.join(ex.withColumn("_e", F.lit(True)), ["id_a", "id_b"], "left")
+        .join(jp.withColumn("_j", F.lit(True)), ["id_a", "id_b"], "left")
+        .join(sp.withColumn("_s", F.lit(True)), ["id_a", "id_b"], "left")
+    )
+    e, j, s = (F.col(c).isNotNull() for c in ("_e", "_j", "_s"))
+    return out.select(
+        "id_a",
+        "id_b",
+        e.alias("exact_dup"),
+        j.alias("jaccard_dup"),
+        s.alias("simhash_dup"),
+        (e.cast("int") + j.cast("int") + s.cast("int")).alias("n_evidence"),
+    ).orderBy("id_a", "id_b")
