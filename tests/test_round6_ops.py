@@ -198,3 +198,24 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     narrow = spark.read.option("mergeSchema", "true").parquet(p).select("id", "v")
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "score" not in plan  # pruned despite the merged schema
+
+
+def test_modern_sql_ergonomics(spark, sf_dir):
+    """Spark 4 SQL ergonomics a migrating SQL user relies on: SELECT *
+    EXCEPT, lateral column aliases, IDENTIFIER() parameterization, and
+    ORDER BY ALL."""
+    from les_etl_pipeline_spark.catalog import table
+
+    table(spark, sf_dir, "region").createOrReplaceTempView("t_region")
+    # * EXCEPT
+    cols = spark.sql("SELECT * EXCEPT (r_name) FROM t_region").columns
+    assert cols == ["r_regionkey"]
+    # lateral column alias: x referenced in the same SELECT list
+    row = spark.sql(
+        "SELECT r_regionkey + 1 AS x, x * 10 AS y FROM t_region ORDER BY ALL LIMIT 1"
+    ).collect()[0]
+    assert (row.x, row.y) == (1, 10)
+    # IDENTIFIER() binds a table name from a parameter
+    n = spark.sql("SELECT count(*) AS n FROM IDENTIFIER(:t)", args={"t": "t_region"})
+    assert n.collect()[0].n == 5
+    spark.catalog.dropTempView("t_region")

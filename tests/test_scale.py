@@ -241,3 +241,29 @@ def test_scan_pruning_reaches_parquet(spark, sf_dir):
     assert "ReadSchema: struct<l_orderkey:" in plan, plan
     # nothing beyond the two projected columns reaches the scan
     assert "l_extendedprice" not in plan
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """Join strategy is controllable per-join when the planner's default
+    is wrong for a known workload: shuffle_hash avoids the sort of SMJ,
+    merge forces SMJ, broadcast pins the build side. At 100 TB picking
+    the strategy per join (not globally) is a first-order lever."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan(j):
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        assert "SortMergeJoin" in plan(smj)
+        shj = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        assert "ShuffledHashJoin" in plan(shj)
+        bhj = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        assert "BroadcastHashJoin" in plan(bhj)
+        # all three compute the same row count
+        counts = {smj.count(), shj.count(), bhj.count()}
+        assert len(counts) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
