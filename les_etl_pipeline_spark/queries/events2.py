@@ -447,3 +447,76 @@ def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         for k, name in conds.items()
     ]
     return off.groupBy("cohort").agg(*aggs).orderBy("cohort")
+
+
+PSI_EDGES = (5.0, 10.0, 20.0, 40.0, 80.0, 160.0)
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+                  THEN 'ref' ELSE 'cur' END AS half,
+             CASE WHEN value <= 5.0 THEN 0 WHEN value <= 10.0 THEN 1
+                  WHEN value <= 20.0 THEN 2 WHEN value <= 40.0 THEN 3
+                  WHEN value <= 80.0 THEN 4 WHEN value <= 160.0 THEN 5
+                  ELSE 6 END AS bucket
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT bucket,
+             count(*) FILTER (half = 'ref') AS n_ref,
+             count(*) FILTER (half = 'cur') AS n_cur
+      FROM b GROUP BY bucket
+    ), t AS (
+      SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS k FROM c
+    )
+    SELECT c.bucket,
+           CAST(c.n_ref AS BIGINT) AS n_ref,
+           CAST(c.n_cur AS BIGINT) AS n_cur,
+           (floor((((c.n_ref + 1.0) / (t.tr + t.k)) - ((c.n_cur + 1.0) / (t.tc + t.k)))
+                  * ln(((c.n_ref + 1.0) / (t.tr + t.k)) / ((c.n_cur + 1.0) / (t.tc + t.k)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS psi_term
+    FROM c CROSS JOIN t ORDER BY c.bucket
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between the first and
+    second half of the event timeline — the data-drift monitor a
+    production pipeline runs on every metric. Fixed bucket edges keep
+    the binning integer-exact across engines; +1 Laplace smoothing makes
+    every term defined; per-bucket PSI contributions sum to the headline
+    index. One scan, one bucket aggregate, totals broadcast back as a
+    1-row cross join (allowlisted aggregate-broadcast pattern)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    half = F.when(
+        F.to_date(F.date_trunc("day", "ts")) < F.lit("2024-01-16").cast("date"),
+        F.lit("ref"),
+    ).otherwise(F.lit("cur"))
+    bucket = F.lit(len(PSI_EDGES))
+    for i, e in reversed(list(enumerate(PSI_EDGES))):
+        bucket = F.when(F.col("value") <= e, F.lit(i)).otherwise(bucket)
+    c = (
+        ev.select(half.alias("half"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("half") == "ref", 1)).alias("n_ref"),
+            F.count(F.when(F.col("half") == "cur", 1)).alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + F.col("k"))
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + F.col("k"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            hround((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

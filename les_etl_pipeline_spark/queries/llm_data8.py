@@ -495,3 +495,55 @@ def dedup_evidence_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("simhash_dup"),
         (e.cast("int") + j.cast("int") + s.cast("int")).alias("n_evidence"),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "stat_chi_squared_independence",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source, lang
+    ), rt AS (SELECT source, sum(n) AS r FROM o GROUP BY source),
+    ct AS (SELECT lang, sum(n) AS c FROM o GROUP BY lang),
+    tot AS (SELECT sum(n) AS t FROM o),
+    cells AS (
+      SELECT o.n, rt.r * ct.c / tot.t AS e
+      FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot
+    )
+    SELECT (floor(sum((n - e) * (n - e) / e) * 10000.0 + 0.5) / 10000.0) AS chi2,
+           CAST((SELECT count(*) - 1 FROM rt) * (SELECT count(*) - 1 FROM ct)
+                AS BIGINT) AS dof,
+           CAST((SELECT count(*) FROM o) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+)
+def stat_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic for the source x lang
+    contingency table — the distribution-balance check a corpus curator
+    runs before fixing a mixture. Observed counts come from ONE
+    aggregate; row/column/grand totals are tiny re-aggregations of that
+    cell table joined back (never a second corpus scan); the statistic
+    is a sum over <= |sources| x |langs| cells, rounded to absorb
+    double-summation order. dof = (r-1)(c-1) rides along for the
+    significance lookup."""
+    docs = table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    o = o.localCheckpoint()  # 4 consumers of a <=100-row table
+    rt = o.groupBy("source").agg(F.sum("n").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("n").alias("c"))
+    tot = o.agg(F.sum("n").alias("t"))
+    cells = (
+        o.join(rt, "source").join(ct, "lang").crossJoin(F.broadcast(tot))
+        .select("n", (F.col("r") * F.col("c") / F.col("t")).alias("e"))
+    )
+    dof = (
+        rt.count() - 1
+    ) * (ct.count() - 1)  # scalar metadata, driver-side by design
+    n_cells = o.count()
+    return cells.agg(
+        hround(F.sum((F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")), 4).alias("chi2"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+    )

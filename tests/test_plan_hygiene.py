@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
     "text_bm25_topk": "1-row avgdl/n_docs aggregate broadcast",
     "corpus_mixture_plan": "1-row n_sources aggregate broadcast",
+    "events_psi_drift": "1-row bucket-totals aggregate broadcast",
+    "stat_chi_squared_independence": "1-row grand-total aggregate broadcast",
 }
 
 
