@@ -74,3 +74,43 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame, source, max_hops: int = 4, symmetric: bool = True
+) -> DataFrame:
+    """Hop-bounded BFS shortest-path distances from ``source``:
+    (node, dist) for every node reachable within ``max_hops``.
+
+    Same iterative posture as pagerank: each hop is ONE equi-join of the
+    current frontier with the (checkpointed, loop-invariant) edge table
+    plus a min-aggregate; the frontier is only the nodes FIRST reached at
+    this hop, so expanded work shrinks as the search saturates. The
+    driver touches nothing but the loop counter — distances never leave
+    the cluster. Hop-bounded by construction (deterministic output, no
+    convergence test), which is also the honest 100 TB posture: a
+    k-hop neighborhood query, not an unbounded traversal."""
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+    if symmetric:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], ["node", "dist"])
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = dist.where(F.col("dist") == hop)
+        if frontier.isEmpty():
+            break
+    return dist

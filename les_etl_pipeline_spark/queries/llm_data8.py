@@ -547,3 +547,47 @@ def stat_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(dof).cast("long").alias("dof"),
         F.lit(n_cells).cast("long").alias("n_cells"),
     )
+
+
+@register(
+    "graph_bfs_distances",
+    oracle="""
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey <= 300
+    ), und AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_suppkey < b.l_suppkey
+    ), edges AS (
+      SELECT DISTINCT s1 AS src, s2 AS dst FROM und
+      UNION SELECT DISTINCT s2, s1 FROM und
+    ), walk(node, d) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 4
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded BFS (4 hops) from supplier 1 over the supplier
+    co-occurrence graph — the k-hop neighborhood query
+    (operators/graph.bfs_distances). The oracle's recursive CTE
+    deduplicates per level (UNION, not UNION ALL) so it tracks reachable
+    (node, depth) states, and min(d) recovers the same shortest
+    distances the frontier iteration computes."""
+    from ..operators.graph import bfs_distances
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    d = bfs_distances(edges, source=1, max_hops=4, symmetric=True)
+    return d.select("node", F.col("dist").cast("int").alias("dist")).orderBy("node")

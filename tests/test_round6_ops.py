@@ -219,3 +219,20 @@ def test_modern_sql_ergonomics(spark, sf_dir):
     n = spark.sql("SELECT count(*) AS n FROM IDENTIFIER(:t)", args={"t": "t_region"})
     assert n.collect()[0].n == 5
     spark.catalog.dropTempView("t_region")
+
+
+def test_bfs_distances_invariants(spark):
+    """Source at distance 0; direct neighbors at 1; a node beyond the
+    hop bound is absent; distances respect edge relaxation (no pair of
+    adjacent nodes differs by more than 1)."""
+    from les_etl_pipeline_spark.operators.graph import bfs_distances
+
+    # path graph 1-2-3-4-5-6-7 plus a shortcut 1-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)], "a long, b long"
+    )
+    d = {r.node: r.dist for r in bfs_distances(edges, 1, max_hops=3).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}  # 5,6,7 beyond 3 hops
+    shortcut = edges.union(spark.createDataFrame([(1, 4)], "a long, b long"))
+    d2 = {r.node: r.dist for r in bfs_distances(shortcut, 1, max_hops=3).collect()}
+    assert d2[4] == 1 and d2[5] == 2 and d2[6] == 3  # relaxed through shortcut
