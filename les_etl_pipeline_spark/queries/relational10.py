@@ -140,7 +140,9 @@ def agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.skewness("l_quantity"), 6).alias("qty_skew"),
             hround(F.kurtosis("l_quantity"), 6).alias("qty_kurt"),
             F.mode("l_linestatus").alias("status_mode"),
-            F.max_by("l_quantity", F.col("c") * 100 - F.col("l_quantity")).alias("qty_mode"),
+            F.max_by("l_quantity", F.col("c") * 100 - F.col("l_quantity"))
+            .cast("long")
+            .alias("qty_mode"),
             F.count_if(F.col("l_quantity") > 40).alias("n_heavy"),
         )
         .orderBy("l_returnflag")
