@@ -198,3 +198,39 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", F.col("count").alias("n"))
         .orderBy(F.desc("n"), "item")
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS p,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(p) AS lo, max(p) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 quantile buckets over extended price) —
+    the CBO/statistics primitive complementing the equi-width
+    agg_price_histogram. ntile's total order is made deterministic with
+    the (price, orderkey, linenumber) tie-break. NOTE the honest scale
+    caveat: a global-order ntile is a single-task sort at data scale —
+    the 100 TB path computes bucket EDGES via approx_percentile (one
+    aggregate) and bins with a CASE, as agg_approx_percentiles shows;
+    this query exists to pin the exact-quantile semantics those edges
+    approximate."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select(F.col("l_extendedprice").alias("p"), F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("p").alias("lo"), F.max("p").alias("hi"))
+        .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )
