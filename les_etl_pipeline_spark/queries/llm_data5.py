@@ -244,3 +244,108 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("predicted_lang")
     )
+
+
+PPL_RATES = {1: 0.5, 2: 1.0, 3: 0.8, 4: 0.2}
+
+
+@register(
+    "corpus_ppl_bucket_sampling",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY doc_id, tok
+    ), v AS (
+      SELECT tok, sum(c) AS n_tok FROM tc GROUP BY tok
+    ), tot AS (
+      SELECT sum(n_tok) AS n_total FROM v
+    ), lp AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             (floor((sum(c * ln(n_tok / n_total)) / sum(c)) * 1000000.0 + 0.5)
+              / 1000000.0) AS mlp
+      FROM tc JOIN v USING (tok) CROSS JOIN tot GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id, n_tokens, mlp,
+             ntile(4) OVER (ORDER BY mlp DESC, doc_id) AS bucket
+      FROM lp
+    ), planned AS (
+      SELECT *, CASE bucket WHEN 1 THEN 0.5 WHEN 2 THEN 1.0
+                            WHEN 3 THEN 0.8 ELSE 0.2 END AS rate,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+               AS hb
+      FROM q
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, rate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hb < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           CAST(sum(CASE WHEN hb < rate * 10000 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM planned GROUP BY bucket, rate ORDER BY bucket
+    """,
+)
+def corpus_ppl_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucketed sampling plan: score every doc
+    with the unigram-LM proxy (same checkpointed one-scan pipeline as
+    text_unigram_logprob), quartile it (ntile over the 6dp-ROUNDED score
+    — rounding BEFORE the ordering is what makes the bucket assignment
+    engine-portable, raw float sums would flip ties), downweight the
+    most-predictable head (boilerplate, rate .5) and the noise tail
+    (rate .2), keep the middle, and apply the rates with the
+    deterministic md5-bucket filter shared with corpus_mixture_plan.
+    Reports planned rate vs achieved docs/tokens per bucket. Scale note:
+    the global ntile runs over the per-DOC score table; at extreme doc
+    counts swap in approx_percentile edges (the agg_approx_percentiles
+    pattern) exactly as agg_equidepth_histogram documents."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    vocab = tc.groupBy("tok").agg(F.sum("c").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    lp = (
+        tc.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            hround(
+                F.sum(F.col("c") * F.log(F.col("n_tok") / F.col("n_total")))
+                / F.sum("c"),
+                6,
+            ).alias("mlp"),
+        )
+    )
+    bucket = F.ntile(4).over(W.orderBy(F.desc("mlp"), "doc_id"))
+    expr = None
+    for b, r in PPL_RATES.items():
+        expr = F.when(F.col("bucket") == b, F.lit(r)) if expr is None else expr.when(
+            F.col("bucket") == b, F.lit(r)
+        )
+    hb = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 10000
+    )
+    keep = F.col("hb") < F.col("rate") * 10000
+    return (
+        lp.select("doc_id", "n_tokens", "mlp", bucket.alias("bucket"))
+        .select("doc_id", "n_tokens", "bucket", expr.alias("rate"), hb.alias("hb"))
+        .groupBy("bucket", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("kept_docs"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "rate", "n_docs", "kept_docs", "kept_tokens",
+        )
+        .orderBy("bucket")
+    )

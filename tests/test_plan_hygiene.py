@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "similarity_bruteforce_topk": "bounded broadcast of the small query set",
     "graph_triangle_count": "cross of three 1-row summary aggregates",
     "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
+    "corpus_ppl_bucket_sampling": "1-row corpus-token-total aggregate broadcast",
     "text_bm25_topk": "1-row avgdl/n_docs aggregate broadcast",
     "corpus_mixture_plan": "1-row n_sources aggregate broadcast",
     "events_psi_drift": "1-row bucket-totals aggregate broadcast",
