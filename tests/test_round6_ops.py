@@ -236,3 +236,47 @@ def test_bfs_distances_invariants(spark):
     shortcut = edges.union(spark.createDataFrame([(1, 4)], "a long, b long"))
     d2 = {r.node: r.dist for r in bfs_distances(shortcut, 1, max_hops=3).collect()}
     assert d2[4] == 1 and d2[5] == 2 and d2[6] == 3  # relaxed through shortcut
+
+
+def test_column_defaults_on_insert(spark):
+    """DDL column DEFAULTs (Spark 4, parquet v1 tables): omitted columns
+    take the declared default on INSERT — the schema-contract feature a
+    warehouse migrator expects."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_def")
+    shutil.rmtree("spark-warehouse/t_def", ignore_errors=True)
+    try:
+        spark.sql("CREATE TABLE t_def (id INT, status STRING DEFAULT 'new') USING parquet")
+        spark.sql("INSERT INTO t_def (id) VALUES (1)")
+        spark.sql("INSERT INTO t_def VALUES (2, 'done')")
+        rows = {r.id: r.status for r in spark.sql("SELECT * FROM t_def").collect()}
+        assert rows == {1: "new", 2: "done"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_def")
+
+
+def test_polymorphic_udtf_analyze(spark):
+    """Polymorphic Python UDTF (Spark 4): analyze() derives the output
+    schema from the ARGUMENT value at plan time — one UDTF serves any
+    requested column fan-out."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, lit, udtf
+    from pyspark.sql.types import IntegerType, StructType
+
+    @udtf
+    class Spread:
+        @staticmethod
+        def analyze(n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n: int):
+            yield tuple(range(n))
+
+    spark.udtf.register("spread", Spread)
+    two = spark.sql("SELECT * FROM spread(2)")
+    three = spark.sql("SELECT * FROM spread(3)")
+    assert two.columns == ["c0", "c1"] and two.collect()[0][1] == 1
+    assert three.columns == ["c0", "c1", "c2"] and three.collect()[0][2] == 2
