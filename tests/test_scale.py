@@ -267,3 +267,57 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
         assert len(counts) == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim filter injects a
+    bloom_filter_agg semi-filter into the fact side of a shuffle join —
+    DPP's counterpart for joins on NON-partition columns. At 100 TB this
+    prunes most fact rows before the shuffle. Test scale sits under the
+    default 10 GB application-side threshold, so the threshold is
+    lowered to make the (normally size-gated) rewrite observable."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_thr = spark.conf.get(thr)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(thr, "0")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt  # the fact-side membership probe
+        j.count()  # and it still executes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(thr, old_thr)
+
+
+def test_no_rdd_usage_outside_allowlist():
+    """The engine is DataFrame-native: `.rdd` appears ONLY in the
+    documented parallelism probe (metadata-only getNumPartitions). Any
+    new `.rdd` use must be justified here — RDD hops break Catalyst
+    optimization and whole-stage codegen."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "les_etl_pipeline_spark")
+    hits = []
+    for path in glob.glob(f"{root}/**/*.py", recursive=True):
+        for i, line in enumerate(open(path), 1):
+            if re.search(r"\.rdd\b", line):
+                hits.append((os.path.relpath(path, root), i, line.strip()))
+    allowed = {("operators/dedup.py", "src.rdd.getNumPartitions()")}
+    for path, i, line in hits:
+        assert any(p == path and frag in line for p, frag in allowed), (
+            f"unexpected .rdd use at {path}:{i}: {line}"
+        )
