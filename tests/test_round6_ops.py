@@ -280,3 +280,27 @@ def test_polymorphic_udtf_analyze(spark):
     three = spark.sql("SELECT * FROM spread(3)")
     assert two.columns == ["c0", "c1"] and two.collect()[0][1] == 1
     assert three.columns == ["c0", "c1", "c2"] and three.collect()[0][2] == 2
+
+
+def test_pandas_api_on_spark_interop(spark, sf_dir):
+    """pyspark.pandas surface: a pandas-style groupby/agg over the same
+    parquet matches the DataFrame API — the migration bridge for
+    pandas-fluent users runs on the same engine and data."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+        got = psdf.groupby("o_orderstatus")["o_totalprice"].sum().to_dict()
+    expect = {
+        r.o_orderstatus: r.s
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-6 * max(1.0, abs(expect[k]))
