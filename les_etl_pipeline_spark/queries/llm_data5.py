@@ -271,8 +271,8 @@ PPL_RATES = {1: 0.5, 2: 1.0, 3: 0.8, 4: 0.2}
              ntile(4) OVER (ORDER BY mlp DESC, doc_id) AS bucket
       FROM lp
     ), planned AS (
-      SELECT *, CASE bucket WHEN 1 THEN 0.5 WHEN 2 THEN 1.0
-                            WHEN 3 THEN 0.8 ELSE 0.2 END AS rate,
+      SELECT *, CAST(CASE bucket WHEN 1 THEN 0.5 WHEN 2 THEN 1.0
+                                 WHEN 3 THEN 0.8 ELSE 0.2 END AS DOUBLE) AS rate,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
                AS hb
       FROM q

@@ -51,10 +51,15 @@ def _targets(argv: list[str]) -> list[str]:
 
 
 def _norm(v):
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # a DECIMAL result will NOT hash like a double —
+        # surface oracle typing drift (CASE over 0.5 literals is DECIMAL)
     if isinstance(v, (int, str, bool)):
         return v
     return str(v)
