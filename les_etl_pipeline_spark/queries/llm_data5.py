@@ -349,3 +349,64 @@ def corpus_ppl_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents WHERE text IS NOT NULL)
+      ) WHERE b IS NOT NULL GROUP BY doc_id, b
+    ), v AS (
+      SELECT b, sum(c) AS n_b FROM bg GROUP BY b
+    ), pref AS (
+      SELECT string_split(b, ' ')[1] AS w1, sum(n_b) AS n_w1 FROM v GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           (floor((sum(c * ln(n_b / n_w1)) / sum(c)) * 1000000.0 + 0.5)
+            / 1000000.0) AS mean_logprob
+    FROM bg JOIN v USING (b)
+    JOIN pref ON string_split(b, ' ')[1] = pref.w1
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean BIGRAM log-probability per document under the corpus's own
+    bigram LM (p(w2|w1) = c(w1 w2) / c(w1 *)) — one conditioning order
+    above text_unigram_logprob, the step from 'rare tokens' to 'unlikely
+    transitions' (catches shuffled/boilerplate text a unigram model
+    scores as normal). Same plan discipline: ONE (doc, bigram, count)
+    checkpoint feeds the bigram vocab, the prefix totals, and the
+    scoring join; no second corpus scan."""
+    from ..operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bg = (
+        docs.select("doc_id", F.explode(text_ops.bigrams("text")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    v = bg.groupBy("b").agg(F.sum("c").alias("n_b"))
+    pref = (
+        v.groupBy(F.split("b", " ")[0].alias("w1")).agg(F.sum("n_b").alias("n_w1"))
+    )
+    return (
+        bg.join(v, "b")
+        .join(pref, F.split(F.col("b"), " ")[0] == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            hround(
+                F.sum(F.col("c") * F.log(F.col("n_b") / F.col("n_w1"))) / F.sum("c"), 6
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
