@@ -520,3 +520,46 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    ), t AS (
+      SELECT cur, sum(n) AS tot FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+           (floor((c.n * 1.0 / t.tot) * 1000000.0 + 0.5) / 1000000.0) AS p
+    FROM c JOIN t USING (cur) ORDER BY c.cur, c.nxt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral model behind next-action prediction and
+    anomalous-flow detection. The lead() window partitions by user
+    (partition-parallel, ordered by (ts, event_id) for a total
+    per-user order); the transition count and row-normalization are two
+    tiny aggregates over the |types|^2 cell table."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(t, "cur")
+        .select(
+            "cur", "nxt", "n",
+            hround(F.col("n") * 1.0 / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
