@@ -91,3 +91,55 @@ def kmeans_lloyd(
         cents = {c: [dims[p] for p in sorted(dims)] for c, dims in by_cluster.items()}
         assign = _assign(e, cents)
     return assign
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> tuple[list[float], float]:
+    """Top principal direction of the (uncentered) Gram matrix X^T X by
+    power iteration — the dominant-variance axis behind whitening /
+    spectral diagnostics of an embedding table. Returns (component
+    vector rounded to 6dp, ||w|| eigenvalue estimate of the final
+    iterate).
+
+    Engine-portable by the same contract as kmeans_lloyd: v0 is the
+    exact constant 1/8 (all-ones over 64 dims, unit norm), each row's
+    projection s = x . v is a sequential in-array fold with v as literal
+    arrays, the matvec accumulation w_j = sum(s * x_j) is a (dim)
+    groupBy whose result rounds to 6dp BEFORE it feeds normalization
+    (squashing parallel-sum association noise), and the driver-side
+    normalize replays the identical IEEE ops the oracle runs (sqrt of
+    the sequential sum of squares of the ROUNDED w, then the hround
+    floor formula). Per iteration: ONE scan + ONE 64-key aggregate;
+    the driver holds 64 scalars."""
+    import math
+
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    v = [1.0 / 8.0] * dims
+    lam = 0.0
+    for _ in range(iters):
+        arr = F.array(*[F.lit(float(x)) for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_rows = (
+            e.select(s.alias("s"), F.posexplode("v"))
+            .groupBy("pos")
+            .agg(hround(F.sum(F.col("s") * F.col("col")), 6).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dims
+        for r in w_rows:
+            w[r.pos] = r.w
+        lam = math.sqrt(sum(x * x for x in w))
+        v = [math.floor(x / lam * 1e6 + 0.5) / 1e6 for x in w]
+    return v, lam

@@ -679,3 +679,61 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "embedding_top_component",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s1 AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(range(1, 65), j -> v[j] * 0.125),
+                            'sum') AS s
+      FROM e
+    ), w1 AS (
+      SELECT j, (floor(sum(s * v[j]) * 1000000.0 + 0.5) / 1000000.0) AS w
+      FROM s1, generate_series(1, 64) g(j) GROUP BY j
+    ), n1 AS (
+      SELECT sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum')) AS nrm, w
+      FROM (SELECT list(w ORDER BY j) AS w FROM w1)
+    ), v1 AS (
+      SELECT list_transform(w, x -> floor(x / nrm * 1000000.0 + 0.5)
+                                    / 1000000.0) AS vv
+      FROM n1
+    ), s2 AS (
+      SELECT e.vec_id, e.v,
+             list_aggregate(list_transform(range(1, 65),
+                            j -> e.v[j] * v1.vv[j]), 'sum') AS s
+      FROM e CROSS JOIN v1
+    ), w2 AS (
+      SELECT j, (floor(sum(s * v[j]) * 1000000.0 + 0.5) / 1000000.0) AS w
+      FROM s2, generate_series(1, 64) g(j) GROUP BY j
+    ), n2 AS (
+      SELECT sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum')) AS nrm, w
+      FROM (SELECT list(w ORDER BY j) AS w FROM w2)
+    )
+    SELECT CAST(j AS INT) AS dim,
+           (floor(w[j] / nrm * 1000000.0 + 0.5) / 1000000.0) AS component,
+           (floor(nrm * 10000.0 + 0.5) / 10000.0) AS eigenvalue
+    FROM n2, generate_series(1, 64) g(j) ORDER BY dim
+    """,
+)
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix by two
+    power iterations (operators/clustering.power_iteration_top_component)
+    — distributed iterative linear algebra: per iteration one scan
+    computes every row's projection against the literal-array iterate
+    and one 64-key aggregate accumulates the matvec; the driver holds 64
+    scalars. The oracle unrolls both iterations in list arithmetic with
+    the identical rounding contract (6dp matvec, 6dp normalized
+    components), so even the eigenvalue matches to 4dp."""
+    v, lam = clustering.power_iteration_top_component(
+        table(spark, sf_dir, "embeddings"), iters=2
+    )
+    lam_r = __import__("math").floor(lam * 1e4 + 0.5) / 1e4
+    return spark.createDataFrame(
+        [(j + 1, v[j], lam_r) for j in range(len(v))],
+        "dim int, component double, eigenvalue double",
+    ).orderBy("dim")
