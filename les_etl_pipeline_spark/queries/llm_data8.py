@@ -737,3 +737,87 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j + 1, v[j], lam_r) for j in range(len(v))],
         "dim int, component double, eigenvalue double",
     ).orderBy("dim")
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle="""
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY doc_id, tok
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc),
+    idf AS (
+      SELECT tok, ln(n.n_docs * 1.0 / count(*)) AS idf
+      FROM tc CROSS JOIN n GROUP BY tok, n.n_docs
+    ), w AS (
+      SELECT tc.doc_id, tc.tok, tc.c * idf.idf AS w
+      FROM tc JOIN idf USING (tok)
+    ), nrm AS (
+      SELECT doc_id,
+             (floor(sqrt(sum(w * w)) * 1000000.0 + 0.5) / 1000000.0) AS nrm
+      FROM w GROUP BY doc_id
+    ), num AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS num
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (floor((num / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0) AS cos
+    FROM num
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE num / (na.nrm * nb.nrm) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector document similarity: TF-IDF cosine >= 0.5 pairs via
+    the inverted index (equi-join on the token key — the sparse
+    counterpart of the dense embedding cosine tiers). Weights are
+    c * ln(N/df); norms round to 6dp before the division so the
+    parallel-sum association noise stays below the 4dp output rounding.
+    100 TB note: the exact numerator joins on EVERY shared token for
+    oracle parity; at scale near-zero-idf stop terms (which contribute
+    ~nothing to the numerator but dominate the join fan-out) get pruned
+    by an idf floor — the same frequency-cap discipline as
+    ngram_jaccard_pairs, with a bounded, quantifiable cosine error."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    n = tc.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        tc.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("tok", F.log(F.col("n_docs") * 1.0 / F.col("df")).alias("idf"))
+    )
+    w = tc.join(idf, "tok").select(
+        "doc_id", "tok", (F.col("c") * F.col("idf")).alias("w")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        hround(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    num = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("num") / (F.col("na") * F.col("nb"))
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(cos >= 0.5)
+        .select("id_a", "id_b", hround(cos, 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "graph_triangle_count": "cross of three 1-row summary aggregates",
     "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
     "corpus_ppl_bucket_sampling": "1-row corpus-token-total aggregate broadcast",
+    "text_tfidf_cosine_pairs": "1-row doc-count aggregate broadcast",
     "text_bm25_topk": "1-row avgdl/n_docs aggregate broadcast",
     "corpus_mixture_plan": "1-row n_sources aggregate broadcast",
     "events_psi_drift": "1-row bucket-totals aggregate broadcast",
