@@ -821,3 +821,79 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hround(cos, 4).alias("cos"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM tf
+    )
+    SELECT (floor(regr_slope(ln(f), ln(r)) * 1000000.0 + 0.5) / 1000000.0)
+             AS zipf_slope,
+           (floor(regr_r2(ln(f), ln(r)) * 1000000.0 + 0.5) / 1000000.0) AS r2,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS
+    slope of ln(freq) on ln(rank) (natural text ~ -1; far-off values
+    flag synthetic/templated corpora). One token aggregate; the ranking
+    window runs over the VOCAB table (tokens, not instances) with a
+    deterministic (freq, token) tie-break; regr_slope/regr_r2 are
+    single-pass combinable aggregates."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = tf.select(
+        "f", F.row_number().over(W.orderBy(F.desc("f"), "tok")).alias("r")
+    )
+    return ranked.agg(
+        hround(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        hround(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY day
+    ), lagged AS (
+      SELECT x, lag(x) OVER (ORDER BY day) AS px FROM daily
+    )
+    SELECT (floor(corr(x, px) * 1000000.0 + 0.5) / 1000000.0) AS autocorr_lag1,
+           CAST(count(px) AS BIGINT) AS n_pairs
+    FROM lagged
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality/trend smell test on an activity metric. The lag window
+    runs over the DAY-grain aggregate (<= timeline days rows, metadata
+    scale); corr() is a single combinable aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    lagged = daily.select("x", F.lag("x").over(W.orderBy("day")).alias("px"))
+    return lagged.agg(
+        hround(F.corr("x", "px"), 6).alias("autocorr_lag1"),
+        F.count("px").alias("n_pairs"),
+    )
