@@ -563,3 +563,43 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@register(
+    "events_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY day
+    ), t AS (SELECT avg(x) AS mu FROM daily)
+    SELECT CAST(isodow(day) AS INT) AS iso_weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           (floor(avg(x) * 100.0 + 0.5) / 100.0) AS avg_events,
+           (floor((avg(x) / t.mu) * 10000.0 + 0.5) / 10000.0) AS seasonal_index
+    FROM daily CROSS JOIN t
+    GROUP BY iso_weekday, t.mu ORDER BY iso_weekday
+    """,
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index of daily activity (avg per ISO weekday
+    over the overall daily mean) — calendar semantics pinned across
+    engines: Spark's weekday() is 0=Monday, DuckDB's isodow() 1=Monday,
+    aligned as weekday+1. Day-grain aggregates only; the overall mean is
+    a 1-row aggregate broadcast."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    t = daily.agg(F.avg("x").alias("mu"))
+    return (
+        daily.crossJoin(F.broadcast(t))
+        .groupBy((F.weekday("day") + 1).alias("iso_weekday"), "mu")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            hround(F.avg("x"), 2).alias("avg_events"),
+            hround(F.avg("x") / F.first("mu"), 4).alias("seasonal_index"),
+        )
+        .select("iso_weekday", "n_days", "avg_events", "seasonal_index")
+        .orderBy("iso_weekday")
+    )

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
     "corpus_ppl_bucket_sampling": "1-row corpus-token-total aggregate broadcast",
     "text_tfidf_cosine_pairs": "1-row doc-count aggregate broadcast",
+    "events_weekday_seasonality": "1-row overall-mean aggregate broadcast",
     "text_bm25_topk": "1-row avgdl/n_docs aggregate broadcast",
     "corpus_mixture_plan": "1-row n_sources aggregate broadcast",
     "events_psi_drift": "1-row bucket-totals aggregate broadcast",
