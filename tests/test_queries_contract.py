@@ -71,3 +71,24 @@ def test_query_vs_oracle(spark, duck, sf_dir, name):
     dcols_s, drows_s = norm(dcols, drows)
     assert scols_s == dcols_s
     assert_rows_equal(srows_s, drows_s)
+
+
+def test_oracle_sql_rounding_hygiene():
+    """Oracle SQL must use the engine-portable floor formula, never bare
+    round() (Spark's BigDecimal HALF_UP vs DuckDB's libm disagree at
+    .xx5 boundaries — functions/rounding.py), and never nondeterministic
+    functions. Exception: etl_cast_engine mirrors the REFERENCE's F9
+    money rounding (PySpark F.round, silver_funcs.py:30-31), so its
+    oracle uses DuckDB round() as the closest twin — exactness on the
+    fixed fixtures is certified by tools/strict_check.py instead."""
+    import re
+
+    allowed_round = {"etl_cast_engine"}
+    for name, sql in ORACLES.items():
+        if name not in allowed_round:
+            assert not re.search(r"(?<![_a-zA-Z])round\s*\(", sql), (
+                f"{name}: bare round() in oracle — use the floor formula"
+            )
+        assert not re.search(r"(?<![_a-zA-Z])(random|now|current_date|current_timestamp)\s*\(", sql), (
+            f"{name}: nondeterministic function in oracle"
+        )
