@@ -141,5 +141,10 @@ def power_iteration_top_component(
         for r in w_rows:
             w[r.pos] = r.w
         lam = math.sqrt(sum(x * x for x in w))
+        if lam == 0.0:
+            # degenerate input (all-zero embeddings, or a matvec that
+            # rounds to zero at 6dp): the top component is undefined —
+            # return the zero vector instead of dividing by zero.
+            return [0.0] * dims, 0.0
         v = [math.floor(x / lam * 1e6 + 0.5) / 1e6 for x in w]
     return v, lam

@@ -239,6 +239,12 @@ def simhash_hamming_pairs(
     cost — exactness holds only at the default ``max_bucket=None``."""
     if max_hamming > n_bands - 1:
         raise ValueError("exactness requires max_hamming <= n_bands - 1")
+    if 64 % n_bands:
+        raise ValueError(
+            "n_bands must divide 64 exactly: otherwise the trailing "
+            f"64 - {n_bands} * {64 // n_bands} signature bits would be "
+            "silently dropped from both the band keys and the popcount"
+        )
     width = 64 // n_bands
     sig = simhash_signatures(df, text_col, id_col)
     bands = sig.select(

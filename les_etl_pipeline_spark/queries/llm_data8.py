@@ -759,7 +759,8 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
              (floor(sqrt(sum(w * w)) * 1000000.0 + 0.5) / 1000000.0) AS nrm
       FROM w GROUP BY doc_id
     ), num AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS num
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (floor(sum(a.w * b.w) * 1000000.0 + 0.5) / 1000000.0) AS num
       FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -805,11 +806,15 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    # numerator rounds to 6dp BEFORE the threshold compare (same floor
+    # formula as the oracle): a pair within one ulp of the 0.5 boundary
+    # must not flip between Spark's partial-agg summation order and
+    # DuckDB's sequential sum.
     num = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+        .agg(hround(F.sum(F.col("wa") * F.col("wb")), 6).alias("num"))
     )
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))

@@ -13,7 +13,9 @@ rename:
   untouched (cloud object stores: same pattern, unique prefixes).
 - **Audit**: the caller's validation hook runs against the landed files
   BEFORE anything becomes visible; a failed audit leaves the store
-  exactly as it was (the orphan dir is swept by the next publish).
+  exactly as it was (the rejected dir is deleted on the spot; if the
+  process dies mid-publish the leftover dir is skipped — never
+  published — by subsequent publishes).
 - **Publish**: visibility flips by atomically replacing one small
   pointer file (``_CURRENT``) via write-to-temp + ``os.replace`` —
   readers see the old or the new version, never a mix and never a
@@ -97,6 +99,9 @@ class SnapshotStore:
         w.parquet(snap_dir)
         landed = self.spark.read.parquet(snap_dir)
         if audit is not None and not audit(landed):
+            # remove the rejected dir so failed publishes don't accumulate
+            # orphan snapshots (vacuum never drops versions > current)
+            shutil.rmtree(snap_dir, ignore_errors=True)
             raise ValueError(
                 f"audit rejected snapshot v={nxt}; current stays at v={cur}"
             )

@@ -41,6 +41,27 @@ def test_simhash_hamming_requires_enough_bands():
         dedup.simhash_hamming_pairs(None, max_hamming=4, n_bands=4)
 
 
+def test_simhash_hamming_requires_divisible_bands():
+    """n_bands must divide 64: n_bands=3 would cover only 63 signature
+    bits, silently corrupting both band keys and the popcount."""
+    import pytest
+
+    with pytest.raises(ValueError, match="divide 64"):
+        dedup.simhash_hamming_pairs(None, max_hamming=2, n_bands=3)
+
+
+def test_power_iteration_zero_embeddings_returns_zero(spark):
+    """All-zero input must not raise ZeroDivisionError: the top
+    component is undefined, the operator returns the zero vector."""
+    rows = [(i, [0.0] * 8) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    v, lam = clustering.power_iteration_top_component(
+        df, vec_col="v", id_col="vec_id", dims=8
+    )
+    assert lam == 0.0
+    assert v == [0.0] * 8
+
+
 def test_kmeans_lloyd_partition_and_monotonicity(spark, sf_dir):
     """Every vector assigned exactly once; total within-cluster squared
     distance does not increase from the seed assignment to the

@@ -40,7 +40,9 @@ def test_failed_audit_leaves_store_untouched(spark, store):
     # current still v0 with the old data
     assert store.current_version() == 0
     assert store.read().count() == 4
-    # next good publish skips past the orphan dir and is readable
+    # the rejected dir is deleted on the spot — no orphan accumulation
+    assert not os.path.isdir(os.path.join(store.root, "v=1"))
+    # next good publish lands cleanly and is readable
     v = store.publish(spark.range(7), audit=lambda df: df.count() == 7)
     assert v > 0 and store.read().count() == 7
 
