@@ -84,11 +84,12 @@ def ngram_jaccard_pairs(
     Set sizes always count the FULL shingle set (true Jaccard
     denominators) — pruning touches only pair generation.
 
-    ``materialize`` checkpoints the exploded posting table before its
-    two consumers (size agg + posting groupBy) — without it the
-    tokenize/explode pipeline executes per consumer (measured 8x slower
-    at sf0.1). On a cluster, swap localCheckpoint for a persisted
-    staging table."""
+    ``materialize`` checkpoints the per-doc distinct-hash arrays before
+    their two consumers (size projection + posting explode) — without it
+    the tokenize/shingle/array_distinct pipeline executes per consumer
+    (same-session A/B at sf0.1: 1.5 s with vs 2.9 s without — the
+    array build dominates, so always materialize). On a cluster, swap
+    localCheckpoint for a persisted staging table."""
     # group key is the 64-bit hash of the shingle, not the string: same
     # counts (collisions ~2^-64), ~5x fewer shuffle bytes at scale.
     # The per-doc DISTINCT shingle-hash ARRAY is the materialized unit
@@ -101,11 +102,13 @@ def ngram_jaccard_pairs(
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
     # parallelism guard: a small input file scans as one split, which
     # would serialize the shingle+hash work (and the checkpoint below
-    # would freeze that single partition). Metadata probe only — at real
-    # scale the scan already has >= defaultParallelism splits and this is
-    # a no-op, so no text bytes are ever shuffled on the 100 TB path.
+    # would freeze that single partition). File-listing probe only (no
+    # .rdd conversion): at real scale the source has >= defaultParallelism
+    # files and this is a no-op, so no text bytes are ever shuffled on
+    # the 100 TB path; non-file sources (memory/stream) report no files
+    # and keep their native parallelism.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    if 0 < len(df.inputFiles()) < par:
         src = src.repartition(par)
     sh_arr = src.select(
         "doc_id",

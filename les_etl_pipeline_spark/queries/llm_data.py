@@ -80,11 +80,13 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize=False: at bench scale re-running the cheap explode for
-    # the two consumers beats paying the checkpoint write+read; at 100 TB
-    # (scan-dominated) keep the operator's materialize=True default.
+    # materialize=True: with the per-doc distinct-hash arrays as the
+    # materialized unit, the checkpoint wins at bench scale too (A/B at
+    # sf0.1: 1.5 s vs 2.9 s — the array build is the dominant cost and
+    # must not run once per consumer). materialize=False was a tuning
+    # for the old exploded-row shape and caused the r5 bench regression.
     pairs = dedup.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), k=3, threshold=0.1, materialize=False
+        table(spark, sf_dir, "documents"), k=3, threshold=0.1, materialize=True
     )
     return pairs.select("id_a", "id_b", hround(F.col("jaccard_raw"), 4).alias("jaccard"))
 
