@@ -103,7 +103,7 @@ def ngram_jaccard_pairs(
     # parallelism guard: a small input file scans as one split, which
     # would serialize the shingle+hash work (and the checkpoint below
     # would freeze that single partition). File-listing probe only (no
-    # .rdd conversion): at real scale the source has >= defaultParallelism
+    # RDD conversion): at real scale the source has >= defaultParallelism
     # files and this is a no-op, so no text bytes are ever shuffled on
     # the 100 TB path; non-file sources (memory/stream) report no files
     # and keep their native parallelism.

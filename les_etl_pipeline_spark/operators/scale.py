@@ -117,14 +117,19 @@ def bucketed_join(
 
 def global_row_ids(
     df: DataFrame,
-    key: str,
+    key: str | list,
     id_name: str = "row_id",
     num_partitions: int | None = None,
+    _keep_total: bool = False,
 ) -> DataFrame:
     """Assign global consecutive 1-based ids in ``key`` order WITHOUT a
     global-order window (which would sort every row in one task — the
     same scale-killer the sweep-line and sequence-packing operators
     shard away).
+
+    ``key`` is a column name or a list of names / sort-order Columns
+    (e.g. ``[F.col("f").desc(), "tok"]``); the composite must be a
+    total order (unique across rows).
 
     Three-phase plan: range-partition on the key (contiguous key ranges
     per partition), rank within each partition in parallel
@@ -132,16 +137,21 @@ def global_row_ids(
     then add each partition's carried offset (cumulated per-partition
     counts — a window over ONE ROW PER PARTITION, metadata scale). The
     assigned id equals rank-in-total-order, so the output is invariant
-    to where the sampled range boundaries happen to fall. Requires
-    ``key`` values to be unique (total order); the classic
-    zipWithIndex, expressed in DataFrame operations."""
+    to where the sampled range boundaries happen to fall. The classic
+    zipWithIndex, expressed in DataFrame operations.
+
+    ``_keep_total`` additionally attaches the total row count as column
+    ``_total`` (computed on the metadata-scale per-partition counts —
+    no extra pass over the data); exact_ntile builds on it."""
     from pyspark.sql.window import Window as W
 
+    keys = key if isinstance(key, list) else [key]
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, F.col(key)).withColumn(
+    parts = df.repartitionByRange(n, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    local_w = W.partitionBy("_pid").orderBy(key)
+    local_w = W.partitionBy("_pid").orderBy(*cols)
     local = parts.withColumn("_local", F.row_number().over(local_w))
     # one row per partition; the only ordered-unpartitioned window
     offsets = (
@@ -156,10 +166,52 @@ def global_row_ids(
                 F.lit(0),
             ),
         )
+        .withColumn(
+            "_total",
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+        )
         .drop("_n")
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(id_name, (F.col("_local") + F.col("_offset")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )
+    return out if _keep_total else out.drop("_total")
+
+
+def exact_ntile(
+    df: DataFrame,
+    key: str | list,
+    k: int,
+    bucket_name: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT SQL ``ntile(k)`` over the total order given by ``key``,
+    with no unpartitioned data-scale window (the plain
+    ``ntile(k).over(W.orderBy(...))`` sorts the whole input in ONE task
+    — the scale-killer this replaces). Bit-identical to the window
+    function: with n rows, the first ``n % k`` buckets hold
+    ``n div k + 1`` rows, the rest ``n div k`` — derived arithmetically
+    from the parallel global rank of ``global_row_ids``.
+
+    Output = input columns + ``bucket_name`` (int, 1-based)."""
+    ranked = global_row_ids(
+        df, key, id_name="_rid", num_partitions=num_partitions, _keep_total=True
+    )
+    rid, n = F.col("_rid"), F.col("_total")
+    base = F.floor(n / k).cast("long")  # rows in a small bucket
+    rem = (n % k).cast("long")  # number of buckets holding base+1 rows
+    thr = rem * (base + 1)  # last rid belonging to a big bucket
+    # greatest(base, 1): when n < k every row falls in the first branch,
+    # but ANSI mode must never see a division by zero in the dead branch
+    bucket = (
+        F.when(rid <= thr, F.floor((rid - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rid - thr - 1) / F.greatest(base, F.lit(1))) + 1)
+        .cast("int")
+    )
+    return ranked.withColumn(bucket_name, bucket).drop("_rid", "_total")

@@ -295,11 +295,11 @@ def corpus_ppl_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-predictable head (boilerplate, rate .5) and the noise tail
     (rate .2), keep the middle, and apply the rates with the
     deterministic md5-bucket filter shared with corpus_mixture_plan.
-    Reports planned rate vs achieved docs/tokens per bucket. Scale note:
-    the global ntile runs over the per-DOC score table; at extreme doc
-    counts swap in approx_percentile edges (the agg_approx_percentiles
-    pattern) exactly as agg_equidepth_histogram documents."""
-    from pyspark.sql import Window as W
+    Reports planned rate vs achieved docs/tokens per bucket. The
+    quartile is scale.exact_ntile (range-partitioned parallel rank) —
+    exact ntile(4) semantics with no single-task global sort even at
+    extreme doc counts."""
+    from ..operators.scale import exact_ntile
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tc = (
@@ -323,7 +323,7 @@ def corpus_ppl_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mlp"),
         )
     )
-    bucket = F.ntile(4).over(W.orderBy(F.desc("mlp"), "doc_id"))
+    binned = exact_ntile(lp, [F.col("mlp").desc(), "doc_id"], 4)
     expr = None
     for b, r in PPL_RATES.items():
         expr = F.when(F.col("bucket") == b, F.lit(r)) if expr is None else expr.when(
@@ -335,8 +335,7 @@ def corpus_ppl_bucket_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = F.col("hb") < F.col("rate") * 10000
     return (
-        lp.select("doc_id", "n_tokens", "mlp", bucket.alias("bucket"))
-        .select("doc_id", "n_tokens", "bucket", expr.alias("rate"), hb.alias("hb"))
+        binned.select("doc_id", "n_tokens", "bucket", expr.alias("rate"), hb.alias("hb"))
         .groupBy("bucket", "rate")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -849,11 +849,13 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus token-frequency distribution: OLS
     slope of ln(freq) on ln(rank) (natural text ~ -1; far-off values
-    flag synthetic/templated corpora). One token aggregate; the ranking
-    window runs over the VOCAB table (tokens, not instances) with a
-    deterministic (freq, token) tie-break; regr_slope/regr_r2 are
-    single-pass combinable aggregates."""
-    from pyspark.sql import Window as W
+    flag synthetic/templated corpora). One token aggregate; the rank is
+    the parallel global row id over the VOCAB table (tokens, not
+    instances — sublinear in corpus size but still billions of rows at
+    100 TB, so no single-task rank window) with a deterministic
+    (freq, token) tie-break; regr_slope/regr_r2 are single-pass
+    combinable aggregates."""
+    from ..operators.scale import global_row_ids
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tf = (
@@ -861,9 +863,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = tf.select(
-        "f", F.row_number().over(W.orderBy(F.desc("f"), "tok")).alias("r")
-    )
+    ranked = global_row_ids(tf, [F.col("f").desc(), "tok"], id_name="r").select("f", "r")
     return ranked.agg(
         hround(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
         hround(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),

@@ -1,14 +1,19 @@
 """Plan-hygiene gate over the ENTIRE query registry: no scale-killer
-join shapes may appear in any registered query's physical plan unless
+shapes may appear in any registered query's physical plan unless
 explicitly justified below.
 
 At 100 TB a BroadcastNestedLoopJoin or CartesianProduct on data-scale
-inputs is the difference between a job and an outage; this test makes
-the absence a permanent invariant — a new query that accidentally plans
-one fails CI with its name.
+inputs is the difference between a job and an outage, and an
+UNPARTITIONED window (WindowExec "No Partition Defined") sorts its whole
+input in one task. This test makes their absence a permanent invariant —
+a new query that accidentally plans one fails CI with its name.
 """
 
 from __future__ import annotations
+
+import re
+
+import pytest
 
 from les_etl_pipeline_spark.queries import QUERIES
 
@@ -37,12 +42,47 @@ BNLJ_ALLOWED = {
     "stat_chi_squared_independence": "1-row grand-total aggregate broadcast",
 }
 
+#: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
+#: leading order column with the reason its input is metadata-scale (a
+#: bounded spine or a one-row-per-group table, never raw data rows).
+#: Windows ordered by `_pid` are always allowed: that is the carried-
+#: offset cumulation of scale.global_row_ids / exact_ntile — ONE row per
+#: range partition, the sanctioned parallel-rank pattern.
+UNPART_WINDOW_ALLOWED = {
+    "cte_nation_revenue_rank": ("rev", "rank over the 25-row per-nation aggregate"),
+    "events_autocorr_lag1": ("day", "lag over the one-row-per-day aggregate"),
+    "events_linear_interpolation": ("hrL", "bounded hourly spine grid"),
+    "events_max_concurrency": ("day", "carried-offset cumulation, one row per day"),
+    "events_sliding_distinct_users": ("_w1", "day-grain sliding frame"),
+}
 
-def test_no_unjustified_nested_loops(spark, sf_dir):
+_WSD = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir) -> dict[str, str]:
+    """Physical plan text of every registered query, computed once."""
+    return {
+        name: fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for name, fn in QUERIES.items()
+    }
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition argument lists with NO partition columns
+    (the first argument already carries a sort direction)."""
+    out = []
+    for m in _WSD.finditer(plan):
+        args = m.group(1)
+        first = args.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            out.append(re.sub(r"#\d+", "", args))
+    return out
+
+
+def test_no_unjustified_nested_loops(all_plans):
     offenders: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_plans.items():
         hits = []
         if "CartesianProduct" in plan:
             hits.append("CartesianProduct")
@@ -53,7 +93,24 @@ def test_no_unjustified_nested_loops(spark, sf_dir):
     assert not offenders, f"scale-killer join shapes: {offenders}"
 
 
-def test_concurrency_sweep_is_sharded(spark, sf_dir):
+def test_no_unjustified_unpartitioned_windows(all_plans):
+    """Every ordered-unpartitioned window in every registered plan must
+    be the `_pid` carried-offset cumulation or a justified metadata-scale
+    spine — a data-scale single-task sort fails here by query name."""
+    offenders: dict[str, list[str]] = {}
+    for name, plan in all_plans.items():
+        for spec in _unpartitioned_windows(plan):
+            lead = spec.split(",")[0].split(" ")[0].strip()
+            if lead == "_pid":
+                continue
+            allowed = UNPART_WINDOW_ALLOWED.get(name)
+            if allowed and lead == allowed[0]:
+                continue
+            offenders.setdefault(name, []).append(spec)
+    assert not offenders, f"unpartitioned data-scale windows: {offenders}"
+
+
+def test_concurrency_sweep_is_sharded(all_plans):
     """The events_max_concurrency sweep-line must keep its data-scale
     running sum partitioned by day: the window over the event point
     stream (the one summing `delta` ordered by t) must carry a partition
@@ -61,12 +118,7 @@ def test_concurrency_sweep_is_sharded(spark, sf_dir):
     carried-offset cumulation over the one-row-per-day table (summing
     `day_net`). Guards against regressing to a single-task global sort
     of every event boundary."""
-    import re
-
-    from les_etl_pipeline_spark.queries import QUERIES
-
-    df = QUERIES["events_max_concurrency"](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = all_plans["events_max_concurrency"]
     stream_windows = [
         ln for ln in plan.splitlines() if "Window" in ln and "sum(delta" in ln
     ]
@@ -82,8 +134,9 @@ def test_concurrency_sweep_is_sharded(spark, sf_dir):
             )
 
 
-def test_bnlj_allowlist_entries_exist():
+def test_allowlist_entries_exist():
     """Allowlist entries must name real queries — a renamed query must
     carry its justification along."""
     unknown = [n for n in BNLJ_ALLOWED if n not in QUERIES]
+    unknown += [n for n in UNPART_WINDOW_ALLOWED if n not in QUERIES]
     assert not unknown, f"allowlisted but not registered: {unknown}"

@@ -321,3 +321,43 @@ def test_no_rdd_usage_outside_allowlist():
         assert any(p == path and frag in line for p, frag in allowed), (
             f"unexpected .rdd use at {path}:{i}: {line}"
         )
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """exact_ntile must be bit-identical to ntile(k) OVER (ORDER BY ...)
+    for awkward n/k combinations (uneven buckets, n < k, desc order)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators.scale import exact_ntile
+
+    for n, k in ((10, 4), (7, 3), (3, 8), (32, 5), (1, 2)):
+        df = spark.range(n).select(
+            F.col("id").alias("i"), (F.col("id") * 37 % 11).alias("v")
+        )
+        want = {
+            (r.i, r.b)
+            for r in df.select(
+                "i", F.ntile(k).over(W.orderBy(F.desc("v"), "i")).alias("b")
+            ).collect()
+        }
+        got = {
+            (r.i, r.bucket)
+            for r in exact_ntile(df, [F.col("v").desc(), "i"], k).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_global_row_ids_multi_key_desc(spark):
+    """Composite (desc, asc) ordering assigns rank-in-total-order."""
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators.scale import global_row_ids
+
+    rows = [(i, i % 5) for i in range(23)]
+    df = spark.createDataFrame(rows, "i int, g int")
+    out = global_row_ids(df, [F.col("g").desc(), "i"], id_name="r").collect()
+    expect = sorted(rows, key=lambda t: (-t[1], t[0]))
+    got = sorted(out, key=lambda r: r.r)
+    assert [(r.i, r.g) for r in got] == expect
+    assert [r.r for r in got] == list(range(1, 24))
