@@ -378,21 +378,36 @@ def minhash_signature_array(
     n_hashes: int = 64,
     ngram: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """n-permutation MinHash signature as a native long-array column:
-    hash function i is xxhash64(seed + i, shingle) and signature element
-    i its minimum over the doc's distinct shingles. Pure column
+    """n-permutation MinHash signature as a native array column: hash
+    function i is xxhash64(seed + i, shingle) and signature element i
+    its minimum over the doc's distinct shingles. Pure column
     expressions — no explode, no shuffle, whole-stage codegen end to
-    end; docs shorter than ``ngram`` words (no shingles) are excluded."""
+    end; docs shorter than ``ngram`` words (no shingles) are excluded.
+
+    ``hash_family="md5"`` swaps hash i for md5('<seed+i>:' || shingle)
+    with LEXICOGRAPHIC minima over the hex strings — slower (32-byte
+    string compares vs long compares; keep xxhash64 on the 100 TB path)
+    but bit-reproducible in any engine with md5, which makes the whole
+    banding pipeline oracle-checkable in DuckDB."""
     sh = F.array_distinct(shingles(text_col, ngram))
-    sig = F.array(
-        *[
+    if hash_family == "md5":
+        mins = [
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{seed + i}:"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        mins = [
             F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(seed + i), s)))
             for i in range(n_hashes)
         ]
-    )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return df.where(F.size(sh) > 0).select(
-        F.col(id_col).alias("doc_id"), sig.alias("minhash")
+        F.col(id_col).alias("doc_id"), F.array(*mins).alias("minhash")
     )
 
 
@@ -405,6 +420,7 @@ def minhash_banded_pairs(
     ngram: int = 3,
     seed: int = 42,
     max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via self-tuned MinHash banding:
     (b, r) come from choose_lsh_params(threshold), each band hashes r
@@ -418,15 +434,20 @@ def minhash_banded_pairs(
     lists, ``max_bucket`` capping degenerate buckets (boilerplate-heavy
     corpora collapse many docs into one bucket; the cap bounds the
     quadratic tail exactly like the stop-shingle frequency cap).
-    Deterministic for a fixed seed. Returns distinct (id_a < id_b)."""
+    Deterministic for a fixed seed. Returns distinct (id_a < id_b).
+
+    ``hash_family="md5"`` (see minhash_signature_array) keys each band
+    bucket by the ':'-joined hex elements instead of an xxhash64 fold —
+    engine-portable, so the full banding pipeline replays in DuckDB."""
     b, r = choose_lsh_params(threshold, n_hashes)
-    sigs = minhash_signature_array(df, text_col, id_col, b * r, ngram, seed)
+    sigs = minhash_signature_array(df, text_col, id_col, b * r, ngram, seed, hash_family)
+    if hash_family == "md5":
+        bucket_of = lambda i: F.array_join(F.slice("minhash", i * r + 1, r), ":")  # noqa: E731
+    else:
+        bucket_of = lambda i: F.xxhash64(F.lit(i), F.slice("minhash", i * r + 1, r))  # noqa: E731
     bands = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(F.lit(i), F.slice("minhash", i * r + 1, r)).alias("bucket"),
-            )
+            F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
             for i in range(b)
         ]
     )

@@ -392,20 +392,54 @@ def multimodal_decode_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(assets).orderBy("doc_id")
 
 
-@register("dedup_minhash_banded")  # xxhash64 banding -> rows-only check
+@register(
+    "dedup_minhash_banded",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), sig AS (
+      SELECT doc_id, i, min(md5(CAST(42 + i AS VARCHAR) || ':' || s)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+      GROUP BY doc_id, i
+    ), bk AS (
+      SELECT doc_id, i // 4 AS band, string_agg(h, ':' ORDER BY i) AS key
+      FROM sig GROUP BY doc_id, i // 4
+    ), sized AS (
+      SELECT band, key FROM bk GROUP BY band, key
+      HAVING count(*) >= 2 AND count(*) <= 1000
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bk a
+    JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    JOIN sized s ON s.band = a.band AND s.key = a.key
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-tuned MinHash banding (operators/dedup.minhash_banded_pairs):
     (b, r) derived from the Jaccard threshold via the S-curve chooser
-    ((1/b)^(1/r) ≈ t), band buckets keyed by xxhash64 over r consecutive
-    signature rows, pairs expanded from grouped posting lists in ONE
-    exchange. xxhash64 has no DuckDB twin, so the driver records the
-    rows-only check; the candidate-recall bound vs true Jaccard pairs is
-    pinned in-repo by tests/test_round4_ops.py::
-    test_minhash_banded_recall_beats_naive."""
+    ((1/b)^(1/r) ≈ t — threshold 0.5 over 64 hashes lands exactly on
+    b=16, r=4), band buckets keyed over r consecutive signature rows,
+    pairs expanded from grouped posting lists in ONE exchange. Runs the
+    md5 hash family (lexicographic minima of md5('<seed+i>:'||shingle),
+    bucket key = ':'-joined hex elements) so the ENTIRE pipeline —
+    shingles, 64 permutations, banding, bucket cap, pair expansion —
+    replays bit-exactly in DuckDB; the xxhash64 family stays the faster
+    100 TB default. Candidate recall vs true Jaccard pairs pinned by
+    tests/test_round4_ops.py::test_minhash_banded_recall_beats_naive."""
     from ..operators import dedup as _dedup
 
     pairs = _dedup.minhash_banded_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.5
+        table(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5"
     )
     return pairs.orderBy("id_a", "id_b")
 
