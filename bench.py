@@ -50,6 +50,19 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# heavy round-5 operators (top of SCALING.md by sf0.1 cost) — added in r6
+# so regressions there get caught the way dedup_ngram_jaccard's was.
+# Kept separate so the cross-round suite total stays comparable to the
+# r1-era anchor (BENCH_r01): "value" sums ONLY the original HEADLINE set,
+# "value_extended" adds these.
+EXTENDED = [
+    "sketch_cms_token_freq",
+    "dedup_chunk_reconstruct",
+    "text_bm25_topk",
+    "text_tfidf_cosine_pairs",
+    "dedup_minhash_banded",
+]
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
@@ -69,7 +82,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
-    names = [n for n in HEADLINE if n in QUERIES]
+    names = [n for n in HEADLINE + EXTENDED if n in QUERIES]
     # one untimed warmup pass over the whole list: JIT/codegen compile,
     # parquet footers and pages into OS cache. Without it each query's
     # first rep mixes one-time process costs into the median, and the
@@ -84,7 +97,8 @@ def main() -> None:
         for name in names:
             times[name].append(run_one(spark, name, sf_dir))
     per_query = {n: round(median(times[n]), 3) for n in names}
-    total = sum(per_query.values())
+    total = sum(per_query[n] for n in per_query if n in HEADLINE)
+    total_ext = sum(per_query.values())
     print(
         json.dumps(
             {
@@ -94,6 +108,12 @@ def main() -> None:
                 "queries": per_query,
                 "sf": sf,
                 "reps": reps,
+                "value_extended": round(total_ext, 3),
+                "note": (
+                    "value sums the r1-era 21-query headline set (comparable "
+                    "to BENCH_r01); value_extended adds the 5 heavy round-5 "
+                    "operators listed in bench.EXTENDED"
+                ),
             }
         )
     )

@@ -739,6 +739,17 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+# Vocab-scale levers (VERDICT r5 #7), mirroring max_shingle_freq's cap
+# pattern: defaults preserve exactness at test scale; at extreme corpora
+# set them to bound the vocab-sized tables these queries scan.
+#: cap the Zipf fit to the top-N vocabulary ranks (None = full vocab)
+ZIPF_MAX_RANK: int | None = None
+#: drop tf-idf terms with idf below this floor before the pair join
+#: (near-zero-idf stop terms dominate the join fan-out yet contribute
+#: ~nothing to the numerator); 0.0 = keep all terms (exact)
+TFIDF_MIN_IDF: float = 0.0
+
+
 @register(
     "text_tfidf_cosine_pairs",
     oracle="""
@@ -780,10 +791,12 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c * ln(N/df); norms round to 6dp before the division so the
     parallel-sum association noise stays below the 4dp output rounding.
     100 TB note: the exact numerator joins on EVERY shared token for
-    oracle parity; at scale near-zero-idf stop terms (which contribute
-    ~nothing to the numerator but dominate the join fan-out) get pruned
-    by an idf floor — the same frequency-cap discipline as
-    ngram_jaccard_pairs, with a bounded, quantifiable cosine error."""
+    oracle parity; at scale set ``TFIDF_MIN_IDF`` to prune near-zero-idf
+    stop terms (which contribute ~nothing to the numerator but dominate
+    the join fan-out) — the same frequency-cap discipline as
+    ngram_jaccard_pairs, with a bounded, quantifiable cosine error
+    (absolute numerator loss <= min_idf * sum of pruned tf products).
+    Default 0.0 keeps the exact full-vocab join."""
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     tc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -799,13 +812,16 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.log(F.col("n_docs") * 1.0 / F.col("df")).alias("idf"))
     )
     w = tc.join(idf, "tok").select(
-        "doc_id", "tok", (F.col("c") * F.col("idf")).alias("w")
+        "doc_id", "tok", (F.col("c") * F.col("idf")).alias("w"), "idf"
     )
     nrm = w.groupBy("doc_id").agg(
         hround(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
     )
-    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    # the idf floor prunes the pair-JOIN side only — norms always use the
+    # full term set (exact denominators), the max_shingle_freq discipline
+    wj = w if TFIDF_MIN_IDF <= 0.0 else w.where(F.col("idf") >= TFIDF_MIN_IDF)
+    a = wj.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = wj.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
     # numerator rounds to 6dp BEFORE the threshold compare (same floor
     # formula as the oracle): a pair within one ulp of the 0.5 boundary
     # must not flip between Spark's partial-agg summation order and
@@ -854,7 +870,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances — sublinear in corpus size but still billions of rows at
     100 TB, so no single-task rank window) with a deterministic
     (freq, token) tie-break; regr_slope/regr_r2 are single-pass
-    combinable aggregates."""
+    combinable aggregates.
+
+    ``ZIPF_MAX_RANK`` caps the fit to the top-N vocabulary ranks — the
+    documented vocab-scale lever (the Zipf head is what the law is
+    about; the hapax tail at extreme corpora adds rows, not signal).
+    Applied AFTER ranking, so it is a plain filter on the assigned rank:
+    the default None preserves full-vocab exactness at test scale,
+    mirroring max_shingle_freq's cap pattern."""
     from ..operators.scale import global_row_ids
 
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -864,6 +887,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
     )
     ranked = global_row_ids(tf, [F.col("f").desc(), "tok"], id_name="r").select("f", "r")
+    if ZIPF_MAX_RANK is not None:
+        ranked = ranked.where(F.col("r") <= ZIPF_MAX_RANK)
     return ranked.agg(
         hround(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
         hround(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),

@@ -349,3 +349,34 @@ def test_power_iteration_converges_to_eigenvector(spark, sf_dir):
     assert cos > 0.9, cos
     # the eigenvalue estimate grows monotonically toward lambda_max
     assert 0 < lam2 <= lam3 * (1 + 1e-9), (lam2, lam3)
+
+
+def test_zipf_max_rank_cap(spark, sf_dir, monkeypatch):
+    """ZIPF_MAX_RANK caps the fit to the vocab head: vocab_size equals
+    the cap and the slope still comes out negative (Zipf-shaped)."""
+    from les_etl_pipeline_spark.queries import llm_data8
+
+    monkeypatch.setattr(llm_data8, "ZIPF_MAX_RANK", 10)
+    row = llm_data8.text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row.vocab_size == 10
+    assert row.zipf_slope < 0
+
+
+def test_tfidf_min_idf_prunes_join_only(spark, sf_dir, monkeypatch):
+    """With the idf floor engaged, the surviving pairs are a subset of
+    the exact result, cosines never increase (only numerator mass is
+    dropped), and norms stay exact (cos <= exact cos per pair)."""
+    from les_etl_pipeline_spark.queries import llm_data8
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm_data8, "TFIDF_MIN_IDF", 0.5)
+    pruned = {
+        (r.id_a, r.id_b): r.cos
+        for r in llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for k, c in pruned.items():
+        assert c <= exact[k] + 1e-9
