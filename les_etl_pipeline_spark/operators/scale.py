@@ -215,3 +215,46 @@ def exact_ntile(
         .cast("int")
     )
     return ranked.withColumn(bucket_name, bucket).drop("_rid", "_total")
+
+
+def carried_cumsum(
+    df: DataFrame,
+    key: str | list,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sums of ``value_cols`` in ``key`` order
+    WITHOUT a global-order window — the running-total counterpart of
+    global_row_ids, and the building block for distributed order
+    statistics (exact median, Mann-Whitney ranks, KS CDFs).
+
+    Same three-phase shape: range-partition on the key, per-partition
+    running sums in parallel (partitionBy(spark_partition_id)), then add
+    each partition's carried totals (cumulated on the ONE-row-per-
+    partition offset table, metadata scale). ``key`` must be a total
+    order (unique composite). Adds one ``cum_<col>`` column per value
+    column."""
+    from pyspark.sql.window import Window as W
+
+    keys = key if isinstance(key, list) else [key]
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *cols).withColumn("_pid", F.spark_partition_id())
+    run_w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
+    local = parts
+    for v in value_cols:
+        local = local.withColumn(f"_lc_{v}", F.sum(v).over(run_w))
+    off_w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = local.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
+    )
+    for v in value_cols:
+        offsets = offsets.withColumn(
+            f"_o_{v}", F.coalesce(F.sum(f"_t_{v}").over(off_w), F.lit(0))
+        ).drop(f"_t_{v}")
+    out = local.join(F.broadcast(offsets), "_pid")
+    for v in value_cols:
+        out = out.withColumn(f"cum_{v}", F.col(f"_lc_{v}") + F.col(f"_o_{v}")).drop(
+            f"_lc_{v}", f"_o_{v}"
+        )
+    return out.drop("_pid")

@@ -406,12 +406,18 @@ def multimodal_decode_stdlib(spark: SparkSession, sf_dir: str) -> DataFrame:
                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
         FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
       ) WHERE s IS NOT NULL
+    ), hs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+             (('0x' || substr(md5(s), 9, 8))::BIGINT | 1) AS h2
+      FROM sh
     ), sig AS (
-      SELECT doc_id, i, min(md5(CAST(42 + i AS VARCHAR) || ':' || s)) AS h
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+      SELECT doc_id, i, min((h1 + (42 + i) * h2) % 4294967296) AS g
+      FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
       GROUP BY doc_id, i
     ), bk AS (
-      SELECT doc_id, i // 4 AS band, string_agg(h, ':' ORDER BY i) AS key
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(g AS VARCHAR), ':' ORDER BY i) AS key
       FROM sig GROUP BY doc_id, i // 4
     ), sized AS (
       SELECT band, key FROM bk GROUP BY band, key
@@ -430,9 +436,10 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((1/b)^(1/r) ≈ t — threshold 0.5 over 64 hashes lands exactly on
     b=16, r=4), band buckets keyed over r consecutive signature rows,
     pairs expanded from grouped posting lists in ONE exchange. Runs the
-    md5 hash family (lexicographic minima of md5('<seed+i>:'||shingle),
-    bucket key = ':'-joined hex elements) so the ENTIRE pipeline —
-    shingles, 64 permutations, banding, bucket cap, pair expansion —
+    md5 hash family (Kirsch-Mitzenmacher: ONE md5 per shingle, the 64
+    permutations derived as (h1 + (42+i)*h2) mod 2^32 with h1/h2 the two
+    hex halves, bucket key = ':'-joined elements) so the ENTIRE pipeline
+    — shingles, 64 permutations, banding, bucket cap, pair expansion —
     replays bit-exactly in DuckDB; the xxhash64 family stays the faster
     100 TB default. Candidate recall vs true Jaccard pairs pinned by
     tests/test_round4_ops.py::test_minhash_banded_recall_beats_naive."""

@@ -1,0 +1,288 @@
+"""Fifteenth relational pack: distributed ORDER STATISTICS on the
+carried-prefix-sum primitive (operators/scale.carried_cumsum) — the
+round-6 family built on the same range-partition + carried-offset shape
+that replaced the repo's last single-task sorts.
+
+- ``agg_exact_median_parallel``: exact (interpolated) median from the
+  value-grain CDF — min value whose cumulative count reaches the k-th
+  order statistic; no global sort, no driver-side percentile buffer
+  (Spark's builtin exact ``percentile`` aggregates every value into one
+  in-memory buffer per group — fine for small groups, a scale-killer for
+  a 10^12-row column).
+- ``stat_mannwhitney_u``: Mann-Whitney U with average ranks for ties and
+  the tie-corrected normal approximation. Ranks come from the pooled
+  value-grain cumulative counts; every rank-sum is computed in INTEGER
+  space (2x the half-integer average ranks), so the statistic is exact
+  and partition-order independent — no floating-point drift for the
+  oracle hash to trip on.
+- ``stat_ks_two_sample``: Kolmogorov-Smirnov D as the max |CDF_A -
+  CDF_B| over pooled distinct values, computed as an integer cross
+  difference |cumA*nB - cumB*nA| then divided once — exact, with the
+  deterministic argmax location.
+- ``stat_welch_ttest``: Welch's t and Satterthwaite df from exact
+  integer sums/sums-of-squares (n_chars is integral), so the two-group
+  comparison is bit-stable across engines and partitionings.
+
+Reference parity: none (no statistics in the reference — SURVEY.md §2.5
+gap surface). All four oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators.scale import carried_cumsum
+from .registry import register
+
+
+@register(
+    "agg_exact_median_parallel",
+    oracle="""
+    SELECT (floor(median(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0)
+             AS median_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def agg_exact_median_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median of l_extendedprice with NO global sort:
+    value-grain counts -> carried prefix sums (range-partitioned) -> the
+    k-th order statistic is the MIN value whose cumulative count reaches
+    k; even n averages the two middle order statistics exactly like
+    quantile_cont(0.5). The only collect-free total is a 1-row count
+    aggregate broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    vg = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = carried_cumsum(vg, "p", ["c"])
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    k1 = (F.col("n") + 1) - ((F.col("n") + 1) / 2).cast("long")  # floor((n+1)/2)
+    k2 = (F.col("n") + 2) - ((F.col("n") + 2) / 2).cast("long")
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(
+            hround(
+                (
+                    F.min(F.when(F.col("cum_c") >= k1, F.col("p")))
+                    + F.min(F.when(F.col("cum_c") >= k2, F.col("p")))
+                )
+                / 2.0,
+                6,
+            ).alias("median_price"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
+@register(
+    "stat_mannwhitney_u",
+    oracle="""
+    WITH vals AS (
+      SELECT o_totalprice AS p,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY o_totalprice
+    ), cdf AS (
+      SELECT p, ca, cb, ca + cb AS c,
+             sum(ca + cb) OVER (ORDER BY p) AS cum
+      FROM vals
+    ), tots AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM vals
+    ), s AS (
+      SELECT sum(ca * (2 * cum - c + 1)) AS r2a,
+             sum((c * c * c) - c) AS ties
+      FROM cdf
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           (floor(((r2a - na * (na + 1)) / 2.0) * 100.0 + 0.5) / 100.0) AS u_a,
+           (floor((na * nb - (r2a - na * (na + 1)) / 2.0) * 100.0 + 0.5) / 100.0)
+             AS u_b,
+           (floor((((r2a - na * (na + 1)) / 2.0 - na * nb / 2.0)
+                   / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                          - ties / ((na + nb) * (na + nb - 1.0)))))
+                  * 1000000.0 + 0.5) / 1000000.0) AS z
+    FROM s CROSS JOIN tots
+    """,
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U ('O' vs 'F' order totals) with average ranks for
+    ties, entirely in integer space: avg rank of a tied value is the
+    half-integer (cum - c + (c+1)/2), so 2*R_A = sum(ca * (2*cum - c +
+    1)) is an exact BIGINT — the rank-sum is partition-order independent
+    by construction, not by tolerance. Tie-corrected sigma for the
+    normal approximation; pooled CDF from carried_cumsum (no global
+    window)."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    vg = o.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    cdf = carried_cumsum(
+        vg.withColumn("c", F.col("ca") + F.col("cb")), "p", ["c"]
+    )
+    s = cdf.agg(
+        F.sum(F.col("ca") * (2 * F.col("cum_c") - F.col("c") + 1)).alias("r2a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    na, nb, r2a, ties = F.col("na"), F.col("nb"), F.col("r2a"), F.col("ties")
+    ua = (r2a - na * (na + 1)) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0 * ((na + nb + 1.0) - ties / ((na + nb) * (na + nb - 1.0)))
+    )
+    return s.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        hround(ua, 2).alias("u_a"),
+        hround(na * nb - ua, 2).alias("u_b"),
+        hround((ua - mu) / sigma, 6).alias("z"),
+    )
+
+
+@register(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM events WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+      GROUP BY value
+    ), cdf AS (
+      SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+      FROM vals WINDOW w AS (ORDER BY v)
+    ), tots AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM vals),
+    diffs AS (
+      SELECT v, abs(cuma * nb - cumb * na) AS x
+      FROM cdf CROSS JOIN tots
+    )
+    SELECT CAST(tots.na AS BIGINT) AS n_a, CAST(tots.nb AS BIGINT) AS n_b,
+           (floor((best.x * 1.0 / (tots.na * tots.nb)) * 1000000.0 + 0.5)
+            / 1000000.0) AS d_stat,
+           best.v AS d_at
+    FROM tots, (SELECT x, v FROM diffs ORDER BY x DESC, v ASC LIMIT 1) best
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between click and error value
+    distributions: pooled value-grain CDFs via carried_cumsum, the sup
+    taken over the INTEGER cross difference |cumA*nB - cumB*nA| (exact;
+    one division at the end), argmax location tie-broken to the smallest
+    value via a lexicographic struct max."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    )
+    vg = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long").alias("ca"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("long").alias("cb"),
+    )
+    cdf = carried_cumsum(vg, "v", ["ca", "cb"])
+    s = cdf.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diffs = cdf.crossJoin(F.broadcast(s)).select(
+        "na",
+        "nb",
+        F.abs(F.col("cum_ca") * F.col("nb") - F.col("cum_cb") * F.col("na")).alias("x"),
+        "v",
+    )
+    best = diffs.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(F.struct(F.col("x"), (-F.col("v")).alias("nv"))).alias("s"),
+    )
+    return best.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        hround(F.col("s.x") * 1.0 / (F.col("na") * F.col("nb")), 6).alias("d_stat"),
+        (-F.col("s.nv")).alias("d_at"),
+    )
+
+
+@register(
+    "stat_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents WHERE lang IN ('en', 'de')
+      GROUP BY lang
+    ), w AS (
+      SELECT max(CASE WHEN lang = 'en' THEN n END) AS n1,
+             max(CASE WHEN lang = 'en' THEN s END) AS s1,
+             max(CASE WHEN lang = 'en' THEN ss END) AS ss1,
+             max(CASE WHEN lang = 'de' THEN n END) AS n2,
+             max(CASE WHEN lang = 'de' THEN s END) AS s2,
+             max(CASE WHEN lang = 'de' THEN ss END) AS ss2
+      FROM g
+    ), d AS (
+      SELECT n1, n2,
+             s1 * 1.0 / n1 AS m1, s2 * 1.0 / n2 AS m2,
+             (ss1 - s1 * 1.0 * s1 / n1) / (n1 - 1) AS v1,
+             (ss2 - s2 * 1.0 * s2 / n2) / (n2 - 1) AS v2
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n2 AS BIGINT) AS n_de,
+           (floor(m1 * 1000000.0 + 0.5) / 1000000.0) AS mean_en,
+           (floor(m2 * 1000000.0 + 0.5) / 1000000.0) AS mean_de,
+           (floor(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) * 1000000.0 + 0.5)
+            / 1000000.0) AS t_stat,
+           (floor((power(v1 / n1 + v2 / n2, 2)
+                   / (power(v1 / n1, 2) / (n1 - 1) + power(v2 / n2, 2) / (n2 - 1)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS df
+    FROM d
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (en vs de document lengths): the
+    group moments come from exact BIGINT sums and sums-of-squares
+    (n_chars is integral), so mean/variance/t/df are single deterministic
+    double expressions over exact integers — no merge-order variance
+    drift, no tolerance needed. Satterthwaite df alongside t."""
+    d = table(spark, sf_dir, "documents").where(F.col("lang").isin("en", "de"))
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("lang") == "en", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("lang") == "en", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("lang") == "en", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("lang") == "de", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("lang") == "de", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("lang") == "de", F.col("ss"))).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("s1") * 1.0 / n1, F.col("s2") * 1.0 / n2
+    v1 = (F.col("ss1") - F.col("s1") * 1.0 * F.col("s1") / n1) / (n1 - 1)
+    v2 = (F.col("ss2") - F.col("s2") * 1.0 * F.col("s2") / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    dfree = F.pow(se2, 2) / (
+        F.pow(v1 / n1, 2) / (n1 - 1) + F.pow(v2 / n2, 2) / (n2 - 1)
+    )
+    return w.select(
+        n1.alias("n_en"),
+        n2.alias("n_de"),
+        hround(m1, 6).alias("mean_en"),
+        hround(m2, 6).alias("mean_de"),
+        hround((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        hround(dfree, 6).alias("df"),
+    )

@@ -380,3 +380,38 @@ def test_tfidf_min_idf_prunes_join_only(spark, sf_dir, monkeypatch):
     assert set(pruned) <= set(exact)
     for k, c in pruned.items():
         assert c <= exact[k] + 1e-9
+
+
+def test_minhash_permutations_are_independent(spark, sf_dir):
+    """Regression for the F.transform two-arg-lambda pitfall: a
+    two-parameter lambda receives the ARRAY INDEX as its second argument,
+    which once collapsed every 'permutation' to the same hash. The md5
+    family must match the Kirsch-Mitzenmacher reference exactly, and
+    both families must produce non-degenerate signatures."""
+    import hashlib
+
+    from les_etl_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    rows = {r.doc_id: r for r in docs.select("doc_id", "text").collect()}
+    got = {
+        r.doc_id: list(r.minhash)
+        for r in dedup.minhash_signature_array(
+            docs, hash_family="md5", n_hashes=4
+        ).collect()
+    }
+    for did, sig in got.items():
+        ws = rows[did].text.split(" ")
+        shs = set(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+        expect = []
+        for i in range(4):
+            best = None
+            for s in shs:
+                hx = hashlib.md5(s.encode()).hexdigest()
+                g = (int(hx[:8], 16) + (42 + i) * (int(hx[8:16], 16) | 1)) % 2**32
+                best = g if best is None else min(best, g)
+            expect.append(best)
+        assert sig == expect, did
+    xs = dedup.minhash_signature_array(docs, hash_family="xxhash64", n_hashes=8)
+    for r in xs.collect():
+        assert len(set(r.minhash)) > 1, "degenerate signature: index-collapse bug"
