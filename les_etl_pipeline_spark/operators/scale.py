@@ -142,14 +142,25 @@ def global_row_ids(
 
     ``_keep_total`` additionally attaches the total row count as column
     ``_total`` (computed on the metadata-scale per-partition counts —
-    no extra pass over the data); exact_ntile builds on it."""
+    no extra pass over the data); exact_ntile builds on it.
+
+    The _pid-labeled rows are CHECKPOINTED before fan-out: range
+    boundaries come from reservoir SAMPLING, re-sampled per execution,
+    so the offsets branch and the join branch would otherwise each roll
+    their own boundaries and the carried offsets could disagree with the
+    row labels (caught r6 by carried_cumsum's oracle on a 9911-row
+    value table; small inputs sample exhaustively, which is why the
+    500-row test always agreed). On a cluster, swap localCheckpoint for
+    a persisted staging table — the materialization is the point."""
     from pyspark.sql.window import Window as W
 
     keys = key if isinstance(key, list) else [key]
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    parts = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local_w = W.partitionBy("_pid").orderBy(*cols)
     local = parts.withColumn("_local", F.row_number().over(local_w))
@@ -233,13 +244,19 @@ def carried_cumsum(
     each partition's carried totals (cumulated on the ONE-row-per-
     partition offset table, metadata scale). ``key`` must be a total
     order (unique composite). Adds one ``cum_<col>`` column per value
-    column."""
+    column. The labeled rows are checkpointed for the same reason as
+    global_row_ids: per-execution boundary sampling must not let the two
+    consumers disagree on _pid."""
     from pyspark.sql.window import Window as W
 
     keys = key if isinstance(key, list) else [key]
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, *cols).withColumn("_pid", F.spark_partition_id())
+    parts = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     run_w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
     local = parts
     for v in value_cols:

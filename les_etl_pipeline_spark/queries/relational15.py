@@ -60,8 +60,8 @@ def agg_exact_median_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cdf = carried_cumsum(vg, "p", ["c"])
     tot = li.agg(F.count(F.lit(1)).alias("n"))
-    k1 = (F.col("n") + 1) - ((F.col("n") + 1) / 2).cast("long")  # floor((n+1)/2)
-    k2 = (F.col("n") + 2) - ((F.col("n") + 2) / 2).cast("long")
+    k1 = F.floor((F.col("n") + 1) / 2).cast("long")  # lower middle order stat
+    k2 = F.floor((F.col("n") + 2) / 2).cast("long")  # upper middle order stat
     return (
         cdf.crossJoin(F.broadcast(tot))
         .agg(

@@ -40,6 +40,8 @@ BNLJ_ALLOWED = {
     "corpus_mixture_plan": "1-row n_sources aggregate broadcast",
     "events_psi_drift": "1-row bucket-totals aggregate broadcast",
     "stat_chi_squared_independence": "1-row grand-total aggregate broadcast",
+    "agg_exact_median_parallel": "1-row total-count aggregate broadcast",
+    "stat_ks_two_sample": "1-row group-sizes aggregate broadcast",
 }
 
 #: queries allowed an ordered-UNPARTITIONED window, keyed by the window's

@@ -361,3 +361,29 @@ def test_global_row_ids_multi_key_desc(spark):
     got = sorted(out, key=lambda r: r.r)
     assert [(r.i, r.g) for r in got] == expect
     assert [r.r for r in got] == list(range(1, 24))
+
+
+def test_carried_cumsum_matches_window_on_large_value_grain(spark, sf_dir):
+    """Regression for the boundary-sampling race: range boundaries are
+    re-sampled per execution, so without the checkpoint the offsets
+    branch and the join branch could disagree on _pid (reproduced on a
+    ~10k-row value table; 500-row inputs sample exhaustively and never
+    failed). Pins carried_cumsum to the single-task window cumsum."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.catalog import table as _table
+    from les_etl_pipeline_spark.operators.scale import carried_cumsum
+
+    o = _table(spark, sf_dir, "orders")
+    vg = o.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    got = {r.p: r.cum_c for r in carried_cumsum(vg, "p", ["c"]).collect()}
+    want = {
+        r.p: r.w
+        for r in vg.withColumn(
+            "w", F.sum("c").over(W.orderBy("p").rowsBetween(W.unboundedPreceding, 0))
+        ).collect()
+    }
+    assert got == want
