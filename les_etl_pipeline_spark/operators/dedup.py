@@ -99,6 +99,25 @@ def ngram_jaccard_pairs(
     # to count per-doc distincts (measured 0.64 s of a 2.2 s total at
     # sf0.1). The posting explode re-derives rows from the compact
     # checkpoint, so the explode work happens once either way.
+    stats = _ngram_pair_stats(df, text_col, id_col, k, max_shingle_freq, materialize)
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return stats.where(jac >= F.lit(threshold)).select(
+        "id_a", "id_b", jac.alias("jaccard_raw")
+    )
+
+
+def _ngram_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_shingle_freq: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """Shared inverted-index core of the shingle-set pair family:
+    (id_a < id_b, n_inter, n_a, n_b) for every doc pair with at least one
+    shared (un-capped) shingle. jaccard / containment wrappers differ
+    only in the final normalization."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
     # parallelism guard: a small input file scans as one split, which
     # would serialize the shingle+hash work (and the checkpoint below
@@ -144,13 +163,34 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sz_a, "id_a")  # per-doc sizes scale with the corpus:
-        .join(sz_b, "id_b")       # no broadcast hint, AQE decides
-        .where(jac >= F.lit(threshold))
-        .select("id_a", "id_b", jac.alias("jaccard_raw"))
-    )
+    return inter.join(sz_a, "id_a").join(sz_b, "id_b")  # sizes scale with
+    # the corpus: no broadcast hint on either side, AQE decides
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directed shingle-set CONTAINMENT (Broder): c_ab = |A∩B| / |A| and
+    c_ba = |A∩B| / |B| for pairs where either direction reaches
+    ``threshold``. Containment is the asymmetric complement of Jaccard
+    resemblance — a short document quoted wholesale inside a long one
+    scores near 1.0 containment while its Jaccard stays tiny (the union
+    is dominated by the long side), so near-dup sweeps keyed on Jaccard
+    alone systematically miss subset/quotation duplication. Same
+    single-shuffle inverted-index plan and frequency-cap discipline as
+    ngram_jaccard_pairs (shared core: _ngram_pair_stats)."""
+    stats = _ngram_pair_stats(df, text_col, id_col, k, max_shingle_freq, materialize)
+    c_ab = F.col("n_inter") / F.col("n_a")
+    c_ba = F.col("n_inter") / F.col("n_b")
+    return stats.where(
+        (c_ab >= F.lit(threshold)) | (c_ba >= F.lit(threshold))
+    ).select("id_a", "id_b", c_ab.alias("contain_a_in_b"), c_ba.alias("contain_b_in_a"))
 
 
 # 64-bit SimHash: bit j of a token = bit j of md5(token); document bit j =

@@ -1,0 +1,252 @@
+"""Ninth LLM-data pack (round 6): rule-based quality filtering in the
+published Gopher/Dolma style, directed n-gram containment (the
+subset-duplication signal Jaccard misses), and Jensen-Shannon divergence
+between per-source token distributions (the mixture-drift diagnostic).
+
+All three are pure column-expression / inverted-index plans — no UDFs,
+no driver loops — and all three carry full DuckDB oracles.
+
+Reference parity: none (no text analysis in the reference — SURVEY.md
+§2.12 gap surface; LLM-data operators from the build brief).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import dedup
+from .registry import register
+
+#: Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to the test
+#: corpus's scale — the published word-count floor of 50 keeps its
+#: discriminating role here because the synthetic docs straddle it)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "for", "it")
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             list_aggregate(list_transform(ws, x -> len(x)), 'sum') * 1.0
+               / len(ws) AS mean_len,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+               * 1.0 / len(ws) AS alpha_frac,
+             CAST(len(list_filter(ws,
+               x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS BIGINT)
+               AS n_stop
+      FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words,
+           (floor(mean_len * 10000.0 + 0.5) / 10000.0) AS mean_word_len,
+           (floor(alpha_frac * 10000.0 + 0.5) / 10000.0) AS alpha_frac,
+           n_stop,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AS flag_words,
+           (mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+             AS flag_mean_len,
+           (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS flag_alpha,
+           (n_stop >= {GOPHER_MIN_STOPWORDS}) AS flag_stop,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+            AND (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC})
+            AND (n_stop >= {GOPHER_MIN_STOPWORDS})) AS passes
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filters (Rae et al. 2021; the same family Dolma
+    and RefinedWeb apply before model-based scoring): word-count bounds,
+    mean word length bounds, alphabetic-word fraction, and minimum
+    stop-word presence, each reported as a flag plus the conjunction.
+    One scan, pure array lambdas (filter/transform/aggregate) — the
+    whole ruleset rides the corpus pass at scan speed, no UDF."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    d = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    n_words = F.size("ws").cast("long")
+    mean_len = (
+        F.aggregate(
+            F.transform(F.col("ws"), lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        * 1.0
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(F.col("ws"), lambda x: x.rlike("[a-z]"))).cast("long")
+        * 1.0
+        / n_words
+    )
+    n_stop = F.size(
+        F.filter(
+            F.col("ws"),
+            lambda x: F.array_contains(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]), x
+            ),
+        )
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_len"),
+        alpha_frac.alias("af"),
+        n_stop.alias("n_stop"),
+    )
+    fw = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    fm = F.col("mean_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+    fa = F.col("af") >= GOPHER_MIN_ALPHA_FRAC
+    fs = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    return (
+        m.select(
+            "doc_id",
+            "n_words",
+            hround("mean_len", 4).alias("mean_word_len"),
+            hround("af", 4).alias("alpha_frac"),
+            "n_stop",
+            fw.alias("flag_words"),
+            fm.alias("flag_mean_len"),
+            fa.alias("flag_alpha"),
+            fs.alias("flag_stop"),
+            (fw & fm & fa & fs).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), freq AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 1000
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      JOIN freq f ON f.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (floor((i * 1.0 / na.n) * 10000.0 + 0.5) / 10000.0) AS contain_a_in_b,
+           (floor((i * 1.0 / nb.n) * 10000.0 + 0.5) / 10000.0) AS contain_b_in_a
+    FROM inter
+    JOIN sz na ON na.doc_id = id_a
+    JOIN sz nb ON nb.doc_id = id_b
+    WHERE i * 1.0 / na.n >= 0.5 OR i * 1.0 / nb.n >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment >= 0.5 in either direction
+    (operators/dedup.ngram_containment_pairs): catches subset/quotation
+    duplication — a short doc embedded in a long one — that symmetric
+    Jaccard structurally under-scores. Same single-shuffle inverted
+    index as dedup_ngram_jaccard (shared _ngram_pair_stats core)."""
+    pairs = dedup.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hround("contain_a_in_b", 4).alias("contain_a_in_b"),
+        hround("contain_b_in_a", 4).alias("contain_b_in_a"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_jsd_source_divergence",
+    oracle="""
+    WITH tc AS (
+      SELECT source, tok, count(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL)
+      GROUP BY source, tok
+    ), ns AS (
+      SELECT source, sum(c) AS n FROM tc GROUP BY source
+    ), p AS (
+      SELECT tc.source, tc.tok, tc.c * 1.0 / ns.n AS p
+      FROM tc JOIN ns USING (source)
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             sum(a.p * ln(2.0 * a.p / (a.p + b.p))
+                 + b.p * ln(2.0 * b.p / (a.p + b.p))) AS common_term,
+             sum(a.p) AS scp, sum(b.p) AS scq
+      FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           (floor((0.5 * (common_term
+                          + ln(2.0) * ((1.0 - scp) + (1.0 - scq))))
+                  * 1000000.0 + 0.5) / 1000000.0) AS jsd
+    FROM pairs ORDER BY src_a, src_b
+    """,
+)
+def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of per-source token
+    distributions — the mixture-drift diagnostic behind corpus
+    curation (0 = identical vocabularies, ln 2 = disjoint). Tokens
+    present in only one source contribute p*ln2 to their side's KL term
+    in closed form (m = p/2 there), so the plan needs ONE inner
+    equi-join on the token key plus per-pair sums — never a full outer
+    join over the union vocabulary. Source count is corpus metadata, so
+    the pair table is tiny; the token join is the only data-scale
+    exchange."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ns = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = tc.join(F.broadcast(ns), "source").select(
+        "source", "tok", (F.col("c") * 1.0 / F.col("n")).alias("p")
+    )
+    a = p.select(F.col("source").alias("src_a"), "tok", F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("src_b"), "tok", F.col("p").alias("pb"))
+    pa, pb = F.col("pa"), F.col("pb")
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+            ).alias("common_term"),
+            F.sum(pa).alias("scp"),
+            F.sum(pb).alias("scq"),
+        )
+    )
+    ln2 = math.log(2.0)
+    jsd = 0.5 * (
+        F.col("common_term") + ln2 * ((1.0 - F.col("scp")) + (1.0 - F.col("scq")))
+    )
+    return pairs.select("src_a", "src_b", hround(jsd, 6).alias("jsd")).orderBy(
+        "src_a", "src_b"
+    )

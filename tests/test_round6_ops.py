@@ -415,3 +415,24 @@ def test_minhash_permutations_are_independent(spark, sf_dir):
     xs = dedup.minhash_signature_array(docs, hash_family="xxhash64", n_hashes=8)
     for r in xs.collect():
         assert len(set(r.minhash)) > 1, "degenerate signature: index-collapse bug"
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment ~1.0 in
+    the a-in-b direction while Jaccard stays below a typical 0.5 bar —
+    the asymmetric signal the operator exists for."""
+    short = " ".join(f"tok{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.contain_a_in_b, r.contain_b_in_a)
+        for r in dedup.ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    c_ab, c_ba = got[(1, 2)]
+    assert c_ab == 1.0          # every shingle of the short doc is in the long
+    assert c_ba < 0.5           # but not vice versa
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not jac              # symmetric Jaccard misses the pair at 0.5
