@@ -250,3 +250,77 @@ def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("src_a", "src_b", hround(jsd, 6).alias("jsd")).orderBy(
         "src_a", "src_b"
     )
+
+
+@register(
+    "text_fastss_spell_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT w, count(*) AS f FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+      ) GROUP BY w
+    )
+    SELECT a.w AS w_a, b.w AS w_b,
+           CAST(a.f AS BIGINT) AS f_a, CAST(b.f AS BIGINT) AS f_b,
+           CAST(levenshtein(a.w, b.w) AS INT) AS dist
+    FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+    ORDER BY w_a, w_b
+    """,
+)
+def text_fastss_spell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via the FastSS deletion
+    neighborhood (Bocek et al. 2007): two words are within Levenshtein 1
+    iff they share a key in D1(w) = {w} ∪ {w minus one char}, so the
+    candidate step is an EQUI-join on exploded deletion variants — the
+    spell-variant/typo-dedup primitive — followed by an exact
+    levenshtein verify on the (tiny) candidate set. The brute-force
+    all-pairs oracle is the quadratic plan this replaces: candidates
+    scale with vocab * avg word length, not vocab^2. Vocabulary is the
+    unit (distinct words + frequencies), so the data-scale corpus is
+    touched exactly once by the word count."""
+    parts = table(spark, sf_dir, "part")
+    v = (
+        parts.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # D1 neighborhood: the word itself + each single-deletion variant
+    variants = F.array_union(
+        F.array(F.col("w")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.concat(
+                F.substring(F.col("w"), F.lit(1), i - 1),
+                F.col("w").substr(i + 1, F.length("w")),
+            ),
+        ),
+    )
+    posts = (
+        v.select("w", "f", F.explode(variants).alias("k"))
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_set(F.struct("w", "f"))).alias("ws"))
+        .where(F.size("ws") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ws"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ws"), i + F.lit(2), F.size(F.col("ws"))),
+                lambda y: F.struct(
+                    x.w.alias("w_a"), y.w.alias("w_b"),
+                    x.f.alias("f_a"), y.f.alias("f_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select("p.w_a", "p.w_b", "p.f_a", "p.f_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("w_a", "w_b"))
+        .where(F.col("dist") <= 1)
+        .select("w_a", "w_b", "f_a", "f_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("w_a", "w_b")
+    )

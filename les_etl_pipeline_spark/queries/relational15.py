@@ -22,9 +22,12 @@ that replaced the repo's last single-task sorts.
 - ``stat_welch_ttest``: Welch's t and Satterthwaite df from exact
   integer sums/sums-of-squares (n_chars is integral), so the two-group
   comparison is bit-stable across engines and partitionings.
+- ``agg_grouped_median_exact``: the per-group variant — each group's CDF
+  cumsum runs in a window PARTITIONED by the group key over the compact
+  value grain.
 
 Reference parity: none (no statistics in the reference — SURVEY.md §2.5
-gap surface). All four oracle-paired.
+gap surface). All five oracle-paired.
 """
 
 from __future__ import annotations
@@ -285,4 +288,54 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(m2, 6).alias("mean_de"),
         hround((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
         hround(dfree, 6).alias("df"),
+    )
+
+
+@register(
+    "agg_grouped_median_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           (floor(median(o_totalprice) * 1000000.0 + 0.5) / 1000000.0)
+             AS median_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_grouped_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group interpolated median WITHOUT Spark's builtin exact
+    ``percentile`` (which buffers every group value in one in-memory
+    OpenHashMap per group — a scale-killer for a billion-row group).
+    Plan: value-grain counts per (group, value), a PARTITIONED window
+    cumsum over the value grain (each group's CDF is independent, so the
+    window partitions by group — no unpartitioned window anywhere), then
+    the two middle order statistics selected arithmetically exactly as
+    agg_exact_median_parallel does globally. Window input is the
+    value-grain table (distinct values per group), already the compact
+    form of the data."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    vg = o.groupBy(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("p")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cum_w = W.partitionBy("g").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    cdf = vg.withColumn("cum", F.sum("c").over(cum_w))
+    tot = vg.groupBy("g").agg(F.sum("c").alias("n"))
+    k1 = F.floor((F.col("n") + 1) / 2).cast("long")
+    k2 = F.floor((F.col("n") + 2) / 2).cast("long")
+    return (
+        cdf.join(tot, "g")
+        .groupBy("g", "n")
+        .agg(
+            hround(
+                (
+                    F.min(F.when(F.col("cum") >= k1, F.col("p")))
+                    + F.min(F.when(F.col("cum") >= k2, F.col("p")))
+                )
+                / 2.0,
+                6,
+            ).alias("median_price")
+        )
+        .select(F.col("g").alias("o_orderpriority"), "median_price", "n")
+        .orderBy("o_orderpriority")
     )
