@@ -275,3 +275,44 @@ def carried_cumsum(
             f"_lc_{v}", f"_o_{v}"
         )
     return out.drop("_pid")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT linearly-interpolated quantiles (quantile_cont / numpy
+    type-7: h = p*(n-1), v = v_lo + frac*(v_hi - v_lo)) of a column with
+    NO global sort and NO driver-side value buffer — the generalization
+    of the median query over the same carried-prefix-sum CDF. One pass
+    builds the value-grain CDF; each requested probability turns into
+    two conditional-min order-statistic selections in a single
+    aggregate; the per-probability rows are exploded from that one
+    result row. Returns (prob double, value double) rows.
+
+    The selection thresholds depend only on (n, p): h is the same double
+    expression in any engine, so results are bit-stable."""
+    vg = df.groupBy(F.col(col).alias("p")).agg(F.count(F.lit(1)).alias("c"))
+    cdf = carried_cumsum(vg, "p", ["c"], num_partitions=num_partitions)
+    tot = df.agg(F.count(F.lit(1)).alias("n"))
+    aggs = [F.max("n").alias("n")]
+    for j, q in enumerate(probs):
+        h = F.lit(float(q)) * (F.col("n") - 1)  # 0-based fractional index
+        k_lo = (F.floor(h) + 1).cast("long")  # 1-based order statistics
+        k_hi = (F.floor(h) + 2).cast("long")
+        aggs.append(F.min(F.when(F.col("cum_c") >= k_lo, F.col("p"))).alias(f"_lo{j}"))
+        aggs.append(
+            F.min(
+                F.when(F.col("cum_c") >= F.least(k_hi, F.col("n")), F.col("p"))
+            ).alias(f"_hi{j}")
+        )
+    one = cdf.crossJoin(F.broadcast(tot)).agg(*aggs)
+    rows = []
+    for j, q in enumerate(probs):
+        h = F.lit(float(q)) * (F.col("n") - 1)
+        frac = h - F.floor(h)
+        v = F.col(f"_lo{j}") + frac * (F.col(f"_hi{j}") - F.col(f"_lo{j}"))
+        rows.append(F.struct(F.lit(float(q)).alias("prob"), v.alias("value")))
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.prob", "r.value")

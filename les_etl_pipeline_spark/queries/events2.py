@@ -603,3 +603,56 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("iso_weekday", "n_days", "avg_events", "seasonal_index")
         .orderBy("iso_weekday")
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), seg AS (
+      SELECT user_id, cents, t,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt
+      FROM pts
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           (floor((sum(cents * dt) * 1.0 / (100.0 * sum(dt))) * 1000000.0 + 0.5)
+            / 1000000.0) AS twa_value
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of the value series (the metric a
+    gauge/price stream needs — each reading weighted by how long it was
+    current, not how often it was sampled). Integer-exact core: values
+    go to BIGINT cents via the shared floor formula and intervals to
+    epoch microseconds, so sum(cents * dt) is an exact BIGINT (bounded
+    by max_cents * total_range ~ 1.3e17 here, far under 2^63) and the
+    single final division is deterministic — no float summation drift.
+    One exchange on user_id; lead() runs inside the user partition."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),  # ntz -> UTC
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("t")
+    seg = pts.withColumn("dt", F.lead("t").over(w) - F.col("t")).where(
+        F.col("dt").isNotNull() & (F.col("dt") > 0)
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            hround(
+                F.sum(F.col("cents") * F.col("dt")) * 1.0
+                / (100.0 * F.sum("dt")),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )

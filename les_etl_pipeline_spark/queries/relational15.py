@@ -339,3 +339,31 @@ def agg_grouped_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("o_orderpriority"), "median_price", "n")
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_exact_quantiles_parallel",
+    oracle="""
+    WITH q AS (
+      SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS prob,
+             unnest(quantile_cont(l_extendedprice,
+                                  [0.25, 0.5, 0.75, 0.9, 0.99])) AS v
+      FROM lineitem
+    )
+    SELECT CAST(prob AS DOUBLE) AS prob,
+           (floor(v * 1000000.0 + 0.5) / 1000000.0) AS value
+    FROM q ORDER BY prob
+    """,
+)
+def agg_exact_quantiles_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantile VECTOR (p25/p50/p75/p90/p99) from ONE
+    value-grain CDF pass (operators/scale.exact_quantiles) — the CBO
+    statistics primitive at its full generality, matching quantile_cont
+    bit-for-bit while approx_percentile remains the documented sketch
+    tier. All five probabilities share the same carried prefix sums; no
+    global sort, no per-group in-memory buffer."""
+    from ..operators.scale import exact_quantiles
+
+    li = table(spark, sf_dir, "lineitem")
+    out = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    return out.select("prob", hround("value", 6).alias("value")).orderBy("prob")

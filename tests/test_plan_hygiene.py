@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "events_psi_drift": "1-row bucket-totals aggregate broadcast",
     "stat_chi_squared_independence": "1-row grand-total aggregate broadcast",
     "agg_exact_median_parallel": "1-row total-count aggregate broadcast",
+    "agg_exact_quantiles_parallel": "1-row total-count aggregate broadcast",
     "stat_ks_two_sample": "1-row group-sizes aggregate broadcast",
 }
 
