@@ -175,3 +175,45 @@ def enrich_with_static(stream_df: DataFrame, dim_df: DataFrame, key: str) -> Dat
     from pyspark.sql import functions as F
 
     return stream_df.join(F.broadcast(dim_df), key)
+
+
+def stream_stream_left_outer_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase emits —
+    joined to same-user views within ``horizon`` before it when they
+    exist, null-extended otherwise (the unattributed-conversion row an
+    attribution pipeline must still count).
+
+    The outer semantics are what make the watermark LOAD-BEARING rather
+    than advisory: an unmatched purchase can only be emitted once the
+    view-side watermark proves no matching view can still arrive, so the
+    null-extended row surfaces when the watermark passes purchase_ts +
+    horizon (plus Spark's one-micro-batch eviction lag). Same bounded
+    state as the inner form: both sides watermarked, join condition
+    time-bounds the buffers."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(v, cond, "leftOuter").select(
+        "purchase_id",
+        "purchase_ts",
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+    )

@@ -319,3 +319,54 @@ def test_session_window_dynamic_gap_stream(spark, stream_dir):
     assert u1["session_end"] == T0 + dt.timedelta(minutes=110)  # 00:20 + 90min
     # user 2's click session closes 30 min after 01:05
     assert by_user[2][0]["session_end"] == T0 + dt.timedelta(hours=1, minutes=35)
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER attribution: the matched purchase joins its view; the
+    viewless purchase emits NULL-extended — but only after the watermark
+    passes purchase_ts + horizon (advanced by later batches; eviction
+    lags the watermark by one micro-batch, so two far-future batches)."""
+    p = str(tmp_path / "sslo_events")
+    _write_batch(
+        spark,
+        p,
+        [
+            (1, T0 + dt.timedelta(minutes=0), 1, "view", 1.0, "{}"),
+            (2, T0 + dt.timedelta(minutes=30), 1, "purchase", 9.0, "{}"),
+            (3, T0 + dt.timedelta(minutes=30), 2, "purchase", 5.0, "{}"),  # no view
+        ],
+    )
+    # advance BOTH sides: the global watermark is the MIN of the two
+    # stream watermarks, so a far-future view alone leaves the purchase
+    # side (and the join state) frozen at t0+30m
+    _write_batch(
+        spark,
+        p,
+        [
+            (4, T0 + dt.timedelta(hours=10), 3, "view", 1.0, "{}"),
+            (5, T0 + dt.timedelta(hours=10), 4, "purchase", 1.0, "{}"),
+        ],
+    )
+    _write_batch(
+        spark,
+        p,
+        [
+            (6, T0 + dt.timedelta(hours=11), 3, "view", 1.0, "{}"),
+            (7, T0 + dt.timedelta(hours=11), 4, "purchase", 1.0, "{}"),
+        ],
+    )
+    ev = SW.read_event_stream(spark, p, max_files_per_trigger=1)
+    out = SW.stream_stream_left_outer_join(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'view'"),
+        horizon="1 hour",
+        watermark="1 hour",
+    )
+    SW.run_to_memory(out, "t_sslojoin")
+    rows = {
+        r["purchase_id"]: r["view_id"]
+        for r in spark.sql("SELECT * FROM t_sslojoin").collect()
+        if r["purchase_id"] in (2, 3)
+    }
+    assert rows.get(2) == 1, rows      # matched purchase carries its view
+    assert 3 in rows and rows[3] is None, rows  # unmatched emits null-extended
