@@ -1,6 +1,8 @@
-"""Unit/property tests for the round-6 additions: deterministic Lloyd
-k-means, lossless SimHash Hamming banding, and EWMA folding (oracle
-parity for each lives in test_queries_contract via the registry)."""
+"""Unit/property tests for round-5/6 operator additions: deterministic
+Lloyd k-means, lossless SimHash Hamming banding, EWMA folding, advisor
+edge-case guards, vocab-scale caps, MinHash permutation independence,
+and containment-vs-Jaccard asymmetry (oracle parity for each registered
+query lives in test_queries_contract via the registry)."""
 
 from __future__ import annotations
 
