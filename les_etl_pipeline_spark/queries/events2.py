@@ -656,3 +656,67 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ), tot AS (
+      SELECT sum(cents) * 1.0 / sum(n) AS mu FROM daily
+    ), cusum AS (
+      SELECT day,
+             sum(cents * 1.0 / n - mu) OVER (ORDER BY day) AS s
+      FROM daily CROSS JOIN tot
+    )
+    SELECT best.day AS changepoint_day,
+           (floor(abs(best.s) * 1000000.0 + 0.5) / 1000000.0) AS cusum_stat,
+           CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days
+    FROM (SELECT day, s FROM cusum ORDER BY abs(s) DESC, day ASC LIMIT 1) best
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily mean value series: the
+    day maximizing |cumulative deviation from the global mean| — the
+    classic single-changepoint location estimator. Day-grain means come
+    from exact BIGINT cent sums (deterministic division per day); the
+    cumulative sum runs in an ordered window over the ONE-row-per-day
+    table (metadata scale, the events_autocorr_lag1 precedent), so both
+    engines add the same doubles in the same day order — bit-identical,
+    no tolerance. Argmax tie-broken to the earliest day via struct max."""
+    e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = daily.agg((F.sum("cents") * 1.0 / F.sum("n")).alias("mu"))
+    cusum = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            F.sum(F.col("cents") * 1.0 / F.col("n") - F.col("mu")).over(
+                W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    best = cusum.agg(
+        F.max(
+            F.struct(
+                F.abs("s").alias("a"),
+                (-F.unix_date("day")).alias("nd"),
+                F.col("day").alias("day"),
+                F.col("s").alias("s"),
+            )
+        ).alias("b")
+    )
+    return best.crossJoin(F.broadcast(n_days)).select(
+        F.col("b.day").alias("changepoint_day"),
+        hround(F.abs("b.s"), 6).alias("cusum_stat"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )

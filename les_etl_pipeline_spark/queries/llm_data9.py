@@ -324,3 +324,62 @@ def text_fastss_spell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w_a", "w_b", "f_a", "f_b", F.col("dist").cast("int").alias("dist"))
         .orderBy("w_a", "w_b")
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ), nd AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), firsts AS (
+      SELECT t, min(doc_id) AS fd FROM tok GROUP BY t
+    ), vd AS (
+      SELECT fd AS doc_id, count(*) AS v FROM firsts GROUP BY fd
+    ), curve AS (
+      SELECT nd.doc_id,
+             sum(nd.n) OVER w AS cum_n,
+             sum(coalesce(vd.v, 0)) OVER w AS cum_v
+      FROM nd LEFT JOIN vd USING (doc_id)
+      WINDOW w AS (ORDER BY nd.doc_id)
+    )
+    SELECT (floor(regr_slope(ln(cum_v), ln(cum_n)) * 1000000.0 + 0.5)
+            / 1000000.0) AS beta,
+           (floor(exp(regr_intercept(ln(cum_v), ln(cum_n))) * 1000000.0 + 0.5)
+            / 1000000.0) AS k,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM curve
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K * N^beta, the
+    companion diagnostic to the Zipf fit (natural text: beta ~ 0.4-0.6;
+    templated/synthetic corpora flatten early). The growth curve is
+    exact and fully distributed: per-doc token counts and per-doc NEW
+    vocabulary (token -> min(doc_id) first occurrence, one aggregate)
+    join on the doc grain, then BOTH cumulative series come from one
+    carried_cumsum pass (range-partitioned prefix sums — no single-task
+    window even though the curve is doc-grain, which at 100 TB is
+    data-scale). OLS via the combinable regr_slope/regr_intercept."""
+    from ..operators.scale import carried_cumsum
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    nd = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    vd = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    grain = nd.join(vd, "doc_id", "left").select(
+        "doc_id", "n", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    curve = carried_cumsum(grain, "doc_id", ["n", "v"])
+    return curve.agg(
+        hround(F.regr_slope(F.log("cum_v"), F.log("cum_n")), 6).alias("beta"),
+        hround(F.exp(F.regr_intercept(F.log("cum_v"), F.log("cum_n"))), 6).alias("k"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "agg_exact_median_parallel": "1-row total-count aggregate broadcast",
     "agg_exact_quantiles_parallel": "1-row total-count aggregate broadcast",
     "stat_ks_two_sample": "1-row group-sizes aggregate broadcast",
+    "events_changepoint_cusum": "1-row global-mean + day-count broadcasts",
 }
 
 #: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
@@ -57,6 +58,7 @@ UNPART_WINDOW_ALLOWED = {
     "events_linear_interpolation": ("hrL", "bounded hourly spine grid"),
     "events_max_concurrency": ("day", "carried-offset cumulation, one row per day"),
     "events_sliding_distinct_users": ("_w1", "day-grain sliding frame"),
+    "events_changepoint_cusum": ("day", "CUSUM over the one-row-per-day table"),
 }
 
 _WSD = re.compile(r"windowspecdefinition\(([^)]*)\)")
