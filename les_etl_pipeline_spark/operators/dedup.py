@@ -43,6 +43,40 @@ def exact_dedup_groups(
     )
 
 
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate how many read splits the file scan planner will produce:
+    sum over input files of ceil(bytes / maxPartitionBytes). Pure
+    metadata (one file listing + one size stat per file, and only when
+    the listing is small enough to matter); 0 for non-file sources or
+    when sizes are unknowable, which callers treat as "leave the native
+    parallelism alone"."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if len(files) >= par:
+        return len(files)  # already enough splits; skip the size stats
+    max_bytes = int(
+        str(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        ).rstrip("b")
+    )
+    splits = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return 0  # remote/unstattable: don't force a shuffle on a guess
+        splits += max(1, -(-size // max_bytes))
+    return splits
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-gram shingle array (empty for docs shorter than k words)."""
     toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
@@ -119,15 +153,16 @@ def _ngram_pair_stats(
     shared (un-capped) shingle. jaccard / containment wrappers differ
     only in the final normalization."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
-    # parallelism guard: a small input file scans as one split, which
-    # would serialize the shingle+hash work (and the checkpoint below
-    # would freeze that single partition). File-listing probe only (no
-    # RDD conversion): at real scale the source has >= defaultParallelism
-    # files and this is a no-op, so no text bytes are ever shuffled on
-    # the 100 TB path; non-file sources (memory/stream) report no files
-    # and keep their native parallelism.
+    # parallelism guard: a small input scans as one split, which would
+    # serialize the shingle+hash work (and the checkpoint below would
+    # freeze that single partition). Metadata probe only — estimate the
+    # SPLIT count the way Spark's file planner does (bytes /
+    # maxPartitionBytes per file), not the raw file count: one 10 GB
+    # file already scans as ~80 splits and must NOT trigger a full text
+    # shuffle. At real scale the estimate is >= defaultParallelism and
+    # this is a no-op; non-file sources keep their native parallelism.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if 0 < len(df.inputFiles()) < par:
+    if 0 < _estimated_scan_splits(df) < par:
         src = src.repartition(par)
     sh_arr = src.select(
         "doc_id",

@@ -157,10 +157,16 @@ def global_row_ids(
     keys = key if isinstance(key, list) else [key]
     cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # eager=False: the checkpoint still pins ONE RDD instance (one set
+    # of sampled range boundaries shared by both consumers — the
+    # correctness point), but materialization waits for the first real
+    # action instead of running at query-construction time (plan
+    # inspection / registry sweeps would otherwise execute data-scale
+    # jobs for every consuming query).
     parts = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     local_w = W.partitionBy("_pid").orderBy(*cols)
     local = parts.withColumn("_local", F.row_number().over(local_w))
@@ -255,7 +261,7 @@ def carried_cumsum(
     parts = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # one RDD instance; see global_row_ids
     )
     run_w = W.partitionBy("_pid").orderBy(*cols).rowsBetween(W.unboundedPreceding, 0)
     local = parts
@@ -296,7 +302,8 @@ def exact_quantiles(
     expression in any engine, so results are bit-stable."""
     vg = df.groupBy(F.col(col).alias("p")).agg(F.count(F.lit(1)).alias("c"))
     cdf = carried_cumsum(vg, "p", ["c"], num_partitions=num_partitions)
-    tot = df.agg(F.count(F.lit(1)).alias("n"))
+    # n = the CDF's final value — no second scan of the base table
+    tot = cdf.agg(F.max("cum_c").alias("n"))
     aggs = [F.max("n").alias("n")]
     for j, q in enumerate(probs):
         h = F.lit(float(q)) * (F.col("n") - 1)  # 0-based fractional index

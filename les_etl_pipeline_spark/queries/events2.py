@@ -609,12 +609,12 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_time_weighted_avg",
     oracle="""
     WITH pts AS (
-      SELECT user_id, epoch_us(ts) AS t,
+      SELECT user_id, event_id, epoch_us(ts) AS t,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
       FROM events WHERE value IS NOT NULL
     ), seg AS (
       SELECT user_id, cents, t,
-             lead(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
       FROM pts
     )
     SELECT user_id,
@@ -637,10 +637,13 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     pts = e.select(
         "user_id",
+        "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),  # ntz -> UTC
         F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
     )
-    w = W.partitionBy("user_id").orderBy("t")
+    # event_id tie-break: tied timestamps would otherwise make WHICH
+    # reading carries the interval weight partition-order dependent
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
     seg = pts.withColumn("dt", F.lead("t").over(w) - F.col("t")).where(
         F.col("dt").isNotNull() & (F.col("dt") > 0)
     )

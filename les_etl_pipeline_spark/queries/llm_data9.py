@@ -193,6 +193,9 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), p AS (
       SELECT tc.source, tc.tok, tc.c * 1.0 / ns.n AS p
       FROM tc JOIN ns USING (source)
+    ), spine AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM ns a JOIN ns b ON a.source < b.source
     ), pairs AS (
       SELECT a.source AS src_a, b.source AS src_b,
              sum(a.p * ln(2.0 * a.p / (a.p + b.p))
@@ -201,11 +204,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
       GROUP BY 1, 2
     )
-    SELECT src_a, src_b,
-           (floor((0.5 * (common_term
-                          + ln(2.0) * ((1.0 - scp) + (1.0 - scq))))
+    SELECT spine.src_a, spine.src_b,
+           (floor((0.5 * (coalesce(common_term, 0.0)
+                          + ln(2.0) * ((1.0 - coalesce(scp, 0.0))
+                                       + (1.0 - coalesce(scq, 0.0)))))
                   * 1000000.0 + 0.5) / 1000000.0) AS jsd
-    FROM pairs ORDER BY src_a, src_b
+    FROM spine LEFT JOIN pairs USING (src_a, src_b)
+    ORDER BY src_a, src_b
     """,
 )
 def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,12 +248,28 @@ def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(pb).alias("scq"),
         )
     )
+    # source-pair SPINE (sources x sources — corpus metadata): a pair
+    # with fully DISJOINT vocabularies has no common-token group at all,
+    # yet its JSD is the well-defined maximum ln 2 — the left join +
+    # coalesce keeps that row instead of silently dropping it
+    spine = (
+        ns.select(F.col("source").alias("src_a"))
+        .crossJoin(ns.select(F.col("source").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
     ln2 = math.log(2.0)
     jsd = 0.5 * (
-        F.col("common_term") + ln2 * ((1.0 - F.col("scp")) + (1.0 - F.col("scq")))
+        F.coalesce(F.col("common_term"), F.lit(0.0))
+        + ln2
+        * (
+            (1.0 - F.coalesce(F.col("scp"), F.lit(0.0)))
+            + (1.0 - F.coalesce(F.col("scq"), F.lit(0.0)))
+        )
     )
-    return pairs.select("src_a", "src_b", hround(jsd, 6).alias("jsd")).orderBy(
-        "src_a", "src_b"
+    return (
+        spine.join(pairs, ["src_a", "src_b"], "left")
+        .select("src_a", "src_b", hround(jsd, 6).alias("jsd"))
+        .orderBy("src_a", "src_b")
     )
 
 

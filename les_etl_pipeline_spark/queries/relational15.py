@@ -55,14 +55,15 @@ def agg_exact_median_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-grain counts -> carried prefix sums (range-partitioned) -> the
     k-th order statistic is the MIN value whose cumulative count reaches
     k; even n averages the two middle order statistics exactly like
-    quantile_cont(0.5). The only collect-free total is a 1-row count
-    aggregate broadcast."""
+    quantile_cont(0.5). The total is the CDF's own final value — a
+    1-row aggregate broadcast, no second scan of the base table."""
     li = table(spark, sf_dir, "lineitem")
     vg = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
         F.count(F.lit(1)).alias("c")
     )
     cdf = carried_cumsum(vg, "p", ["c"])
-    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    # n = the CDF's final value — no second scan of lineitem
+    tot = cdf.agg(F.max("cum_c").alias("n"))
     k1 = F.floor((F.col("n") + 1) / 2).cast("long")  # lower middle order stat
     k2 = F.floor((F.col("n") + 2) / 2).cast("long")  # upper middle order stat
     return (
@@ -320,7 +321,8 @@ def agg_grouped_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("c"))
     cum_w = W.partitionBy("g").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
     cdf = vg.withColumn("cum", F.sum("c").over(cum_w))
-    tot = vg.groupBy("g").agg(F.sum("c").alias("n"))
+    # per-group n = each group's final CDF value — no second orders scan
+    tot = cdf.groupBy("g").agg(F.max("cum").alias("n"))
     k1 = F.floor((F.col("n") + 1) / 2).cast("long")
     k2 = F.floor((F.col("n") + 2) / 2).cast("long")
     return (

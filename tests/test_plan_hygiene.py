@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "agg_exact_quantiles_parallel": "1-row total-count aggregate broadcast",
     "stat_ks_two_sample": "1-row group-sizes aggregate broadcast",
     "events_changepoint_cusum": "1-row global-mean + day-count broadcasts",
+    "text_jsd_source_divergence": "source-pair spine cross (sources = corpus metadata)",
 }
 
 #: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
@@ -61,7 +62,7 @@ UNPART_WINDOW_ALLOWED = {
     "events_changepoint_cusum": ("day", "CUSUM over the one-row-per-day table"),
 }
 
-_WSD = re.compile(r"windowspecdefinition\(([^)]*)\)")
+_WSD_START = "windowspecdefinition("
 
 
 @pytest.fixture(scope="module")
@@ -73,15 +74,52 @@ def all_plans(spark, sf_dir) -> dict[str, str]:
     }
 
 
-def _unpartitioned_windows(plan: str) -> list[str]:
-    """windowspecdefinition argument lists with NO partition columns
-    (the first argument already carries a sort direction)."""
+def _wsd_args(plan: str) -> list[list[str]]:
+    """Top-level argument lists of every windowspecdefinition in the
+    plan text, parsed with balanced parens — a naive [^)]* regex stops
+    at the first ')' and a bare comma split breaks on nested calls like
+    coalesce(a, b), silently exempting such windows from the gate."""
+    specs = []
+    i = 0
+    while True:
+        start = plan.find(_WSD_START, i)
+        if start < 0:
+            break
+        j = start + len(_WSD_START)
+        depth, arg, args = 1, [], []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                args.append("".join(arg).strip())
+                arg = []
+                j += 1
+                continue
+            arg.append(ch)
+            j += 1
+        if arg:
+            args.append("".join(arg).strip())
+        specs.append(args)
+        i = j + 1
+    return specs
+
+
+def _unpartitioned_windows(plan: str) -> list[tuple[str, str]]:
+    """(leading order expression, full spec) for every
+    windowspecdefinition with NO partition columns (the first top-level
+    argument already carries a sort direction)."""
     out = []
-    for m in _WSD.finditer(plan):
-        args = m.group(1)
-        first = args.split(",")[0]
-        if " ASC" in first or " DESC" in first:
-            out.append(re.sub(r"#\d+", "", args))
+    for args in _wsd_args(plan):
+        first = args[0] if args else ""
+        if first.endswith(("ASC NULLS FIRST", "ASC NULLS LAST",
+                           "DESC NULLS FIRST", "DESC NULLS LAST")):
+            lead = re.sub(r"#\d+", "", first).split(" ")[0]
+            out.append((lead, re.sub(r"#\d+", "", ", ".join(args))))
     return out
 
 
@@ -104,8 +142,7 @@ def test_no_unjustified_unpartitioned_windows(all_plans):
     spine — a data-scale single-task sort fails here by query name."""
     offenders: dict[str, list[str]] = {}
     for name, plan in all_plans.items():
-        for spec in _unpartitioned_windows(plan):
-            lead = spec.split(",")[0].split(" ")[0].strip()
+        for lead, spec in _unpartitioned_windows(plan):
             if lead == "_pid":
                 continue
             allowed = UNPART_WINDOW_ALLOWED.get(name)

@@ -438,3 +438,31 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert c_ba < 0.5           # but not vice versa
     jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert not jac              # symmetric Jaccard misses the pair at 0.5
+
+
+def test_jsd_disjoint_sources_report_ln2(spark, monkeypatch):
+    """A source pair with fully disjoint vocabularies must appear in the
+    output with jsd = ln 2 (the defined maximum), not be dropped by the
+    common-token inner join."""
+    import math
+
+    from les_etl_pipeline_spark.queries import llm_data9
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en", "s1", 10),
+            (2, "gamma delta delta", "en", "s2", 10),
+            (3, "alpha gamma", "en", "s3", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm_data9, "table", lambda _s, _d, name: df)
+    got = {
+        (r.src_a, r.src_b): r.jsd
+        for r in llm_data9.text_jsd_source_divergence(spark, "unused").collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    ln2_6 = __import__("math").floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert got[("s1", "s2")] == ln2_6          # disjoint pair present at max
+    assert 0.0 < got[("s1", "s3")] < ln2_6     # overlapping pairs in between
+    assert 0.0 < got[("s2", "s3")] < ln2_6

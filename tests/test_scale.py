@@ -316,7 +316,7 @@ def test_no_rdd_usage_outside_allowlist():
         for i, line in enumerate(open(path), 1):
             if re.search(r"\.rdd\b", line):
                 hits.append((os.path.relpath(path, root), i, line.strip()))
-    allowed = {("operators/dedup.py", "src.rdd.getNumPartitions()")}
+    allowed: set[tuple[str, str]] = set()  # no sanctioned .rdd uses remain
     for path, i, line in hits:
         assert any(p == path and frag in line for p, frag in allowed), (
             f"unexpected .rdd use at {path}:{i}: {line}"
