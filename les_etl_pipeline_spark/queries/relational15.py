@@ -369,3 +369,139 @@ def agg_exact_quantiles_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     out = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
     return out.select("prob", hround("value", 6).alias("value")).orderBy("prob")
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS c,
+             date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01') AS rec,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT c, cents,
+             ntile(5) OVER (ORDER BY rec, c) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, c) AS f,
+             ntile(5) OVER (ORDER BY cents DESC, c) AS m
+      FROM rfm
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           (floor((sum(cents) * 1.0 / count(*) / 100.0) * 100.0 + 0.5) / 100.0)
+             AS avg_monetary
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing quintile cube — with all three quintiles computed
+    by scale.exact_ntile over the customer-grain table (data-scale at
+    real customer counts: no single-task ntile window anywhere; bucket 1
+    = best on each axis, ties broken by custkey). Monetary is summed in
+    exact BIGINT cents; the output is the segment census with average
+    spend. The recency anchor is a fixed literal so both engines
+    subtract the same date."""
+    from ..operators.scale import exact_ntile
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias("cents"),
+    )
+    s = exact_ntile(rfm, ["rec", "c"], 5, bucket_name="r")
+    s = exact_ntile(s, [F.col("freq").desc(), "c"], 5, bucket_name="f")
+    s = exact_ntile(s, [F.col("cents").desc(), "c"], 5, bucket_name="m")
+    return (
+        s.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            hround(F.sum("cents") * 1.0 / F.count(F.lit(1)) / 100.0, 2).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "part_affinity_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM basket),
+    supp AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS s FROM basket GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS p_a, b.p AS p_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT p_a, p_b, c_ab,
+           (floor((c_ab * 1.0 * n.n_orders / (sa.s * sb.s)) * 1000000.0 + 0.5)
+            / 1000000.0) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.p = p_a
+    JOIN supp sb ON sb.p = p_b
+    CROSS JOIN n
+    ORDER BY lift DESC, p_a, p_b LIMIT 100
+    """,
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift between parts co-occurring in an
+    order: lift(a,b) = P(ab) / (P(a) P(b)), support-filtered, top-100 by
+    lift. Pair generation reuses the grouped-posting shape — baskets
+    collapse to sorted distinct part ARRAYS (bounded by order width, ~13
+    here) and pairs expand in-array, so the exchange carries one row per
+    order, never a quadratic self-join; supports join back on the part
+    key. The lift ratio is one division of exact integers. At 100 TB
+    width-cap the basket array exactly like max_shingle_freq caps
+    postings."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    supp = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p_a"), y.alias("p_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("pp"))
+        .groupBy("pp.p_a", "pp.p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    sa = supp.select(F.col("p").alias("p_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("p").alias("p_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(sa, "p_a")
+        .join(sb, "p_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_a",
+            "p_b",
+            "c_ab",
+            hround(
+                F.col("c_ab") * 1.0 * F.col("n_orders") / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p_a", "p_b")
+        .limit(100)
+    )

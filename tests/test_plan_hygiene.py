@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "stat_ks_two_sample": "1-row group-sizes aggregate broadcast",
     "events_changepoint_cusum": "1-row global-mean + day-count broadcasts",
     "text_jsd_source_divergence": "source-pair spine cross (sources = corpus metadata)",
+    "part_affinity_lift": "1-row order-count aggregate broadcast",
 }
 
 #: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
