@@ -505,3 +505,109 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p_a", "p_b")
         .limit(100)
     )
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, min(day) AS streak_start,
+             CAST(count(*) AS BIGINT) AS streak_days
+      FROM grp GROUP BY user_id, anchor
+    ), best AS (
+      SELECT user_id, streak_start, streak_days,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rn
+      FROM islands
+    )
+    SELECT user_id, streak_start, streak_days
+    FROM best WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (earliest on ties) — the canonical streak/retention shape. The
+    island key is the classic ``day - row_number`` anchor (consecutive
+    days share it); every window partitions by user_id, so the plan is
+    one exchange on the user key and stays partition-parallel at any
+    user count."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"), F.count(F.lit(1)).alias("streak_days")
+    )
+    bw = W.partitionBy("user_id").orderBy(F.desc("streak_days"), "streak_start")
+    return (
+        islands.withColumn("rn", F.row_number().over(bw))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_start", "streak_days")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "customer_pareto_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS c,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT c, cents,
+             sum(cents) OVER (ORDER BY cents DESC, c) AS cum_cents,
+             row_number() OVER (ORDER BY cents DESC, c) AS rnk
+      FROM rev
+    ), tot AS (
+      SELECT sum(cents) AS total, count(*) AS n_cust FROM rev
+    )
+    SELECT CAST(min(rnk) AS BIGINT) AS customers_to_80pct,
+           CAST(max(tot.n_cust) AS BIGINT) AS n_customers,
+           (floor((min(rnk) * 1.0 / max(tot.n_cust)) * 1000000.0 + 0.5)
+            / 1000000.0) AS customer_share
+    FROM ranked CROSS JOIN tot
+    WHERE cum_cents * 5 >= total * 4
+    """,
+)
+def customer_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 revenue concentration: the smallest top-revenue
+    customer prefix covering >= 80% of total revenue. Revenue ranks and
+    cumulative sums come from ONE carried_cumsum + global_row_ids pass
+    over the customer grain (both range-partitioned — no single-task
+    revenue sort at any customer count); the 80% test is the integer
+    comparison cum*5 >= total*4 on exact BIGINT cents, so the boundary
+    cannot drift between engines."""
+    from ..operators.scale import carried_cumsum, global_row_ids
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias("cents")
+    )
+    keys = [F.col("cents").desc(), "c"]
+    ranked = global_row_ids(
+        carried_cumsum(rev, keys, ["cents"]), keys, id_name="rnk"
+    )
+    tot = rev.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("cum_cents") * 5 >= F.col("total") * 4)
+        .agg(
+            F.min("rnk").alias("customers_to_80pct"),
+            F.max("n_cust").alias("n_customers"),
+            hround(F.min("rnk") * 1.0 / F.max("n_cust"), 6).alias("customer_share"),
+        )
+    )

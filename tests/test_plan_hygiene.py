@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "events_changepoint_cusum": "1-row global-mean + day-count broadcasts",
     "text_jsd_source_divergence": "source-pair spine cross (sources = corpus metadata)",
     "part_affinity_lift": "1-row order-count aggregate broadcast",
+    "customer_pareto_concentration": "1-row revenue-total aggregate broadcast",
 }
 
 #: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
