@@ -1,10 +1,14 @@
 """Ninth LLM-data pack (round 6): rule-based quality filtering in the
 published Gopher/Dolma style, directed n-gram containment (the
-subset-duplication signal Jaccard misses), and Jensen-Shannon divergence
-between per-source token distributions (the mixture-drift diagnostic).
+subset-duplication signal Jaccard misses), Jensen-Shannon divergence
+between per-source token distributions (the mixture-drift diagnostic,
+with disjoint-vocabulary pairs reported at the defined maximum ln 2),
+FastSS edit-distance-1 vocabulary pairs (deletion-neighborhood equi-join
++ exact levenshtein verify), and a Heaps'-law vocabulary-growth fit (the
+Zipf fit's companion, built on carried prefix sums).
 
-All three are pure column-expression / inverted-index plans — no UDFs,
-no driver loops — and all three carry full DuckDB oracles.
+All are pure column-expression / inverted-index plans — no UDFs, no
+driver loops — and all carry full DuckDB oracles.
 
 Reference parity: none (no text analysis in the reference — SURVEY.md
 §2.12 gap surface; LLM-data operators from the build brief).

@@ -25,9 +25,18 @@ that replaced the repo's last single-task sorts.
 - ``agg_grouped_median_exact``: the per-group variant — each group's CDF
   cumsum runs in a window PARTITIONED by the group key over the compact
   value grain.
+- ``agg_exact_quantiles_parallel``: the generalization — a
+  quantile_cont-compatible probability vector from one CDF pass.
+- plus the business-analytics faces of the same machinery:
+  ``customer_rfm_segmentation`` (three exact_ntile quintiles),
+  ``customer_pareto_concentration`` (80/20 revenue prefix via carried
+  cumsum + global ranks, integer-exact boundary),
+  ``part_affinity_lift`` (market-basket lift, grouped-basket in-array
+  pair expansion), and ``events_activity_islands`` (gaps-and-islands
+  longest streaks, user-partitioned).
 
 Reference parity: none (no statistics in the reference — SURVEY.md §2.5
-gap surface). All five oracle-paired.
+gap surface). All oracle-paired.
 """
 
 from __future__ import annotations
