@@ -466,3 +466,58 @@ def test_jsd_disjoint_sources_report_ln2(spark, monkeypatch):
     assert got[("s1", "s2")] == ln2_6          # disjoint pair present at max
     assert 0.0 < got[("s1", "s3")] < ln2_6     # overlapping pairs in between
     assert 0.0 < got[("s2", "s3")] < ln2_6
+
+
+def test_minhash_lsh_pairs_accuracy_vs_exact_jaccard(spark, sf_dir):
+    """The pyspark.ml MinHashLSH tier (rows-only query dedup_minhash_lsh)
+    pinned against exact shingle Jaccard: every true pair at Jaccard >=
+    0.7 must be recalled, and the reported jaccard_distance must agree
+    with 1 - true Jaccard (approxSimilarityJoin's distCol is the exact
+    distance of candidate pairs, so only banding misses can diverge)."""
+    from les_etl_pipeline_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b): r.jaccard_raw
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.05, max_shingle_freq=None
+        ).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.jaccard_distance
+        for r in dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    hi = {p for p, j in truth.items() if j >= 0.7}
+    assert hi, "fixture must contain high-Jaccard pairs"
+    recall = len(hi & set(est)) / len(hi)
+    assert recall >= 0.9, recall
+    errs = [abs((1 - est[p]) - truth[p]) for p in set(est) & set(truth)]
+    assert errs and sum(errs) / len(errs) <= 0.05
+
+
+def test_lsh_bucket_neighbors_recall_vs_bruteforce(spark, sf_dir):
+    """The BucketedRandomProjectionLSH k-NN tier (rows-only query
+    similarity_lsh_buckets) pinned against brute-force euclidean top-5
+    (measured 0.92 mean recall at seed 42; bound set conservatively)."""
+    import numpy as np
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=float)
+    out = similarity.lsh_bucket_neighbors(emb, F.col("vec_id") < 10, k=5, seed=42)
+    got: dict[int, set] = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for q in range(10):
+        qi = np.where(ids == q)[0][0]
+        d = np.linalg.norm(V - V[qi], axis=1)
+        d[qi] = np.inf
+        exact5 = set(ids[np.argsort(d)[:5]].tolist())
+        recalls.append(len(exact5 & got.get(q, set())) / 5)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    assert min(recalls) >= 0.4, recalls
