@@ -620,3 +620,72 @@ def customer_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             hround(F.min("rnk") * 1.0 / F.max("n_cust"), 6).alias("customer_share"),
         )
     )
+
+
+@register(
+    "agg_trimmed_mean_exact",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), cdf AS (
+      SELECT cents, c, sum(c) OVER (ORDER BY cents) AS cum FROM vals
+    ), tot AS (
+      SELECT sum(c) AS n,
+             CAST(floor(sum(c) * 0.1) AS BIGINT) + 1 AS k_lo,
+             sum(c) - CAST(floor(sum(c) * 0.1) AS BIGINT) AS k_hi
+      FROM vals
+    ), ov AS (
+      SELECT cents,
+             greatest(0, least(cum, k_hi) - greatest(cum - c + 1, k_lo) + 1)
+               AS keep
+      FROM cdf CROSS JOIN tot
+    )
+    SELECT (floor((sum(cents * keep) * 1.0
+                   / (100.0 * (max(tot.k_hi) - max(tot.k_lo) + 1)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS trimmed_mean,
+           CAST(max(tot.n) AS BIGINT) AS n,
+           CAST(max(tot.k_hi) - max(tot.k_lo) + 1 AS BIGINT) AS n_kept
+    FROM ov CROSS JOIN tot
+    """,
+)
+def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of extended price — the robust-location
+    statistic between mean and median — computed fully in parallel and
+    fully in INTEGER space: prices to BIGINT cents, per-distinct-value
+    rank intervals [cum-c+1, cum] from carried_cumsum, each value keeps
+    the overlap of its interval with the trim window [k_lo, k_hi], and
+    the kept mass sum(cents * keep) is an exact BIGINT (bounded by
+    max_cents * n ~ 1e12 here). One division at the end — no float
+    summation anywhere, so no cross-engine drift and no global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cdf = carried_cumsum(vals, "cents", ["c"])
+    tot = cdf.agg(F.max("cum_c").alias("n")).select(
+        "n",
+        (F.floor(F.col("n") * 0.1).cast("long") + 1).alias("k_lo"),
+        (F.col("n") - F.floor(F.col("n") * 0.1).cast("long")).alias("k_hi"),
+    )
+    keep = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum_c"), F.col("k_hi"))
+        - F.greatest(F.col("cum_c") - F.col("c") + 1, F.col("k_lo"))
+        + 1,
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .select("cents", "n", "k_lo", "k_hi", keep.alias("keep"))
+        .agg(
+            hround(
+                F.sum(F.col("cents") * F.col("keep"))
+                * 1.0
+                / (100.0 * (F.max("k_hi") - F.max("k_lo") + 1)),
+                6,
+            ).alias("trimmed_mean"),
+            F.max("n").alias("n"),
+            (F.max("k_hi") - F.max("k_lo") + 1).alias("n_kept"),
+        )
+    )

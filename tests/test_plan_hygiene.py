@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "text_jsd_source_divergence": "source-pair spine cross (sources = corpus metadata)",
     "part_affinity_lift": "1-row order-count aggregate broadcast",
     "customer_pareto_concentration": "1-row revenue-total aggregate broadcast",
+    "agg_trimmed_mean_exact": "1-row trim-window aggregate broadcast",
 }
 
 #: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
