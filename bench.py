@@ -62,11 +62,12 @@ EXTENDED = [
     "sketch_bitmap_exact_distinct",
     "dedup_minhash_banded",
 ]
-# deliberately NOT benched: text_tfidf_cosine_pairs. The synthetic corpus
-# has a CLOSED 31-token vocabulary at every sf, so its exact all-pairs
-# token join is ~sum(df^2) ≈ 450M rows at sf0.1 by construction (measured
-# 124 s) — a property of the fixture, not the plan. Real corpora hit the
-# TFIDF_MIN_IDF stop-term floor instead; cost pinned in SCALING.md.
+# deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic
+# corpus has a CLOSED 31-token vocabulary at every sf, so the exact
+# all-pairs token join is ~sum(df^2) ≈ 450M rows at sf0.1 by construction
+# (measured 124 s) — a property of the fixture, not the plan. The
+# REGISTERED text_tfidf_cosine_pairs default applies the max_df-0.5
+# vocabulary cap (VERDICT r6 #1) and is cheap; cost pinned in SCALING.md.
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:

@@ -43,6 +43,38 @@ def exact_dedup_groups(
     )
 
 
+_SIZE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(v: object, default: int) -> int:
+    """Spark size-conf parser ('134217728', '128m', '128MB', '1g' ...),
+    mirroring JavaUtils.byteStringAsBytes. Returns ``default`` for
+    anything unparseable so a weird conf degrades gracefully instead of
+    raising at query-construction time."""
+    try:
+        s = str(v).strip().lower()
+        i = len(s)
+        while i > 0 and not s[i - 1].isdigit():
+            i -= 1
+        num, suffix = s[:i], s[i:].strip()
+        return int(num) * _SIZE_SUFFIXES[suffix]
+    except (ValueError, KeyError, TypeError):
+        return default
+
+
 def _estimated_scan_splits(df: DataFrame) -> int:
     """Estimate how many read splits the file scan planner will produce:
     sum over input files of ceil(bytes / maxPartitionBytes). Pure
@@ -61,10 +93,9 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     par = df.sparkSession.sparkContext.defaultParallelism
     if len(files) >= par:
         return len(files)  # already enough splits; skip the size stats
-    max_bytes = int(
-        str(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        ).rstrip("b")
+    max_bytes = _parse_byte_string(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        default=134217728,
     )
     splits = 0
     for f in files:
@@ -556,7 +587,8 @@ def minhash_banded_pairs(
     Deterministic for a fixed seed. Returns distinct (id_a < id_b).
 
     ``hash_family="md5"`` (see minhash_signature_array) keys each band
-    bucket by the ':'-joined hex elements instead of an xxhash64 fold —
+    bucket by the ':'-joined decimal string casts of the signature
+    longs instead of an xxhash64 fold —
     engine-portable, so the full banding pipeline replays in DuckDB."""
     b, r = choose_lsh_params(threshold, n_hashes)
     sigs = minhash_signature_array(df, text_col, id_col, b * r, ngram, seed, hash_family)

@@ -299,8 +299,15 @@ def exact_quantiles(
     result row. Returns (prob double, value double) rows.
 
     The selection thresholds depend only on (n, p): h is the same double
-    expression in any engine, so results are bit-stable."""
-    vg = df.groupBy(F.col(col).alias("p")).agg(F.count(F.lit(1)).alias("c"))
+    expression in any engine, so results are bit-stable.
+
+    Null contract (matches quantile_cont / percentile_cont / median):
+    NULL values of ``col`` are excluded from the CDF and from ``n``."""
+    vg = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     cdf = carried_cumsum(vg, "p", ["c"], num_partitions=num_partitions)
     # n = the CDF's final value — no second scan of the base table
     tot = cdf.agg(F.max("cum_c").alias("n"))

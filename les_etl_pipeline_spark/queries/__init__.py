@@ -96,9 +96,24 @@ def _last_passed_round() -> dict[str, int]:
     return last
 
 
+#: queries whose ORACLE changed (or appeared) after their last driver
+#: grading: scheduled ahead of even never-graded queries so the stronger
+#: check lands in the next driver window, then removed once green.
+_FORCE_REGRADE: dict[str, str] = {
+    # oracle-paired in r6 (md5 hash family, commit 23b3d93) but last
+    # driver grade is the r5 rows-only check (VERDICT r6 #3)
+    "dedup_minhash_banded": "oracle added r6; last driver grade r5 rows-only",
+    # semantics changed r7: registered default is now the max_df-0.5
+    # pruned form with the cap replayed in the oracle (VERDICT r6 #1)
+    "text_tfidf_cosine_pairs": "pruned default + new oracle in r7",
+}
+
+
 def _schedule() -> None:
     last = _last_passed_round()
-    ordered = sorted(QUERIES, key=lambda n: (last.get(n, 0), n))
+    ordered = sorted(
+        QUERIES, key=lambda n: (-1 if n in _FORCE_REGRADE else last.get(n, 0), n)
+    )
     snapshot = dict(QUERIES)
     QUERIES.clear()
     QUERIES.update({n: snapshot[n] for n in ordered})

@@ -65,7 +65,11 @@ def agg_exact_median_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-th order statistic is the MIN value whose cumulative count reaches
     k; even n averages the two middle order statistics exactly like
     quantile_cont(0.5). The total is the CDF's own final value — a
-    1-row aggregate broadcast, no second scan of the base table."""
+    1-row aggregate broadcast, no second scan of the base table.
+
+    Null contract: l_extendedprice is NOT NULL by TPC-H schema; on a
+    nullable column add ``isNotNull`` before the value-grain groupBy
+    (as operators.scale.exact_quantiles does) to match median()."""
     li = table(spark, sf_dir, "lineitem")
     vg = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
         F.count(F.lit(1)).alias("c")

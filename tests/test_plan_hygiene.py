@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob": "1-row corpus-token-total aggregate broadcast",
     "corpus_ppl_bucket_sampling": "1-row corpus-token-total aggregate broadcast",
     "text_tfidf_cosine_pairs": "1-row doc-count aggregate broadcast",
+    "text_tfidf_cosine_pairs_exact": "1-row doc-count aggregate broadcast",
     "events_weekday_seasonality": "1-row overall-mean aggregate broadcast",
     "text_bm25_topk": "1-row avgdl/n_docs aggregate broadcast",
     "corpus_mixture_plan": "1-row n_sources aggregate broadcast",
@@ -50,19 +51,26 @@ BNLJ_ALLOWED = {
     "agg_trimmed_mean_exact": "1-row trim-window aggregate broadcast",
 }
 
-#: queries allowed an ordered-UNPARTITIONED window, keyed by the window's
-#: leading order column with the reason its input is metadata-scale (a
-#: bounded spine or a one-row-per-group table, never raw data rows).
-#: Windows ordered by `_pid` are always allowed: that is the carried-
-#: offset cumulation of scale.global_row_ids / exact_ntile — ONE row per
-#: range partition, the sanctioned parallel-rank pattern.
+#: queries allowed ordered-UNPARTITIONED windows: per query, a list of
+#: (leading order column, reason) entries — one entry per DISTINCT
+#: exempt window spec, each justified by its input being metadata-scale
+#: (a bounded spine or a one-row-per-group table, never raw data rows).
+#: The gate additionally requires the number of distinct non-`_pid`
+#: unpartitioned specs per query to equal the entry count, so a future
+#: second window that happens to reuse an exempted leading column still
+#: fails by name. Windows ordered by `_pid` are always allowed: that is
+#: the carried-offset cumulation of scale.global_row_ids / exact_ntile —
+#: ONE row per range partition, the sanctioned parallel-rank pattern.
 UNPART_WINDOW_ALLOWED = {
-    "cte_nation_revenue_rank": ("rev", "rank over the 25-row per-nation aggregate"),
-    "events_autocorr_lag1": ("day", "lag over the one-row-per-day aggregate"),
-    "events_linear_interpolation": ("hrL", "bounded hourly spine grid"),
-    "events_max_concurrency": ("day", "carried-offset cumulation, one row per day"),
-    "events_sliding_distinct_users": ("_w1", "day-grain sliding frame"),
-    "events_changepoint_cusum": ("day", "CUSUM over the one-row-per-day table"),
+    "cte_nation_revenue_rank": [("rev", "rank over the 25-row per-nation aggregate")],
+    "events_autocorr_lag1": [("day", "lag over the one-row-per-day aggregate")],
+    "events_linear_interpolation": [
+        ("hrL", "forward-fill (last non-null before) over the bounded hourly spine"),
+        ("hrL", "backward-fill (first non-null after) over the bounded hourly spine"),
+    ],
+    "events_max_concurrency": [("day", "carried-offset cumulation, one row per day")],
+    "events_sliding_distinct_users": [("_w1", "day-grain sliding frame")],
+    "events_changepoint_cusum": [("day", "CUSUM over the one-row-per-day table")],
 }
 
 _WSD_START = "windowspecdefinition("
@@ -145,13 +153,25 @@ def test_no_unjustified_unpartitioned_windows(all_plans):
     spine — a data-scale single-task sort fails here by query name."""
     offenders: dict[str, list[str]] = {}
     for name, plan in all_plans.items():
+        allowed_leads = [lead for lead, _ in UNPART_WINDOW_ALLOWED.get(name, [])]
+        distinct_specs: dict[str, set[str]] = {}
         for lead, spec in _unpartitioned_windows(plan):
             if lead == "_pid":
                 continue
-            allowed = UNPART_WINDOW_ALLOWED.get(name)
-            if allowed and lead == allowed[0]:
+            if lead in allowed_leads:
+                distinct_specs.setdefault(lead, set()).add(spec)
                 continue
             offenders.setdefault(name, []).append(spec)
+        # one justified entry covers exactly ONE distinct window spec: a
+        # second window reusing an exempted leading column must be
+        # justified (or rejected) on its own, not ride the existing entry
+        for lead, specs in distinct_specs.items():
+            n_entries = allowed_leads.count(lead)
+            if len(specs) > n_entries:
+                offenders.setdefault(name, []).append(
+                    f"{len(specs)} distinct specs lead by '{lead}' but only "
+                    f"{n_entries} justified: {sorted(specs)}"
+                )
     assert not offenders, f"unpartitioned data-scale windows: {offenders}"
 
 

@@ -364,24 +364,49 @@ def test_zipf_max_rank_cap(spark, sf_dir, monkeypatch):
     assert row.zipf_slope < 0
 
 
-def test_tfidf_min_idf_prunes_join_only(spark, sf_dir, monkeypatch):
-    """With the idf floor engaged, the surviving pairs are a subset of
-    the exact result, cosines never increase (only numerator mass is
-    dropped), and norms stay exact (cos <= exact cos per pair)."""
+def test_tfidf_max_df_one_equals_exact(spark, sf_dir):
+    """max_df_fraction=1.0 keeps every token (df <= n_docs always), so
+    the pruned builder must reproduce the exact baseline bit-for-bit —
+    pins the cap to being a pure vocabulary restriction with no other
+    semantic drift."""
     from les_etl_pipeline_spark.queries import llm_data8
 
-    exact = {
-        (r.id_a, r.id_b): r.cos
-        for r in llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
-    }
-    monkeypatch.setattr(llm_data8, "TFIDF_MIN_IDF", 0.5)
-    pruned = {
-        (r.id_a, r.id_b): r.cos
-        for r in llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
-    }
-    assert set(pruned) <= set(exact)
-    for k, c in pruned.items():
-        assert c <= exact[k] + 1e-9
+    exact = sorted(
+        tuple(r)
+        for r in llm_data8.text_tfidf_cosine_pairs_exact(spark, sf_dir).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in llm_data8._tfidf_cosine_pairs(spark, sf_dir, 1.0).collect()
+    )
+    assert capped == exact and exact
+
+
+def test_tfidf_max_df_restricts_vector_space(spark, sf_dir):
+    """The registered pruned default on the closed-vocab fixture keeps
+    only the one rare topic token (df ~5% of docs; the other 30 tokens
+    sit at ~75-80%), so every surviving pair must score cos 1.0 (a
+    single-dimension space) and pair exactly the docs sharing that
+    token — the degenerate regime documented in the query docstring."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.queries import llm_data8
+
+    rows = llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
+    assert rows and all(r.cos == 1.0 for r in rows)
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tc = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    n_docs = tc.select("doc_id").distinct().count()
+    kept = (
+        tc.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= 0.5 * n_docs)
+        .collect()
+    )
+    assert len(kept) == 1
+    expect_pairs = kept[0].df * (kept[0].df - 1) // 2
+    assert len(rows) == expect_pairs
 
 
 def test_minhash_permutations_are_independent(spark, sf_dir):

@@ -6,8 +6,9 @@ while every other query got faster. Timing on this box is noisy (1.5-4.3 s
 observed for this query across contexts), so per the round-5 verdict the
 only trustworthy comparison is a warm, alternating, same-session A/B.
 
-Forms (all driven exactly like the registered query: materialize=False,
-k=3, threshold=0.1, count() as the action):
+Forms (k=3, threshold=0.1, count() as the action; the registered query
+now defaults to materialize=True — the winning form of this A/B — so
+both materialize settings are measured for each form below):
   r4  — exploded (doc, hash) rows; sizes via groupBy countDistinct
   r5  — per-doc array_distinct arrays; sizes via size(array), no shuffle
 Each form also measured with materialize=True, plus the cost of the
