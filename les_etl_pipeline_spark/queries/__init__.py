@@ -106,6 +106,10 @@ _FORCE_REGRADE: dict[str, str] = {
     # semantics changed r7: registered default is now the max_df-0.5
     # pruned form with the cap replayed in the oracle (VERDICT r6 #1)
     "text_tfidf_cosine_pairs": "pruned default + new oracle in r7",
+    # oracle-paired r7 via the unrolled delimited-string merge chain
+    # (VERDICT r6 #7); previous grades were rows-only
+    "text_bpe_train_merges": "oracle added r7; prior grades rows-only",
+    "text_bpe_encode": "oracle added r7; prior grades rows-only",
 }
 
 

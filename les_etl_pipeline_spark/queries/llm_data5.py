@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.rounding import hround
+from . import _bpe_oracle
 from .registry import register
 
 
@@ -134,15 +135,20 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register("text_bpe_train_merges")  # iterative training loop — rows-only
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle.bpe_train_oracle(6, "doc_id <= 200"),
+)
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/text.bpe_train_merges):
     one corpus pass builds the weighted word vocabulary, then each merge
     iteration runs on vocab-sized data only (adjacent-pair explode →
     groupBy → arg-max; the driver sees ONE row per iteration — the
-    winning pair is a model parameter). Iterative by nature -> no SQL
-    oracle; exactness vs a pure-Python reference BPE is pinned in
-    tests/test_round5_ops.py."""
+    winning pair is a model parameter). Oracle-paired since r7: the
+    training loop unrolls into 6 DuckDB CTE stages where the greedy
+    merge fold replays as a delimited-string replace (VERDICT r6 #7;
+    see queries/_bpe_oracle.py). Exactness vs a pure-Python reference
+    BPE is additionally pinned in tests/test_round5_ops.py."""
     from ..operators.text import bpe_train_merges
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)

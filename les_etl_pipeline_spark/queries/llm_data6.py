@@ -9,9 +9,10 @@ the BPE apply side.
   every web-crawl pipeline applies so one giant domain can't dominate
   the training mix), deterministic keep-order.
 - ``text_bpe_encode``: tokenize the corpus with merges trained by
-  ``text_bpe_train_merges`` (operators/text.bpe_encode) — rows-only
-  (the ordered merge-fold isn't plain SQL); exactness vs a pure-Python
-  reference encoder is pinned in tests/test_round5_ops.py.
+  ``text_bpe_train_merges`` (operators/text.bpe_encode) — oracle-paired
+  since r7 via the unrolled delimited-string merge chain
+  (queries/_bpe_oracle.py); exactness vs a pure-Python reference
+  encoder is additionally pinned in tests/test_round5_ops.py.
 
 Reference parity: no counterpart in the reference ETL (its text surface
 stops at cleaning, SURVEY.md §2.4); these are LLM-data-pipeline gap
@@ -25,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators import text as text_ops
+from . import _bpe_oracle
 from .registry import register
 
 CHUNK_TOKENS = 8
@@ -171,15 +173,22 @@ def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_encode")  # ordered merge-fold — rows-only (no plain-SQL twin)
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_oracle.bpe_encode_oracle(
+        8, "text IS NOT NULL", "text IS NOT NULL AND doc_id < 300"
+    ),
+)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply side of BPE: train 8 merges on the corpus, then encode a
     deterministic slice of it (operators/text.bpe_encode). Merge folds
     run on the distinct WORD VOCABULARY only; the corpus pass is one
     word->tokens join plus an ordered per-document flatten. Output
     includes a stable preview of the first tokens so the rows carry
-    checkable content; exactness vs a pure-Python BPE reference is
-    pinned in tests/test_round5_ops.py."""
+    checkable content. Oracle-paired since r7 (VERDICT r6 #7): train
+    AND encode replay in DuckDB via the unrolled delimited-string
+    merge chain (queries/_bpe_oracle.py); exactness vs a pure-Python
+    BPE reference is additionally pinned in tests/test_round5_ops.py."""
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     merges = text_ops.bpe_train_merges(docs, n_merges=8)
     enc = text_ops.bpe_encode(docs.where(F.col("doc_id") < 300), merges)
