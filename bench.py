@@ -61,6 +61,9 @@ EXTENDED = [
     "text_bm25_topk",
     "sketch_bitmap_exact_distinct",
     "dedup_minhash_banded",
+    # the 100 TB-default hash family, benched alongside the md5 oracle
+    # twin so the claimed speed advantage is measured (VERDICT r6 #4)
+    "dedup_minhash_banded_xxhash",
 ]
 # deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic
 # corpus has a CLOSED 31-token vocabulary at every sf, so the exact
@@ -81,6 +84,67 @@ def median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+SWEEP_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _previous_sweep() -> tuple[str, dict[str, float]] | None:
+    """Newest BENCH_r*.json that carries a sweep — the drift baseline."""
+    import glob
+    import re
+
+    best: tuple[int, str, dict[str, float]] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        sweep = data.get("sweep")
+        if isinstance(sweep, dict) and sweep:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, os.path.basename(path), sweep)
+    return (best[1], best[2]) if best else None
+
+
+def full_registry_sweep(spark, reps: int = 3) -> tuple[dict, list]:
+    """Per-query medians for EVERY registered query at sf0.01 (VERDICT
+    r6 #5): the 20-something-query timed suite leaves the other ~230
+    queries perf-invisible round-over-round; this sweep makes every
+    query's cost a recorded artifact, and movers >1.5x vs the previous
+    recorded sweep (in either direction, above a 0.15 s absolute floor
+    so sub-100ms jitter doesn't page anyone) are listed in the bench
+    JSON. One warm rep, then ``reps`` timed — medians."""
+    names = list(QUERIES)
+    for name in names:
+        run_one(spark, name, SWEEP_SF_DIR)
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            times[name].append(run_one(spark, name, SWEEP_SF_DIR))
+    sweep = {n: round(median(times[n]), 3) for n in names}
+    movers: list[dict] = []
+    prev = _previous_sweep()
+    if prev:
+        base_name, base = prev
+        for n, t in sweep.items():
+            b = base.get(n)
+            if b is None or (t < 0.15 and b < 0.15):
+                continue
+            ratio = t / b if b > 0 else float("inf")
+            if ratio >= 1.5 or ratio <= 1 / 1.5:
+                movers.append(
+                    {"query": n, "prev": b, "now": t, "ratio": round(ratio, 2),
+                     "baseline": base_name}
+                )
+        movers.sort(key=lambda m: -max(m["ratio"], 1 / m["ratio"]))
+    return sweep, movers
 
 
 def main() -> None:
@@ -105,24 +169,28 @@ def main() -> None:
     per_query = {n: round(median(times[n]), 3) for n in names}
     total = sum(per_query[n] for n in per_query if n in HEADLINE)
     total_ext = sum(per_query.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "reps": reps,
-                "value_extended": round(total_ext, 3),
-                "note": (
-                    "value sums the r1-era 21-query headline set (comparable "
-                    "to BENCH_r01); value_extended adds the 5 heavy round-5 "
-                    "operators listed in bench.EXTENDED"
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "reps": reps,
+        "value_extended": round(total_ext, 3),
+        "note": (
+            "value sums the r1-era 21-query headline set (comparable "
+            "to BENCH_r01); value_extended adds the 6 heavy operators "
+            "listed in bench.EXTENDED; sweep carries per-query medians "
+            "for the FULL registry at sf0.01 with >1.5x movers vs the "
+            "previous recorded sweep in sweep_movers"
+        ),
+    }
+    if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":
+        sweep, movers = full_registry_sweep(spark, reps=reps)
+        out["sweep"] = sweep
+        out["sweep_sf"] = 0.01
+        out["sweep_movers"] = movers
+    print(json.dumps(out))
     spark.stop()
 
 

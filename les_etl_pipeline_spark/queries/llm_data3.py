@@ -451,6 +451,28 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+@register("dedup_minhash_banded_xxhash")  # engine-native hash — rows-only
+def dedup_minhash_banded_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-default MinHash banding path: same self-tuned (b, r)
+    banding pipeline as ``dedup_minhash_banded`` but with the xxhash64
+    hash family (JVM-native codegen hash per (seed, shingle); band
+    bucket keys fold to ONE 8-byte xxhash64 instead of the md5 twin's
+    ':'-joined decimal string — a ~5x smaller bucket shuffle key).
+    xxhash64 has no DuckDB counterpart, so this form is rows-only BY
+    CONSTRUCTION (the md5 twin carries the bit-exact oracle for the
+    shared banding logic; per-permutation independence and recall are
+    pinned in tests/test_round6_ops.py and test_round4_ops.py).
+    Registered (VERDICT r6 #4) so the documented scale default is
+    benched and slope-probed every round instead of living only in a
+    docstring claim."""
+    from ..operators import dedup as _dedup
+
+    pairs = _dedup.minhash_banded_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, hash_family="xxhash64"
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @register(
     "embedding_int8_quantization",
     oracle="""

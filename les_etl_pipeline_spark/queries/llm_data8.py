@@ -744,29 +744,33 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set them to bound the vocab-sized tables these queries scan.
 #: cap the Zipf fit to the top-N vocabulary ranks (None = full vocab)
 ZIPF_MAX_RANK: int | None = None
-#: max_df stop-term cap of the REGISTERED tf-idf pair query (sklearn's
-#: TfidfVectorizer(max_df=0.5) convention): tokens appearing in more
-#: than this fraction of documents are excluded from the VECTOR SPACE
-#: (weights and norms both — a vocabulary restriction, not a numerator
-#: shortcut), bounding the inverted-index pair join's per-token fan-out.
-TFIDF_MAX_DF_FRACTION: float = 0.5
+#: ABSOLUTE max_df stop-term cap of the REGISTERED tf-idf pair query
+#: (sklearn's TfidfVectorizer(max_df=<int>) convention): tokens
+#: appearing in more than this many documents are excluded from the
+#: VECTOR SPACE (weights and norms both — a vocabulary restriction, not
+#: a numerator shortcut). An absolute cap — NOT a fraction — is what
+#: makes the pair join linear: sum over kept tokens of df^2 <=
+#: max_df * (total kept postings) = O(corpus), the exact bound behind
+#: dedup's max_shingle_freq=1000. A FRACTION cap was measured
+#: super-linear on the open-vocab corpus (tools/openvocab_probe.py r7:
+#: slope 1.76 at max_df_fraction=0.5 — tokens just under the fraction
+#: still have df ~ O(N)).
+TFIDF_MAX_DF: int = 1000
 
 
-def _tfidf_cosine_pairs(
-    spark: SparkSession, sf_dir: str, max_df_fraction: float | None
-) -> DataFrame:
+def tfidf_cosine_pairs_df(docs: DataFrame, max_df: int | None) -> DataFrame:
     """TF-IDF cosine >= 0.5 document pairs over the inverted index
     (equi-join on the token key — the sparse counterpart of the dense
-    embedding cosine tiers). Weights are c * ln(N/df); norms round to
-    6dp before the division so the parallel-sum association noise stays
-    below the 4dp output rounding.
+    embedding cosine tiers), from any (doc_id, text) DataFrame. Weights
+    are c * ln(N/df); norms round to 6dp before the division so the
+    parallel-sum association noise stays below the 4dp output rounding.
 
-    ``max_df_fraction`` restricts the vocabulary to tokens with
-    df <= fraction * n_docs (n_docs counted BEFORE pruning; docs whose
-    every token is pruned drop out entirely). ``None`` keeps the full
-    vocabulary — the exact baseline, quadratic when stop terms dominate
-    (the pair join grows as sum(df^2))."""
-    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ``max_df`` restricts the vocabulary to tokens with df <= max_df
+    documents (absolute — see TFIDF_MAX_DF for why a fraction doesn't
+    scale; docs whose every token is pruned drop out entirely). ``None``
+    keeps the full vocabulary — the exact baseline, quadratic when stop
+    terms dominate (the pair join grows as sum(df^2))."""
+    docs = docs.where(F.col("text").isNotNull())
     tc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -777,10 +781,8 @@ def _tfidf_cosine_pairs(
     df_tbl = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).crossJoin(
         F.broadcast(n)
     )
-    if max_df_fraction is not None:
-        df_tbl = df_tbl.where(
-            F.col("df") <= F.lit(float(max_df_fraction)) * F.col("n_docs")
-        )
+    if max_df is not None:
+        df_tbl = df_tbl.where(F.col("df") <= F.lit(int(max_df)))
     idf = df_tbl.select(
         "tok", F.log(F.col("n_docs") * 1.0 / F.col("df")).alias("idf")
     )
@@ -853,26 +855,27 @@ _TFIDF_ORACLE = """
 @register(
     "text_tfidf_cosine_pairs",
     oracle=_TFIDF_ORACLE.replace(
-        "{PRUNE}", "\n      HAVING count(*) <= 0.5 * n.n_docs"
+        "{PRUNE}", "\n      HAVING count(*) <= 1000"
     ),
 )
 def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REGISTERED default: tf-idf cosine pairs over the max_df-0.5
-    restricted vocabulary (VERDICT r6 #1 — the pruned form is the
+    """The REGISTERED default: tf-idf cosine pairs over the
+    max_df-capped vocabulary (VERDICT r6 #1 — the pruned form is the
     default; the exact full-vocab join lives on as the allowlisted
     baseline twin ``text_tfidf_cosine_pairs_exact``). The cap is
-    replayed verbatim in the DuckDB oracle (HAVING df <= 0.5 * n_docs),
-    the max_shingle_freq discipline from dedup_ngram_jaccard.
+    replayed verbatim in the DuckDB oracle (HAVING df <= 1000), the
+    max_shingle_freq discipline from dedup_ngram_jaccard.
 
-    100 TB note: the pair join grows as sum over kept tokens of df^2;
-    with stop terms (the df ~ O(N) heads of the Zipf curve) excluded
-    from the vocabulary, the Zipfian tail keeps that sum near-linear on
-    open-vocabulary corpora. On THIS closed-31-token fixture the cap
-    leaves only the one rare topic token (df ~ 5% of docs), so the
-    result degenerates to pairs sharing it at cos 1.0 — see
-    FIXTURES.md; the open-vocab synthdocs probe exercises the
-    non-degenerate regime."""
-    return _tfidf_cosine_pairs(spark, sf_dir, TFIDF_MAX_DF_FRACTION)
+    100 TB note: the ABSOLUTE cap makes the pair join linear — sum over
+    kept tokens of df^2 <= max_df * total postings — where a fractional
+    cap measured super-linear (slope 1.76) on the open-vocab probe; see
+    TFIDF_MAX_DF and OPENVOCAB.md. At sf0.01 every fixture token has
+    df <= 402, so the cap keeps the whole vocabulary and the graded
+    result coincides with the exact twin (full-strength hash check); at
+    sf0.1 the 30 stop tokens (df ~ 3900) are pruned and the plan stays
+    cheap — the cap-engaged path is pinned by
+    tests/test_round6_ops.py::test_tfidf_max_df_restricts_vector_space."""
+    return tfidf_cosine_pairs_df(table(spark, sf_dir, "documents"), TFIDF_MAX_DF)
 
 
 @register(
@@ -886,7 +889,7 @@ def text_tfidf_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     out as sum(df^2): deliberately kept out of the timed bench and
     pinned super-linear in SCALING.md; use the registered pruned
     default at scale."""
-    return _tfidf_cosine_pairs(spark, sf_dir, None)
+    return tfidf_cosine_pairs_df(table(spark, sf_dir, "documents"), None)
 
 
 @register(

@@ -57,16 +57,44 @@ _LANGS = ("en", "es", "de", "fr", "it")
 SYNTH_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
-def _synth_row(doc_id: int, mean_words: int) -> tuple:
+def _rank_word(r: int) -> str:
+    """Deterministic letters-only word for Zipf rank r (base-26)."""
+    r -= 1
+    out = []
+    while True:
+        out.append(chr(ord("a") + r % 26))
+        r = r // 26 - 1
+        if r < 0:
+            break
+    return "".join(reversed(out))
+
+
+def _synth_row(doc_id: int, mean_words: int, vocab_mode: str = "closed") -> tuple:
     """One synthetic document, a pure function of doc_id (md5-driven so
-    any engine/process reproduces it byte-for-byte)."""
+    any engine/process reproduces it byte-for-byte).
+
+    ``vocab_mode="closed"`` (default) draws uniformly from the fixed
+    31-word vocabulary — matching the driver fixture's corpus shape.
+    ``vocab_mode="open"`` draws a Zipf(s=1.5) RANK per word (inverse
+    CDF r = ceil(u^-2), unbounded) and renders it as a deterministic
+    base-26 word: the realized vocabulary then grows with corpus size
+    (Heaps' law) and token df follows a Zipf curve — the regime real
+    corpora live in, where stop-term heads have df ~ O(N) but the tail
+    dominates the distinct-token count. Built for SCALING re-probes of
+    the text/dedup operators (VERDICT r6 #2): the closed fixture's
+    all-tokens-are-stopwords shape makes every all-pairs token join
+    quadratic by construction and hides Heaps-law costs."""
     h = hashlib.md5(f"synthdoc:{doc_id}".encode()).digest()
     n_words = 5 + (int.from_bytes(h[:4], "big") % (2 * mean_words - 9))
     words = []
     x = int.from_bytes(h[4:12], "big")
     for i in range(n_words):
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        words.append(_VOCAB[x % len(_VOCAB)])
+        if vocab_mode == "open":
+            u = max(x / float(1 << 64), 1e-12)
+            words.append(_rank_word(1 + int(u**-2.0)))
+        else:
+            words.append(_VOCAB[x % len(_VOCAB)])
     text = " ".join(words)
     return (
         doc_id,
@@ -78,8 +106,9 @@ def _synth_row(doc_id: int, mean_words: int) -> tuple:
 
 
 class _SynthPartition(InputPartition):
-    def __init__(self, lo: int, hi: int, mean_words: int):
-        self.lo, self.hi, self.mean_words = lo, hi, mean_words
+    def __init__(self, lo: int, hi: int, mean_words: int, vocab_mode: str):
+        self.lo, self.hi = lo, hi
+        self.mean_words, self.vocab_mode = mean_words, vocab_mode
 
 
 class _SynthReader(DataSourceReader):
@@ -87,19 +116,22 @@ class _SynthReader(DataSourceReader):
         self.n_docs = int(options.get("n_docs", 1000))
         self.n_parts = int(options.get("n_partitions", 8))
         self.mean_words = int(options.get("mean_words", 40))
+        self.vocab_mode = str(options.get("vocab_mode", "closed"))
 
     def partitions(self) -> list[InputPartition]:
         # even doc_id ranges; partition count is the read parallelism
         # knob exactly like file splits are for a file source
         step = max(1, (self.n_docs + self.n_parts - 1) // self.n_parts)
         return [
-            _SynthPartition(lo, min(lo + step, self.n_docs), self.mean_words)
+            _SynthPartition(
+                lo, min(lo + step, self.n_docs), self.mean_words, self.vocab_mode
+            )
             for lo in range(0, self.n_docs, step)
         ]
 
     def read(self, partition: _SynthPartition) -> Iterator[tuple]:
         for doc_id in range(partition.lo, partition.hi):
-            yield _synth_row(doc_id, partition.mean_words)
+            yield _synth_row(doc_id, partition.mean_words, partition.vocab_mode)
 
 
 class SynthDocsDataSource(DataSource):

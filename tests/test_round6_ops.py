@@ -364,11 +364,14 @@ def test_zipf_max_rank_cap(spark, sf_dir, monkeypatch):
     assert row.zipf_slope < 0
 
 
-def test_tfidf_max_df_one_equals_exact(spark, sf_dir):
-    """max_df_fraction=1.0 keeps every token (df <= n_docs always), so
-    the pruned builder must reproduce the exact baseline bit-for-bit —
-    pins the cap to being a pure vocabulary restriction with no other
-    semantic drift."""
+def test_tfidf_uncapped_equals_exact(spark, sf_dir):
+    """A max_df far above every fixture df keeps every token, so the
+    capped builder must reproduce the exact baseline bit-for-bit — pins
+    the cap to being a pure vocabulary restriction with no other
+    semantic drift. (The registered default's cap of 1000 also keeps
+    everything at this sf — dfs top out ~415 — so the driver's hash
+    check runs the full-strength comparison.)"""
+    from les_etl_pipeline_spark.catalog import table
     from les_etl_pipeline_spark.queries import llm_data8
 
     exact = sorted(
@@ -377,31 +380,37 @@ def test_tfidf_max_df_one_equals_exact(spark, sf_dir):
     )
     capped = sorted(
         tuple(r)
-        for r in llm_data8._tfidf_cosine_pairs(spark, sf_dir, 1.0).collect()
+        for r in llm_data8.tfidf_cosine_pairs_df(
+            table(spark, sf_dir, "documents"), 10**9
+        ).collect()
+    )
+    registered = sorted(
+        tuple(r) for r in llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
     )
     assert capped == exact and exact
+    assert registered == exact
 
 
 def test_tfidf_max_df_restricts_vector_space(spark, sf_dir):
-    """The registered pruned default on the closed-vocab fixture keeps
-    only the one rare topic token (df ~5% of docs; the other 30 tokens
-    sit at ~75-80%), so every surviving pair must score cos 1.0 (a
-    single-dimension space) and pair exactly the docs sharing that
-    token — the degenerate regime documented in the query docstring."""
+    """With the cap engaged (max_df=300 on the closed-vocab fixture:
+    the 30 stop tokens sit at df ~390, the rare topic token at df ~25)
+    only the rare token survives, so every surviving pair must score
+    cos 1.0 (a single-dimension space) and pair exactly the docs
+    sharing that token — pins that the cap prunes weights AND norms
+    together (a vocabulary restriction, not a numerator shortcut)."""
     from les_etl_pipeline_spark.catalog import table
     from les_etl_pipeline_spark.queries import llm_data8
 
-    rows = llm_data8.text_tfidf_cosine_pairs(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    rows = llm_data8.tfidf_cosine_pairs_df(docs, 300).collect()
     assert rows and all(r.cos == 1.0 for r in rows)
-    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tc = docs.select(
+    tc = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    n_docs = tc.select("doc_id").distinct().count()
     kept = (
         tc.groupBy("tok")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") <= 0.5 * n_docs)
+        .where(F.col("df") <= 300)
         .collect()
     )
     assert len(kept) == 1
