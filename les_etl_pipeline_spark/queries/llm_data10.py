@@ -1,0 +1,534 @@
+"""Tenth LLM-data pack (round 7): published corpus-curation methods not
+yet covered as first-class registered queries —
+
+- ``dedup_semantic_prune``: SemDeDup (Abbas et al. 2023) — cluster the
+  embedding table (deterministic seed assignment, the oracle-checkable
+  k-means face in ``operators/clustering.py``), then flag near-duplicate
+  members WITHIN each cluster by pairwise cosine. The whole point of the
+  method is the plan shape: the pair join is keyed by cluster id, so its
+  cost is bounded by cluster size, never corpus size.
+- ``decontaminate_bloom_prefilter``: n-gram test-set decontamination with
+  a Bloom-filter prefilter — the eval set's shingle hashes are folded
+  into one 64 Kbit bitmap (a single broadcast ROW), train shingles probe
+  the bitmap map-side, and only candidates reach the exact verify join.
+  No false negatives (Bloom guarantees), so the RESULT is exact and the
+  oracle is the plain overlap SQL.
+- ``dedup_url_canonical``: URL canonicalization dedup (the first dedup
+  any web crawl runs): lowercase, default-port / fragment / tracking-
+  param stripping, trailing-slash normalization, then group-by-canonical.
+- ``corpus_dsir_importance``: DSIR (Xie et al. 2023) hashed-n-gram
+  importance weights log p_target(x) - log p_raw(x) over 256 md5 feature
+  buckets, summed exactly in DECIMAL(18,6) so the result is independent
+  of aggregation order in both engines.
+- ``text_tokenizer_fertility``: tokenizer fertility diagnostics per
+  language (subword-per-word ratio and chars-per-token — the standard
+  "how expensive is this language for my tokenizer" table).
+
+All pure column expressions — no UDFs, no driver loops; every query
+carries a full DuckDB oracle.
+
+Reference parity: none (no text/embedding analysis in the reference —
+SURVEY.md §2.12 gap surface; LLM-data operators from the build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import clustering
+from ..operators.dedup import shingles
+from .registry import register
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster, then prune near-duplicates within clusters
+# --------------------------------------------------------------------------
+
+#: intra-cluster cosine at-or-above which the higher-id member is flagged
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_K = 8
+
+_SEMDEDUP_ASSIGN_CTE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             v AS c
+      FROM e ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ), d1 AS (
+      SELECT e.vec_id, e.v, s.cluster,
+             (floor(list_aggregate(list_transform(range(1, 65),
+                j -> (e.v[j] - s.c[j]) * (e.v[j] - s.c[j])), 'sum')
+                * 1000000.0 + 0.5) / 1000000.0) AS d
+      FROM e CROSS JOIN seeds s
+    ), a1 AS (
+      SELECT vec_id, v, cluster FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+    ), n AS (
+      SELECT vec_id, cluster, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM a1
+    )
+"""
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=_SEMDEDUP_ASSIGN_CTE
+    + f"""
+    , p AS (
+      SELECT b.vec_id, b.cluster, a.vec_id AS keep_candidate,
+             (floor((list_aggregate(list_apply(list_zip(a.v, b.v),
+                x -> x[1] * x[2]), 'sum') / (a.nrm * b.nrm))
+                * 1000000.0 + 0.5) / 1000000.0) AS cos
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, cluster,
+           CAST(min(keep_candidate) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           max(cos) AS best_cos
+    FROM p WHERE cos >= {SEMDEDUP_TAU}
+    GROUP BY vec_id, cluster ORDER BY vec_id
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest of the k deterministic seed centroids, then flag any member
+    whose cosine to a LOWER-id member of the SAME cluster reaches tau —
+    the keep-lowest-id convention every dedup op in this repo uses.
+
+    Plan: assignment embeds the k x d seeds as literal arrays (no join —
+    see operators/clustering.py for the 100 TB posture); the pair join
+    is an equi-join ON CLUSTER ID, so pair expansion is bounded by the
+    largest cluster, never the corpus (the published method's entire
+    scaling argument). Cosines are sequential zip_with folds rounded to
+    6dp BEFORE the threshold so a last-ulp divergence cannot flip a
+    flag; the oracle replays the identical assignment and pair scan."""
+    assign = clustering.kmeans_lloyd(
+        table(spark, sf_dir, "embeddings"), k=SEMDEDUP_K, iters=1
+    ).select("vec_id", "cluster", "v")
+    nrm = assign.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    a = nrm.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("keep_candidate"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = nrm.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("keep_candidate") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            "keep_candidate",
+            hround(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(SEMDEDUP_TAU))
+    )
+    return (
+        pairs.groupBy("vec_id", "cluster")
+        .agg(
+            F.min("keep_candidate").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("cos").alias("best_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered exact n-gram decontamination
+# --------------------------------------------------------------------------
+
+#: Bloom geometry: 2^16 bits (1024 longs — a 16 KiB broadcast row) and 3
+#: probe hashes. At the published decontamination scale (benchmark sets
+#: of ~10^5 shingles) this m/n ~ 0.6 bits-per-key bitmap is deliberately
+#: small; false positives only cost verify-join work, never correctness.
+BLOOM_BITS = 1 << 16
+BLOOM_PROBES = 3
+DECON_SHINGLE_K = 4
+
+_DECON_SH_CTE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                 || ' ' || lead(w, 3) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    )
+"""
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=_DECON_SH_CTE
+    + """
+    , ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+      tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 41 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (the GPT-3/PaLM n-gram overlap check)
+    with a Bloom-filter prefilter: eval docs (doc_id % 41 == 0 stands in
+    for the benchmark set) contribute their 4-gram shingles to a 64 Kbit
+    bitmap — built as ONE aggregated row of (word-index -> 64-bit lane)
+    map entries and cross-joined back as a broadcast scalar. Train
+    shingles test all 3 probe bits map-side; only survivors reach the
+    exact string-equality verify join, so the output — contaminated
+    train docs with their shared-shingle counts — is EXACT (Bloom has no
+    false negatives) and the oracle is the plain overlap SQL.
+
+    100 TB posture: the classic reason to bloom — the broadcast bitmap
+    (16 KiB regardless of corpus size) prunes the corpus-side shingle
+    stream BEFORE any shuffle, so the verify join's build side stays the
+    (tiny) benchmark shingle set and the probe side is only candidate
+    shingles, not the whole corpus."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", DECON_SHINGLE_K)).alias("s")
+    ).distinct()
+    ev_sh = sh.where(F.col("doc_id") % 41 == 0).select("s").distinct()
+    tr_sh = sh.where(F.col("doc_id") % 41 != 0)
+
+    def probe_pos(col: F.Column, seed: int) -> F.Column:
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(BLOOM_BITS))
+
+    bits = (
+        ev_sh.select(
+            F.explode(
+                F.array(*[probe_pos(F.col("s"), i) for i in range(BLOOM_PROBES)])
+            ).alias("pos")
+        )
+        .distinct()
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            # shiftleft by a COLUMN amount needs the SQL form — the
+            # pyspark wrapper only takes a Python int shift
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("lanes"))
+    )
+    bloom = bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "lanes"))).alias(
+            "bloom"
+        )
+    )
+
+    probed = tr_sh.crossJoin(F.broadcast(bloom)).select(
+        "doc_id",
+        "s",
+        "bloom",
+        *[probe_pos(F.col("s"), i).alias(f"pos{i}") for i in range(BLOOM_PROBES)],
+    )
+    hit = None
+    for i in range(BLOOM_PROBES):
+        ok = F.coalesce(
+            F.expr(
+                f"(shiftright(element_at(bloom, CAST(pos{i} / 64 AS INT)), "
+                f"CAST(pos{i} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+            ),
+            F.lit(False),
+        )
+        hit = ok if hit is None else (hit & ok)
+    candidates = probed.where(hit).select("doc_id", "s")
+    verified = candidates.join(F.broadcast(ev_sh), "s", "left_semi")
+    return (
+        verified.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup
+# --------------------------------------------------------------------------
+
+_RAW_URL_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://src' || (doc_id % 199) % 5 || '.Example.COM/docs/'
+                    || doc_id % 199 || '/'
+        WHEN 1 THEN 'https://src' || (doc_id % 199) % 5 || '.example.com:443/docs/'
+                    || doc_id % 199 || '?utm_source=feed'
+        WHEN 2 THEN 'https://src' || (doc_id % 199) % 5 || '.example.com/docs/'
+                    || doc_id % 199 || '#section-2'
+        ELSE 'https://src' || (doc_id % 199) % 5 || '.example.com/docs/'
+                    || doc_id % 199 || '?ref=rss&utm_campaign=x'
+      END
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   replace(lower(url), ':443/', '/'),
+                   '#.*$', '', 'g'),
+                 '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+               '/$', '', 'g') AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY curl HAVING count(*) >= 2 ORDER BY curl
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup of every web-crawl
+    pipeline (CommonCrawl/CCNet both group by canonical URL before any
+    content hashing): lowercase, strip the default :443 port, drop the
+    fragment, drop tracking parameters (utm_*, ref), strip the trailing
+    slash, then group by the canonical form. The deterministic raw URLs
+    synthesize the four classic variant shapes (case/port/fragment/
+    tracking-params) so distinct raw strings collapse to one canonical.
+
+    Pure string projections + one groupBy on the canonical URL (16-byte
+    hash-sized keys at scale, never page content); identical regex
+    pipeline replayed by the oracle (patterns chosen inside the
+    Java-regex ∩ RE2 common subset)."""
+    docs = table(spark, sf_dir, "documents")
+    base = F.col("doc_id") % 199
+    host = F.concat(F.lit("https://src"), base % 5)
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(host, F.lit(".Example.COM/docs/"), base, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                host, F.lit(".example.com:443/docs/"), base, F.lit("?utm_source=feed")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(host, F.lit(".example.com/docs/"), base, F.lit("#section-2")),
+        )
+        .otherwise(
+            F.concat(
+                host, F.lit(".example.com/docs/"), base, F.lit("?ref=rss&utm_campaign=x")
+            )
+        )
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.replace(F.lower(raw), F.lit(":443/"), F.lit("/")),
+                F.lit("#.*$"),
+                F.lit(""),
+            ),
+            F.lit(r"[?&](utm_[a-z]+|ref)=[^&#]*"),
+            F.lit(""),
+        ),
+        F.lit("/$"),
+        F.lit(""),
+    )
+    return (
+        docs.select(curl.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR hashed importance weights
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(word), 1, 4))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM w WHERE word <> ''
+    ), dbc AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY doc_id, b
+    ), tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct FROM f WHERE lang = 'en' GROUP BY b
+    ), raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM f WHERE lang = 'en') AS nt,
+             (SELECT count(*) FROM f) AS nr
+    ), lr AS (
+      SELECT raw.b,
+             (floor((ln(COALESCE(tgt.ct, 0) + 1) - ln(tot.nt + {DSIR_BUCKETS})
+                     - ln(raw.cr + 1) + ln(tot.nr + {DSIR_BUCKETS}))
+                    * 1000000.0 + 0.5) / 1000000.0) AS lw
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    )
+    SELECT dbc.doc_id,
+           CAST(sum(dbc.n) AS BIGINT) AS n_words,
+           CAST(sum(CAST(dbc.n AS DECIMAL(18, 6))
+                    * CAST(lr.lw AS DECIMAL(18, 6))) AS DOUBLE) AS dsir_weight
+    FROM dbc JOIN lr ON dbc.b = lr.b
+    GROUP BY dbc.doc_id ORDER BY dbc.doc_id
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw doc by
+    sum over its tokens of log p_target(bucket) - log p_raw(bucket) with
+    {DSIR_BUCKETS} hashed unigram buckets and add-one smoothing — the
+    published recipe for selecting web data that "looks like" a target
+    corpus (here: the English slice). High weight = target-like.
+
+    Plan: one token scan feeds both the per-(doc, bucket) counts and the
+    two 256-row bucket tables; bucket log-ratios broadcast back (256
+    rows — metadata) and the per-doc reduction multiplies/accumulates in
+    DECIMAL(18,6), so the sum is EXACT and order-independent — the same
+    integer-space trick as agg_trimmed_mean_exact, which is what lets
+    two engines with different aggregation orders hash-match on a float
+    reduction. md5-bucket hashing replays bit-exactly in DuckDB."""
+    docs = table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).where(F.col("word") != "")
+    f = f.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS)
+        .alias("b"),
+    )
+    dbc = f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    tgt = f.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw = f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = f.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            hround(
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - F.log(F.col("nt") + F.lit(DSIR_BUCKETS))
+                - F.log(F.col("cr") + 1)
+                + F.log(F.col("nr") + F.lit(DSIR_BUCKETS)),
+                6,
+            ).alias("lw"),
+        )
+    )
+    return (
+        dbc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(
+                F.col("n").cast("decimal(18,6)") * F.col("lw").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility diagnostics
+# --------------------------------------------------------------------------
+
+_TOKEN_PATTERN_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS ws,
+             len(regexp_extract_all(text, '{_TOKEN_PATTERN_SQL}')) AS re,
+             len(text) AS chars
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(re) AS BIGINT) AS re_tokens,
+           (floor(sum(re) * 1.0 / sum(ws) * 1000000.0 + 0.5) / 1000000.0)
+             AS fertility,
+           (floor(sum(chars) * 1.0 / sum(re) * 1000000.0 + 0.5) / 1000000.0)
+             AS chars_per_token
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-tokens-per-word (the
+    fertility metric of multilingual tokenizer evaluations) and
+    chars-per-token under the repo's BPE-ish regex tokenizer vs plain
+    whitespace words. The ratios are exact integer sums divided once at
+    the end — no float aggregation anywhere. One scan, two array
+    lengths per row."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = docs.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)).alias("ws"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_TOKEN_PATTERN_SQL), F.lit(0))
+        ).alias("re"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("re_tokens"),
+            hround(F.sum("re") / F.sum("ws"), 6).alias("fertility"),
+            hround(F.sum("chars") / F.sum("re"), 6).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

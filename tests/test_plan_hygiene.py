@@ -49,6 +49,8 @@ BNLJ_ALLOWED = {
     "part_affinity_lift": "1-row order-count aggregate broadcast",
     "customer_pareto_concentration": "1-row revenue-total aggregate broadcast",
     "agg_trimmed_mean_exact": "1-row trim-window aggregate broadcast",
+    "decontaminate_bloom_prefilter": "1-row 16 KiB Bloom-bitmap broadcast",
+    "corpus_dsir_importance": "1-row token-totals aggregate broadcast",
 }
 
 #: queries allowed ordered-UNPARTITIONED windows: per query, a list of
