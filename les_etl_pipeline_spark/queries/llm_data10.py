@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.rounding import hround
-from ..operators import clustering
+from ..operators import clustering, dedup
 from ..operators.dedup import shingles
 from .registry import register
 
@@ -532,3 +532,93 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# --------------------------------------------------------------------------
+
+_CC_PAIRS_CTE = """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) j JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.1
+    )
+"""
+
+
+@register(
+    "etl_leakage_safe_split",
+    oracle="WITH RECURSIVE "
+    + _CC_PAIRS_CTE.lstrip()
+    + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), bucketed AS (
+      SELECT doc_id, cluster,
+             ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM assigned
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed ORDER BY doc_id
+    """,
+)
+def etl_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split hash is keyed on the
+    NEAR-DUP CLUSTER id (connected components of the jaccard pair
+    graph), not the document id, so near-duplicates can never straddle
+    splits — the published fix for eval contamination via duplicated
+    train/test documents. Docs outside any component are their own
+    cluster. Deterministic md5 bucketing (80/10/10), the same portable
+    hash-split idiom as operators/sampling.py.
+
+    100 TB posture: components come from the banded/inverted-index pair
+    graph (min-label propagation with localCheckpoint cuts); the split
+    itself adds one LEFT join on doc_id and a pure projection — no new
+    data-scale shuffle beyond what dedup already paid."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    assigned = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -92,3 +92,21 @@ def test_tokenizer_fertility_bounds(spark, sf_dir):
     for r in rows:
         assert r.fertility >= 1.0
         assert 0 < r.chars_per_token < 40
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark, sf_dir):
+    """The split's whole contract: every near-dup pair (and transitively
+    every member of a component) lands in ONE split, and the 80/10/10
+    bucketing covers all docs exactly once."""
+    from les_etl_pipeline_spark.operators import dedup
+
+    split = QUERIES["etl_leakage_safe_split"](spark, sf_dir)
+    rows = split.collect()
+    docs = table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    by_doc = {r.doc_id: r.split for r in rows}
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert by_doc[p.id_a] == by_doc[p.id_b], (p.id_a, p.id_b)
+    assert {r.split for r in rows} == {"train", "val", "test"}

@@ -120,13 +120,24 @@ def main() -> int:
         ratios.append(mb / ma)
         lines.append(f"| {n} | {ma:.3f} | {mb:.3f} | {mb / ma:.2f} |")
     mean_ratio = statistics.mean(ratios)
-    verdict = (
-        "NOISE — same-session alternating medians agree within box variance; "
-        "the r5->r6 BENCH drift was machine state, not code overhead."
-        if 0.85 <= mean_ratio <= 1.15
-        else f"OVERHEAD — r6 code is uniformly {mean_ratio:.2f}x of r5 on "
-             "untouched queries; bisect the session/runtime change."
-    )
+    if 0.85 <= mean_ratio <= 1.15:
+        verdict = (
+            "NOISE — same-session alternating medians agree within box "
+            "variance; the r5->r6 BENCH drift was machine state, not code "
+            "overhead."
+        )
+    elif mean_ratio > 1.15:
+        verdict = (
+            f"OVERHEAD — r6 code is uniformly {mean_ratio:.2f}x SLOWER than "
+            "r5 on untouched queries; bisect the session/runtime change."
+        )
+    else:
+        verdict = (
+            f"IMPROVEMENT — r6 code is uniformly {mean_ratio:.2f}x of r5 "
+            "(FASTER) on untouched queries, so the +5-20% drift recorded in "
+            "BENCH_r06 was machine state masking a code-side gain, not "
+            "overhead."
+        )
     lines += ["", f"Mean B/A ratio: {mean_ratio:.2f}. Verdict: {verdict}", ""]
     log = os.path.join(REPO, "tools", "ab_drift_log.md")
     with open(log, "w") as f:
