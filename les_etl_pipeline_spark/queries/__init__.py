@@ -98,26 +98,53 @@ def _last_passed_round() -> dict[str, int]:
 
 
 #: queries whose ORACLE changed (or appeared) after their last driver
-#: grading: scheduled ahead of even never-graded queries so the stronger
-#: check lands in the next driver window, then removed once green.
-_FORCE_REGRADE: dict[str, str] = {
+#: grading, mapped to the round the oracle changed in: scheduled ahead of
+#: even never-graded queries so the stronger check lands in the next
+#: driver window. Entries RETIRE THEMSELVES — once a CORRECTNESS artifact
+#: at or after the noted round records a hash_match pass, the entry stops
+#: forcing (no manual cleanup next round).
+_FORCE_REGRADE: dict[str, int] = {
     # oracle-paired in r6 (md5 hash family, commit 23b3d93) but last
-    # driver grade is the r5 rows-only check (VERDICT r6 #3)
-    "dedup_minhash_banded": "oracle added r6; last driver grade r5 rows-only",
-    # semantics changed r7: registered default is now the max_df-0.5
+    # driver grade was the r5 rows-only check (VERDICT r6 #3)
+    "dedup_minhash_banded": 6,
+    # semantics changed r7: registered default is now the max_df-capped
     # pruned form with the cap replayed in the oracle (VERDICT r6 #1)
-    "text_tfidf_cosine_pairs": "pruned default + new oracle in r7",
+    "text_tfidf_cosine_pairs": 7,
     # oracle-paired r7 via the unrolled delimited-string merge chain
     # (VERDICT r6 #7); previous grades were rows-only
-    "text_bpe_train_merges": "oracle added r7; prior grades rows-only",
-    "text_bpe_encode": "oracle added r7; prior grades rows-only",
+    "text_bpe_train_merges": 7,
+    "text_bpe_encode": 7,
 }
+
+
+def _last_hash_round() -> dict[str, int]:
+    """Round of each query's newest driver HASH-MATCH pass (the strong
+    check only — rows-only passes don't count here)."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                report = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in report.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _schedule() -> None:
     last = _last_passed_round()
+    hashed = _last_hash_round()
+    force = {
+        n for n, since in _FORCE_REGRADE.items() if hashed.get(n, 0) < since
+    }
     ordered = sorted(
-        QUERIES, key=lambda n: (-1 if n in _FORCE_REGRADE else last.get(n, 0), n)
+        QUERIES, key=lambda n: (-1 if n in force else last.get(n, 0), n)
     )
     snapshot = dict(QUERIES)
     QUERIES.clear()
