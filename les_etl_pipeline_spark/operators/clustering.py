@@ -56,20 +56,16 @@ def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     return e.select("vec_id", "v", best["cluster"].alias("cluster"), best["d"].alias("d"))
 
 
-def kmeans_lloyd(
+def kmeans_lloyd_full(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Run ``iters`` Lloyd assignment steps (assign -> update centroids
-    -> ... -> final assign) and return the final assignment
-    (vec_id, v, cluster, d) with d the 6dp squared distance.
-
-    ``iters=2`` means: assign to the seed centroids, recompute centroids
-    as cluster means, assign again. Empty clusters simply drop out of
-    the centroid table (both engines skip them identically)."""
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """``kmeans_lloyd`` plus the FINAL centroid dict (cluster -> vector)
+    — callers like the IVF coarse quantizer need the centroids to rank
+    probe cells, and re-deriving them would cost another pass."""
     e = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -90,6 +86,24 @@ def kmeans_lloyd(
             by_cluster.setdefault(r.cluster, {})[r.pos] = r.cd
         cents = {c: [dims[p] for p in sorted(dims)] for c, dims in by_cluster.items()}
         assign = _assign(e, cents)
+    return assign, cents
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd assignment steps (assign -> update centroids
+    -> ... -> final assign) and return the final assignment
+    (vec_id, v, cluster, d) with d the 6dp squared distance.
+
+    ``iters=2`` means: assign to the seed centroids, recompute centroids
+    as cluster means, assign again. Empty clusters simply drop out of
+    the centroid table (both engines skip them identically)."""
+    assign, _ = kmeans_lloyd_full(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return assign
 
 

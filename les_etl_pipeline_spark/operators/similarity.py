@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.rounding import hround
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -263,6 +265,94 @@ def ivf_topk(
     )
 
 
+def _sub_structs(bounds):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.slice("ud", lo + 1, hi - lo).alias("svec")
+            )
+            for j, (lo, hi) in enumerate(bounds)
+        ]
+    )
+
+
+def _sub_d2():
+    """6dp-rounded squared distance between the subvector and a codebook
+    entry — sequential zip_with fold (deterministic summation order,
+    bit-equal to DuckDB's list_aggregate), rounded BEFORE any argmin or
+    ADC sum so a last-ulp divergence can't flip an assignment."""
+    return hround(
+        F.aggregate(
+            F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def lloyd_codebooks(
+    base: DataFrame,
+    bounds: list[tuple[int, int]],
+    n_codes: int,
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic per-subspace PQ codebooks by Lloyd iterations — the
+    engine-portable replacement for one pyspark.ml KMeans fit PER
+    subspace (m fits x ~20 distributed jobs each; this trains ALL m
+    codebooks in ``iters`` passes over one exploded (id, j, svec) table).
+
+    Contract mirrors operators/clustering.kmeans_lloyd so a DuckDB
+    oracle can replay training bit-exactly: seeds are the subvectors of
+    the ``n_codes`` LOWEST-id vectors (code = id rank), distances are
+    6dp-rounded sequential folds, argmin ties break on the lower code,
+    centroid updates are 6dp-rounded per-dimension means, and empty
+    codes drop out of the codebook. Returns (j, code, cvec) rows —
+    m x n_codes scalars, broadcast-sized at any corpus scale.
+
+    ``base`` must carry (id_col, ud) with ud the unit vector."""
+    spark = base.sparkSession
+    # n_codes x dim scalar seed fetch — metadata-scale (broadcast-var
+    # design, same as clustering.kmeans_lloyd's seed collect)
+    seed_rows = base.orderBy(id_col).limit(n_codes).collect()
+    cb = [
+        (j, c, [float(x) for x in r.ud[lo:hi]])
+        for j, (lo, hi) in enumerate(bounds)
+        for c, r in enumerate(seed_rows)
+    ]
+    # the loop re-reads the exploded table once per pass: pin it (at
+    # cluster scale this is the persisted staging table the module doc
+    # prescribes for iterative inputs)
+    sub = base.select(F.col(id_col).alias("_id"), F.inline(_sub_structs(bounds)))
+    sub = sub.localCheckpoint()
+    for it in range(max(iters - 1, 0)):
+        codebook = spark.createDataFrame(cb, "j int, code int, cvec array<double>")
+        assign = (
+            sub.join(F.broadcast(codebook), "j")
+            .withColumn("d2", _sub_d2())
+            .groupBy("_id", "j")
+            .agg(
+                F.min_by("code", F.struct("d2", "code")).alias("code"),
+                F.min_by("svec", F.struct("d2", "code")).alias("svec"),
+            )
+        )
+        rows = (
+            assign.select("j", "code", F.posexplode("svec"))
+            .groupBy("j", "code", "pos")
+            .agg(hround(F.avg("col"), 6).alias("cd"))
+            .collect()  # m x n_codes x subdim scalars back to the driver
+        )
+        by_code: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_code.setdefault((r.j, r.code), {})[r.pos] = r.cd
+        cb = [
+            (j, c, [dims[p] for p in sorted(dims)])
+            for (j, c), dims in sorted(by_code.items())
+        ]
+    return spark.createDataFrame(cb, "j int, code int, cvec array<double>")
+
+
 def pq_topk(
     df: DataFrame,
     query_pred,
@@ -273,6 +363,7 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     rerank: int = 0,
+    codebooks: str = "lloyd",
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) — the memory-bound scale path that complements ivf_topk's
@@ -298,48 +389,47 @@ def pq_topk(
     actually serve (the 100 TB cost stays with the code-table scan, the
     rerank touches only C full vectors per query).
 
-    Approximate by construction -> rows-only correctness check; recall
-    against brute force is bounded in tests/test_similarity_pq.py.
-    Argmin code assignment tie-breaks on the lower code id (min_by over
-    a (d2, code) struct) so encoding is deterministic."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    ``codebooks="lloyd"`` (default) trains all m codebooks with the
+    deterministic, oracle-replayable Lloyd passes of
+    ``lloyd_codebooks`` (2 distributed passes total); ``"ml"`` keeps the
+    pyspark.ml KMeans path (m seeded fits — slower, not
+    engine-portable). Approximate by construction; recall against brute
+    force is bounded in tests/test_similarity_pq.py. Argmin code
+    assignment tie-breaks on the lower code id (min_by over a
+    (d2, code) struct) so encoding is deterministic; ADC accumulates
+    6dp-rounded lookups in DECIMAL(18,6) so the sum is independent of
+    aggregation order."""
     base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
         "ud", F.transform("vd", lambda x: x / F.col("nrm"))
     )
-    dim = len(base.select("ud").first()[0])
-    bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
-
-    # per-subspace codebooks: (j, code, cvec) — m*n_codes rows, broadcastable
     spark = df.sparkSession
-    cb_rows = []
-    for j, (lo, hi) in enumerate(bounds):
-        feats = base.select(
-            array_to_vector(F.slice("ud", lo + 1, hi - lo)).alias("features")
-        )
-        model = KMeans(
-            k=n_codes, seed=seed + j, featuresCol="features", predictionCol="code"
-        ).fit(feats)
-        cb_rows += [
-            (j, c, [float(x) for x in center])
-            for c, center in enumerate(model.clusterCenters())
-        ]
-    codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+    if codebooks == "lloyd":
+        probe = base.orderBy(id_col).limit(1).collect()
+        dim = len(probe[0].ud)
+        bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+        codebook = lloyd_codebooks(base, bounds, n_codes, id_col=id_col)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"), F.slice("ud", lo + 1, hi - lo).alias("svec")
+        dim = len(base.select("ud").first()[0])
+        bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+        cb_rows = []
+        for j, (lo, hi) in enumerate(bounds):
+            feats = base.select(
+                array_to_vector(F.slice("ud", lo + 1, hi - lo)).alias("features")
             )
-            for j, (lo, hi) in enumerate(bounds)
-        ]
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+            model = KMeans(
+                k=n_codes, seed=seed + j, featuresCol="features", predictionCol="code"
+            ).fit(feats)
+            cb_rows += [
+                (j, c, [float(x) for x in center])
+                for c, center in enumerate(model.clusterCenters())
+            ]
+        codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+
+    sub_structs = _sub_structs(bounds)
+    d2 = _sub_d2()
 
     # encode every vector: nearest code per subspace (deterministic argmin)
     exploded = base.select(F.col(id_col), F.inline(sub_structs))
@@ -360,12 +450,14 @@ def pq_topk(
         .select("query_id", "j", "code", "d2")
     )
 
-    # ADC: m table lookups per (query, candidate), summed
+    # ADC: m table lookups per (query, candidate), summed exactly
     scored = (
         codes.join(F.broadcast(qtab), ["j", "code"])
         .where(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", id_col)
-        .agg(F.sum("d2").alias("adist"))
+        .agg(
+            F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("adist")
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("adist"), F.col(id_col))
     shortlist = (
@@ -383,7 +475,7 @@ def pq_topk(
     exact = (
         shortlist.join(qv, "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cos", dot(F.col("_qud"), F.col("_cud")))
+        .withColumn("cos", hround(dot(F.col("_qud"), F.col("_cud")), 6))
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -405,6 +497,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    codebooks: str = "lloyd",
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition of this module's two scale
     paths. The IVF coarse quantizer (k-means cells) bounds WHICH vectors
@@ -416,55 +509,72 @@ def ivf_pq_topk(
     distance tables broadcast, and the full vectors are only read for
     the C*Q short-list rows.
 
-    Deterministic (seeded k-means, min_by/struct tie-breaks); recall vs
-    brute force bounded in tests/test_similarity_pq.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    ``codebooks="lloyd"`` (default) trains the coarse quantizer with
+    ``clustering.kmeans_lloyd_full`` and all m subspace codebooks with
+    ``lloyd_codebooks`` — deterministic, oracle-replayable, and a
+    handful of distributed passes instead of m+1 pyspark.ml fits;
+    ``"ml"`` keeps the seeded pyspark.ml path. Recall vs brute force
+    bounded in tests/test_similarity_pq.py."""
     base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
         "ud", F.transform("vd", lambda x: x / F.col("nrm"))
     )
-    dim = len(base.select("ud").first()[0])
     spark = df.sparkSession
 
-    # ---- IVF: coarse cells over the unit vectors
-    feats = base.withColumn("features", array_to_vector(F.col("ud")))
-    coarse = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
-    ).fit(feats)
-    assigned = coarse.transform(feats).select(id_col, "ud", "cell").localCheckpoint()
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
-        "cell int, cvec array<double>",
-    )
+    if codebooks == "lloyd":
+        from . import clustering
 
-    # ---- PQ: per-subspace codebooks + code assignment (reuses the
-    # pq_topk construction over the cell-assigned table)
-    bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
-    cb_rows = []
-    for j, (lo, hi) in enumerate(bounds):
-        sub_feats = assigned.select(
-            array_to_vector(F.slice("ud", lo + 1, hi - lo)).alias("features")
+        # ---- IVF: coarse cells over the unit vectors (deterministic)
+        assign, cents = clustering.kmeans_lloyd_full(
+            base.select(id_col, "ud"), k=n_cells, iters=2,
+            id_col=id_col, vec_col="ud",
         )
-        model = KMeans(
-            k=n_codes, seed=seed + 100 + j, featuresCol="features", predictionCol="code"
-        ).fit(sub_feats)
-        cb_rows += [
-            (j, c, [float(x) for x in center])
-            for c, center in enumerate(model.clusterCenters())
-        ]
-    codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
-    sub_structs = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.slice("ud", lo + 1, hi - lo).alias("svec"))
-            for j, (lo, hi) in enumerate(bounds)
-        ]
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+        assigned = assign.select(
+            F.col("vec_id").alias(id_col),
+            F.col("v").alias("ud"),
+            F.col("cluster").alias("cell"),
+        ).localCheckpoint()
+        centroids = spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())],
+            "cell int, cvec array<double>",
+        )
+        dim = len(next(iter(cents.values())))
+        bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+        codebook = lloyd_codebooks(base, bounds, n_codes, id_col=id_col)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dim = len(base.select("ud").first()[0])
+        # ---- IVF: coarse cells over the unit vectors
+        feats = base.withColumn("features", array_to_vector(F.col("ud")))
+        coarse = KMeans(
+            k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+        ).fit(feats)
+        assigned = coarse.transform(feats).select(id_col, "ud", "cell").localCheckpoint()
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+            "cell int, cvec array<double>",
+        )
+
+        # ---- PQ: per-subspace codebooks (one seeded ml fit per subspace)
+        bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+        cb_rows = []
+        for j, (lo, hi) in enumerate(bounds):
+            sub_feats = assigned.select(
+                array_to_vector(F.slice("ud", lo + 1, hi - lo)).alias("features")
+            )
+            model = KMeans(
+                k=n_codes, seed=seed + 100 + j, featuresCol="features",
+                predictionCol="code",
+            ).fit(sub_feats)
+            cb_rows += [
+                (j, c, [float(x) for x in center])
+                for c, center in enumerate(model.clusterCenters())
+            ]
+        codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+
+    sub_structs = _sub_structs(bounds)
+    d2 = _sub_d2()
     codes = (
         assigned.select(id_col, "cell", F.inline(sub_structs))
         .join(F.broadcast(codebook), "j")
@@ -477,10 +587,13 @@ def ivf_pq_topk(
     q = assigned.where(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("ud").alias("qud")
     )
-    cd2 = F.aggregate(
-        F.zip_with(F.col("qud"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cd2 = hround(
+        F.aggregate(
+            F.zip_with(F.col("qud"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
     probe_w = W.partitionBy("query_id").orderBy(F.col("cd2"), F.col("cell"))
     probes = (
@@ -504,7 +617,10 @@ def ivf_pq_topk(
         .join(F.broadcast(qtab), ["query_id", "j", "code"])
         .where(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", id_col)
-        .agg(F.sum("d2").alias("adist"), F.count(F.lit(1)).alias("_nj"))
+        .agg(
+            F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("adist"),
+            F.count(F.lit(1)).alias("_nj"),
+        )
         .where(F.col("_nj") == m)  # all m subspace lookups present
         .drop("_nj")
     )
@@ -526,7 +642,7 @@ def ivf_pq_topk(
             vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_ud").alias("_cud")),
             "neighbor_id",
         )
-        .withColumn("cos", dot(F.col("_qud"), F.col("_cud")))
+        .withColumn("cos", hround(dot(F.col("_qud"), F.col("_cud")), 6))
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
