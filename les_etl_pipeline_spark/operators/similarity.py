@@ -204,29 +204,56 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    codebooks: str = "lloyd",
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer assigns every vector to a
     cell; a query scores only vectors in its ``n_probe`` nearest cells.
     The 100 TB inverted-file pattern: candidate set shrinks by
     ~n_cells/n_probe, cells are the partition key, and the centroid table
-    (n_cells rows) broadcasts. Approximate by construction -> rows-only
-    correctness check; recall is tested against brute force in
+    (n_cells rows) broadcasts. ``codebooks="lloyd"`` (default) trains the
+    quantizer with the deterministic, oracle-replayable
+    ``clustering.kmeans_lloyd_full``; ``"ml"`` keeps the seeded
+    pyspark.ml fit. Recall is tested against brute force in
     tests/test_similarity_ivf.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = with_norm(df.select(id_col, vec_col), vec_col)
-    feats = base.withColumn("features", array_to_vector(F.col("vd")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(feats)
-    assigned = model.transform(feats)
-
-    # centroid table: (cell, centroid vector) — tiny, broadcastable
     spark = df.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cvec array<double>",
-    )
+    if codebooks == "lloyd":
+        from . import clustering
+
+        assign, cents = clustering.kmeans_lloyd_full(
+            base.select(id_col, "vd"), k=n_cells, iters=2,
+            id_col=id_col, vec_col="vd",
+        )
+        assigned = assign.select(
+            F.col("vec_id").alias(id_col),
+            F.col("v").alias("vd"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("nrm"),
+            F.col("cluster").alias("cell"),
+        )
+        centroids = spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())],
+            "cell int, cvec array<double>",
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = base.withColumn("features", array_to_vector(F.col("vd")))
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+        model = km.fit(feats)
+        assigned = model.transform(feats)
+
+        # centroid table: (cell, centroid vector) — tiny, broadcastable
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, cvec array<double>",
+        )
 
     # each query probes its n_probe nearest centroids (by euclidean)
     q = assigned.where(query_pred).select(

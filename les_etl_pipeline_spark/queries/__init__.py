@@ -114,6 +114,12 @@ _FORCE_REGRADE: dict[str, int] = {
     # (VERDICT r6 #7); previous grades were rows-only
     "text_bpe_train_merges": 7,
     "text_bpe_encode": 7,
+    # oracle-paired r7: deterministic Lloyd codebooks made the whole
+    # PQ / IVF-PQ index replayable in DuckDB (queries/_pq_oracle.py);
+    # previous grades were rows-only
+    "similarity_pq_topk": 7,
+    "similarity_ivf_pq_topk": 7,
+    "similarity_ivf_topk": 7,
 }
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions.rounding import hround
 from ..operators import dedup, multimodal, similarity, text
+from . import _pq_oracle
 from .registry import register
 
 
@@ -534,8 +535,17 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
-@register("similarity_ivf_topk")  # approximate (kmeans cells) -> rows-only
+@register(
+    "similarity_ivf_topk",
+    oracle=_pq_oracle.ivf_topk_oracle(
+        dim=64, n_cells=8, n_probe=2, k=5, query_sql="vec_id < 10"
+    ),
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the coarse Lloyd quantizer — oracle-paired since r7
+    (deterministic cells replay in DuckDB; queries/_pq_oracle.py). The
+    probe restriction + recall floor stay pinned in
+    tests/test_similarity_ivf.py."""
     out = similarity.ivf_topk(
         table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5, seed=42
     )

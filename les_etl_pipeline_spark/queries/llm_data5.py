@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.rounding import hround
-from . import _bpe_oracle
+from . import _bpe_oracle, _pq_oracle
 from .registry import register
 
 
@@ -117,7 +117,12 @@ def multimodal_arrow_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.orderBy("doc_id", "chunk_idx")
 
 
-@register("similarity_pq_topk")  # approximate by construction — rows-only
+@register(
+    "similarity_pq_topk",
+    oracle=_pq_oracle.pq_topk_oracle(
+        dim=64, m=8, n_codes=16, k=5, rerank=50, query_sql="vec_id < 8"
+    ),
+)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.pq_topk): vectors
     compress to m=8 sub-space code ids against k-means codebooks;
@@ -125,8 +130,11 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-vector dot product; the ADC short-list is then re-scored with
     exact cosine (rerank=50 vectors per query, ~10% of this corpus).
     The memory-bandwidth scale path that composes with IVF into IVF-PQ.
-    Approximate -> rows-only check; recall vs brute force is bounded in
-    tests/test_similarity_pq.py."""
+    Oracle-paired since r7: the deterministic Lloyd codebooks
+    (similarity.lloyd_codebooks) replay bit-exactly in DuckDB — seed
+    codebooks, one 6dp-mean update, encode, ADC with DECIMAL-exact
+    sums, exact cosine re-rank (queries/_pq_oracle.py). Recall vs brute
+    force additionally bounded in tests/test_similarity_pq.py."""
     from ..operators.similarity import pq_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -159,15 +167,22 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
-@register("similarity_ivf_pq_topk")  # approximate by construction — rows-only
+@register(
+    "similarity_ivf_pq_topk",
+    oracle=_pq_oracle.ivf_pq_topk_oracle(
+        dim=64, n_cells=8, n_probe=4, m=8, n_codes=16, k=5, rerank=50,
+        query_sql="vec_id < 8",
+    ),
+)
 def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (operators/similarity.ivf_pq_topk): k-means
     cells bound WHICH vectors a query touches (n_probe/n_cells of the
     corpus), product quantization bounds the BYTES per touched vector
     (m codes + ADC table lookups), and the exact re-rank of the
     short-list restores rank quality — the production vector-index
-    layout. Approximate -> rows-only; recall bounds in
-    tests/test_similarity_pq.py."""
+    layout. Oracle-paired since r7 (deterministic Lloyd at BOTH levels:
+    coarse cells + subspace codebooks; queries/_pq_oracle.py). Recall
+    bounds in tests/test_similarity_pq.py."""
     from ..operators.similarity import ivf_pq_topk
 
     emb = table(spark, sf_dir, "embeddings")
