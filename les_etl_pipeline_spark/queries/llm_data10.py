@@ -622,3 +622,94 @@ def etl_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining over labeled embeddings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             list_aggregate(list_apply(list_zip(q.v, c.v), x -> x[1] * x[2]),
+                            'sum') / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 20 AND c.label <> q.label
+    )
+    SELECT query_id, query_label, negative_id, negative_label,
+           (floor(cos * 1000000.0 + 0.5) / 1000000.0) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, negative_id) AS rn
+          FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the data-prep step of every contrastive
+    embedding / reranker training recipe (e.g. DPR, SimCSE supervised):
+    for each query vector, the top-k most-similar vectors with a
+    DIFFERENT label ("hard" because they look alike but must be pushed
+    apart). Plan: same broadcast-query-side shape as
+    similarity.cosine_topk with the label-mismatch predicate fused into
+    the join, so candidate partitions are filtered before any shuffle;
+    the window top-k shuffles only (query, cos) pairs. At scale, swap
+    the candidate side for the IVF/PQ tiers exactly as for neighbor
+    search — the label predicate composes with any of them."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = e.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    q = n.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        c.join(F.broadcast(q), F.col("negative_label") != F.col("query_label"))
+        .withColumn("cos", dot / (F.col("qn") * F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            hround(F.col("cos"), 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "agg_trimmed_mean_exact": "1-row trim-window aggregate broadcast",
     "decontaminate_bloom_prefilter": "1-row 16 KiB Bloom-bitmap broadcast",
     "corpus_dsir_importance": "1-row token-totals aggregate broadcast",
+    "similarity_hard_negatives": "bounded broadcast of the small query set",
 }
 
 #: queries allowed ordered-UNPARTITIONED windows: per query, a list of

@@ -110,3 +110,19 @@ def test_leakage_safe_split_never_straddles_near_dups(spark, sf_dir):
     for p in pairs:
         assert by_doc[p.id_a] == by_doc[p.id_b], (p.id_a, p.id_b)
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_hard_negatives_labels_differ_and_ranked(spark, sf_dir):
+    """Every mined negative carries a label different from its query's,
+    ranks run 1..5 per query, and rank order follows cosine."""
+    rows = QUERIES["similarity_hard_negatives"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.negative_label != r.query_label
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    assert len(by_q) == 20
+    for pairs in by_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3, 4, 5]
+        cos = [p[1] for p in pairs]
+        assert cos == sorted(cos, reverse=True)
