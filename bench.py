@@ -69,8 +69,9 @@ EXTENDED = [
 # corpus has a CLOSED 31-token vocabulary at every sf, so the exact
 # all-pairs token join is ~sum(df^2) ≈ 450M rows at sf0.1 by construction
 # (measured 124 s) — a property of the fixture, not the plan. The
-# REGISTERED text_tfidf_cosine_pairs default applies the max_df-0.5
-# vocabulary cap (VERDICT r6 #1) and is cheap; cost pinned in SCALING.md.
+# REGISTERED text_tfidf_cosine_pairs default applies the absolute
+# max_df=1000 vocabulary cap (VERDICT r6 #1; the fractional 0.5 cap was
+# measured super-linear in OPENVOCAB.md and rejected) and is cheap; cost pinned in SCALING.md.
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:

@@ -255,14 +255,20 @@ def ivf_topk(
             "cell int, cvec array<double>",
         )
 
-    # each query probes its n_probe nearest centroids (by euclidean)
+    # each query probes its n_probe nearest centroids (by euclidean).
+    # The probe distance is 6dp-rounded BEFORE ranking — the repo-wide
+    # argmin contract (same as ivf_pq_topk's cd2), so a last-ulp
+    # divergence from the DuckDB oracle can't flip the probed cell set.
     q = assigned.where(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("vd").alias("qvd"), F.col("nrm").alias("qnrm")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qvd"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    d2 = hround(
+        F.aggregate(
+            F.zip_with(F.col("qvd"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
     probe_w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
     probes = (
@@ -324,6 +330,7 @@ def lloyd_codebooks(
     n_codes: int,
     id_col: str = "vec_id",
     iters: int = 2,
+    seed_rows=None,
 ) -> DataFrame:
     """Deterministic per-subspace PQ codebooks by Lloyd iterations — the
     engine-portable replacement for one pyspark.ml KMeans fit PER
@@ -341,8 +348,11 @@ def lloyd_codebooks(
     ``base`` must carry (id_col, ud) with ud the unit vector."""
     spark = base.sparkSession
     # n_codes x dim scalar seed fetch — metadata-scale (broadcast-var
-    # design, same as clustering.kmeans_lloyd's seed collect)
-    seed_rows = base.orderBy(id_col).limit(n_codes).collect()
+    # design, same as clustering.kmeans_lloyd's seed collect). Callers
+    # that already collected the ordered prefix (pq_topk's dim probe)
+    # pass it in to skip the duplicate driver round-trip.
+    if seed_rows is None:
+        seed_rows = base.orderBy(id_col).limit(n_codes).collect()
     cb = [
         (j, c, [float(x) for x in r.ud[lo:hi]])
         for j, (lo, hi) in enumerate(bounds)
@@ -431,10 +441,14 @@ def pq_topk(
     )
     spark = df.sparkSession
     if codebooks == "lloyd":
-        probe = base.orderBy(id_col).limit(1).collect()
-        dim = len(probe[0].ud)
+        # one driver round-trip serves both the dim probe and the Lloyd
+        # seed rows (ADVICE r7 #4 — was two jobs over the same prefix)
+        seed_rows = base.orderBy(id_col).limit(n_codes).collect()
+        dim = len(seed_rows[0].ud)
         bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
-        codebook = lloyd_codebooks(base, bounds, n_codes, id_col=id_col)
+        codebook = lloyd_codebooks(
+            base, bounds, n_codes, id_col=id_col, seed_rows=seed_rows
+        )
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector

@@ -38,6 +38,15 @@ _DOT = "list_aggregate(list_apply(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
 
 
 def _base_cte(dim: int, m: int, n_codes: int) -> str:
+    # The Spark side uses ragged (j*dim//m, (j+1)*dim//m) subvector
+    # bounds; this SQL slices a uniform dim//m. They coincide only when
+    # m divides dim — fail loudly on any other registration instead of
+    # silently dropping trailing dimensions (ADVICE r7 #3).
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ oracle requires dim % m == 0 (got dim={dim}, m={m}); "
+            "the uniform subvector slice would drop trailing dimensions"
+        )
     subd = dim // m
     return f"""
     WITH e AS (
