@@ -90,11 +90,33 @@ def median(xs: list[float]) -> float:
 SWEEP_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _previous_sweep() -> tuple[str, dict[str, float]] | None:
-    """Newest BENCH_r*.json that carries a sweep — the drift baseline."""
+def _implied_round() -> int:
+    """The round this bench run belongs to: driver artifacts exist up to
+    round N-1 while round N is running."""
     import glob
     import re
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _previous_sweep() -> tuple[str, dict[str, float]] | None:
+    """Newest recorded sweep from a PREVIOUS round — the drift baseline.
+
+    Candidates: BENCH_r*.json driver artifacts that carry a sweep, and
+    the committed BENCH_SWEEP.json (which stamps the round it ran in —
+    the fallback for rounds whose driver artifact is the compact
+    headline line). Sweeps from the CURRENT round are excluded so a
+    same-round rerun doesn't silently re-baseline against itself."""
+    import glob
+    import re
+
+    current = _implied_round()
     best: tuple[int, str, dict[str, float]] | None = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -109,8 +131,23 @@ def _previous_sweep() -> tuple[str, dict[str, float]] | None:
         sweep = data.get("sweep")
         if isinstance(sweep, dict) and sweep:
             rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
+            if rnd < current and (best is None or rnd > best[0]):
                 best = (rnd, os.path.basename(path), sweep)
+    sweep_path = os.path.join(here, "BENCH_SWEEP.json")
+    try:
+        with open(sweep_path) as f:
+            data = json.load(f)
+        rnd = int(data.get("round", -1))
+        sweep = data.get("sweep")
+        if (
+            isinstance(sweep, dict)
+            and sweep
+            and rnd < current
+            and (best is None or rnd > best[0])
+        ):
+            best = (rnd, "BENCH_SWEEP.json", sweep)
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
     return (best[1], best[2]) if best else None
 
 
@@ -191,7 +228,29 @@ def main() -> None:
         out["sweep"] = sweep
         out["sweep_sf"] = 0.01
         out["sweep_movers"] = movers
-    print(json.dumps(out))
+        # the full object (headline + 260-entry sweep) is one very long
+        # line; a tail-limited capture can truncate it and lose the
+        # headline (BENCH_r07 did). Persist the sweep to its own
+        # committed file and print the COMPACT headline object as the
+        # LAST stdout line, so whatever slice of output the driver
+        # records is self-contained (VERDICT r7 #2).
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_SWEEP.json"), "w") as f:
+            json.dump(
+                {
+                    "round": _implied_round(),
+                    "sweep_sf": 0.01,
+                    "sweep": sweep,
+                    "sweep_movers": movers,
+                },
+                f,
+            )
+        print(json.dumps(out))
+        compact = {k: v for k, v in out.items() if k != "sweep"}
+        compact["sweep_file"] = "BENCH_SWEEP.json"
+        print(json.dumps(compact))
+    else:
+        print(json.dumps(out))
     spark.stop()
 
 

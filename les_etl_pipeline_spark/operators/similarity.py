@@ -205,6 +205,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     codebooks: str = "lloyd",
+    neq_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer assigns every vector to a
     cell; a query scores only vectors in its ``n_probe`` nearest cells.
@@ -214,8 +215,16 @@ def ivf_topk(
     quantizer with the deterministic, oracle-replayable
     ``clustering.kmeans_lloyd_full``; ``"ml"`` keeps the seeded
     pyspark.ml fit. Recall is tested against brute force in
-    tests/test_similarity_ivf.py."""
-    base = with_norm(df.select(id_col, vec_col), vec_col)
+    tests/test_similarity_ivf.py.
+
+    ``neq_col`` names an attribute column of ``df`` (e.g. a training
+    label): candidates sharing the query's value are excluded BEFORE the
+    top-k — hard-negative mining composed with the IVF tier. The filter
+    rides the existing cell equi-join (one extra predicate, zero new
+    shuffles; the lloyd branch adds one id-keyed attribute join) and the
+    output gains ``query_neq`` / ``neighbor_neq`` columns."""
+    keep = [neq_col] if neq_col else []
+    base = with_norm(df.select(id_col, vec_col, *keep), vec_col)
     spark = df.sparkSession
     if codebooks == "lloyd":
         from . import clustering
@@ -236,6 +245,10 @@ def ivf_topk(
             ).alias("nrm"),
             F.col("cluster").alias("cell"),
         )
+        if neq_col:
+            # the Lloyd path trains on (id, vd) only; rejoin the
+            # attribute by id (equi-join, co-partitionable at scale)
+            assigned = assigned.join(df.select(id_col, neq_col), id_col)
         centroids = spark.createDataFrame(
             [(c, v) for c, v in sorted(cents.items())],
             "cell int, cvec array<double>",
@@ -260,7 +273,10 @@ def ivf_topk(
     # argmin contract (same as ivf_pq_topk's cd2), so a last-ulp
     # divergence from the DuckDB oracle can't flip the probed cell set.
     q = assigned.where(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col("vd").alias("qvd"), F.col("nrm").alias("qnrm")
+        F.col(id_col).alias("query_id"),
+        F.col("vd").alias("qvd"),
+        F.col("nrm").alias("qnrm"),
+        *([F.col(neq_col).alias("query_neq")] if neq_col else []),
     )
     d2 = hround(
         F.aggregate(
@@ -276,7 +292,10 @@ def ivf_topk(
         .withColumn("d2", d2)
         .withColumn("pr", F.row_number().over(probe_w))
         .where(F.col("pr") <= n_probe)
-        .select("query_id", "qvd", "qnrm", "cell")
+        .select(
+            "query_id", "qvd", "qnrm", "cell",
+            *(["query_neq"] if neq_col else []),
+        )
     )
 
     cands = assigned.select(
@@ -284,17 +303,23 @@ def ivf_topk(
         F.col("vd").alias("cvd"),
         F.col("nrm").alias("cnrm"),
         "cell",
+        *([F.col(neq_col).alias("neighbor_neq")] if neq_col else []),
     )
     scored = (
         cands.join(F.broadcast(probes), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", dot(F.col("qvd"), F.col("cvd")) / (F.col("qnrm") * F.col("cnrm")))
     )
+    if neq_col:
+        scored = scored.where(F.col("neighbor_neq") != F.col("query_neq"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+        .select(
+            "query_id", "neighbor_id", "cos", "rank",
+            *(["query_neq", "neighbor_neq"] if neq_col else []),
+        )
     )
 
 

@@ -120,6 +120,10 @@ _FORCE_REGRADE: dict[str, int] = {
     "similarity_pq_topk": 7,
     "similarity_ivf_pq_topk": 7,
     "similarity_ivf_topk": 7,
+    # semantics changed r8: registered default now sub-splits clusters
+    # at SEMDEDUP_MAX_CLUSTER via the md5 hash-bucket idiom, replayed
+    # in the oracle (VERDICT r7 #1 — the last scale-weak plan)
+    "dedup_semantic_prune": 8,
 }
 
 

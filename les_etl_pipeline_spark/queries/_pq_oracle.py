@@ -200,19 +200,43 @@ def ivf_pq_topk_oracle(
 
 
 def ivf_topk_oracle(
-    dim: int, n_cells: int, n_probe: int, k: int, query_sql: str
+    dim: int,
+    n_cells: int,
+    n_probe: int,
+    k: int,
+    query_sql: str,
+    neq_col: str | None = None,
+    neq_names: tuple[str, str] = ("query_neq", "neighbor_neq"),
+    neighbor_name: str = "neighbor_id",
 ) -> str:
     """Oracle for similarity.ivf_topk(codebooks='lloyd'): coarse Lloyd
     cells over the RAW double vectors (2 iterations), per-query
-    n_probe-cell probing, exact cosine within probed cells, top-k."""
+    n_probe-cell probing, exact cosine within probed cells, top-k.
+
+    ``neq_col`` mirrors the Spark operator's hard-negative composition:
+    candidates sharing the query's value in that column are excluded
+    before the top-k, and the output carries the two ``neq_names``
+    attribute columns; ``neighbor_name`` renames the id column so the
+    hard-negative registration can match its brute-force twin's
+    schema."""
     d2_vc = _D2.format(a="n.v", b="s.cvec")
     d2_vcc = _D2.format(a="n.v", b="c.cvec")
+    neq_sel = f", {neq_col} AS neq" if neq_col else ""
+    neq_carry = ", neq" if neq_col else ""
+    neq_scored = (
+        f", q.neq AS {neq_names[0]}, cand.neq AS {neq_names[1]}"
+        if neq_col
+        else ""
+    )
+    neq_where = " AND cand.neq <> q.neq" if neq_col else ""
+    neq_out = f", {neq_names[0]}, {neq_names[1]}" if neq_col else ""
     return f"""
     WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      SELECT vec_id{neq_sel},
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), n AS (
-      SELECT vec_id, v,
+      SELECT vec_id{neq_carry}, v,
              sqrt(list_aggregate(list_apply(v, y -> y * y), 'sum')) AS nrm
       FROM e
     ), cseeds AS (
@@ -243,18 +267,18 @@ def ivf_topk_oracle(
       QUALIFY row_number() OVER (PARTITION BY n.vec_id
         ORDER BY {_r6(d2_vcc)}, c.cell) <= {n_probe}
     ), scored AS (
-      SELECT p.query_id, cand.vec_id AS neighbor_id,
+      SELECT p.query_id, cand.vec_id AS neighbor_id{neq_scored},
              {_DOT.format(a="q.v", b="cand.v")} / (q.nrm * cand.nrm) AS cos
       FROM probes p
       JOIN cells cl ON cl.cell = p.cell
       JOIN n cand ON cand.vec_id = cl.vec_id
       JOIN n q ON q.vec_id = p.query_id
-      WHERE cand.vec_id <> p.query_id
+      WHERE cand.vec_id <> p.query_id{neq_where}
     )
-    SELECT query_id, neighbor_id,
+    SELECT query_id, neighbor_id AS {neighbor_name},
            {_r6("cos")} AS cosine,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+                                   ORDER BY cos DESC, neighbor_id) AS INT) AS rank{neq_out}
     FROM scored
     QUALIFY rank <= {k}
     ORDER BY query_id, rank

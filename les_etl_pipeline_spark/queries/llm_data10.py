@@ -49,6 +49,14 @@ from .registry import register
 #: intra-cluster cosine at-or-above which the higher-id member is flagged
 SEMDEDUP_TAU = 0.35
 SEMDEDUP_K = 8
+#: sub-split bound: a cluster of size s is hash-partitioned into
+#: ceil(s / SEMDEDUP_MAX_CLUSTER) sub-buckets and pairs are compared
+#: only within a sub-bucket, so the pair join expands as
+#: O(corpus * max_cluster) instead of O(corpus^2 / k) — the same
+#: safety-valve role max_shingle_freq / max_bucket play for the n-gram
+#: and SimHash tiers (VERDICT r7 #1). 50 engages at the sf0.01 fixture
+#: (clusters run 48-70), so the driver's hash gate exercises the split.
+SEMDEDUP_MAX_CLUSTER = 50
 
 _SEMDEDUP_ASSIGN_CTE = f"""
     WITH e AS (
@@ -67,10 +75,16 @@ _SEMDEDUP_ASSIGN_CTE = f"""
     ), a1 AS (
       SELECT vec_id, v, cluster FROM d1
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+    ), csize AS (
+      SELECT cluster,
+             CAST(ceil(count(*) / {SEMDEDUP_MAX_CLUSTER}.0) AS BIGINT) AS n_sub
+      FROM a1 GROUP BY cluster
     ), n AS (
-      SELECT vec_id, cluster, v,
-             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
-      FROM a1
+      SELECT a1.vec_id, a1.cluster, a1.v,
+             ('0x' || substr(md5(CAST(a1.vec_id AS VARCHAR)), 1, 7))::BIGINT
+               % s.n_sub AS sub,
+             sqrt(list_aggregate(list_apply(a1.v, x -> x * x), 'sum')) AS nrm
+      FROM a1 JOIN csize s USING (cluster)
     )
 """
 
@@ -84,7 +98,8 @@ _SEMDEDUP_ASSIGN_CTE = f"""
              (floor((list_aggregate(list_apply(list_zip(a.v, b.v),
                 x -> x[1] * x[2]), 'sum') / (a.nrm * b.nrm))
                 * 1000000.0 + 0.5) / 1000000.0) AS cos
-      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.sub = b.sub
+                       AND a.vec_id < b.vec_id
     )
     SELECT vec_id, cluster,
            CAST(min(keep_candidate) AS BIGINT) AS keep_id,
@@ -102,14 +117,64 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: assignment embeds the k x d seeds as literal arrays (no join —
     see operators/clustering.py for the 100 TB posture); the pair join
-    is an equi-join ON CLUSTER ID, so pair expansion is bounded by the
-    largest cluster, never the corpus (the published method's entire
-    scaling argument). Cosines are sequential zip_with folds rounded to
-    6dp BEFORE the threshold so a last-ulp divergence cannot flip a
-    flag; the oracle replays the identical assignment and pair scan."""
-    assign = clustering.kmeans_lloyd(
-        table(spark, sf_dir, "embeddings"), k=SEMDEDUP_K, iters=1
-    ).select("vec_id", "cluster", "v")
+    is an equi-join ON (cluster, sub-bucket). The sub-bucket is the
+    enforced cluster-size bound (VERDICT r7 #1): a cluster of size s is
+    hash-split into ceil(s / SEMDEDUP_MAX_CLUSTER) buckets by the
+    portable md5 idiom (operators/sampling.hash_bucket), so pair
+    expansion is O(corpus * max_cluster) even under clustering skew —
+    one giant cluster no longer pays all-pairs on itself. The split is
+    a per-row scalar plus one k-row broadcast join (no window, no
+    per-cluster sort — a row_number split would sort each cluster in a
+    single task); the size bound is in expectation (binomial
+    concentration around max_cluster), the same contract as every md5
+    bucket in this repo. Misses only cross-bucket pairs inside
+    oversized clusters — the exact trade max_bucket makes for SimHash
+    (operators/dedup.py:379). Cosines are sequential zip_with folds
+    rounded to 6dp BEFORE the threshold so a last-ulp divergence cannot
+    flip a flag; the oracle replays assignment, sizes, md5 sub-split,
+    and pair scan identically."""
+    return semantic_prune(spark, sf_dir, max_cluster=SEMDEDUP_MAX_CLUSTER)
+
+
+def semantic_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    max_cluster: int | None = SEMDEDUP_MAX_CLUSTER,
+) -> DataFrame:
+    """Body of ``dedup_semantic_prune`` over the fixture embeddings with
+    the sub-split bound parameterized; ``max_cluster=None`` is the
+    unbounded pre-r8 form (kept callable for the parity/recall pytest,
+    never registered)."""
+    return semantic_prune_df(
+        table(spark, sf_dir, "embeddings"), max_cluster=max_cluster
+    )
+
+
+def semantic_prune_df(
+    emb: DataFrame,
+    max_cluster: int | None = SEMDEDUP_MAX_CLUSTER,
+    k: int = SEMDEDUP_K,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup core over any (vec_id, embedding) DataFrame — the entry
+    the openvocab/scale probes feed with synthetic embeddings so the
+    sub-split bound can be measured with clusters forced large."""
+    assign = clustering.kmeans_lloyd(emb, k=k, iters=1).select(
+        "vec_id", "cluster", "v"
+    )
+    if max_cluster is not None:
+        sizes = assign.groupBy("cluster").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(float(max_cluster))).alias("n_sub")
+        )
+        assign = assign.join(F.broadcast(sizes), "cluster").withColumn(
+            "sub",
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10
+            ).cast("long")
+            % F.col("n_sub"),
+        )
+    else:
+        assign = assign.withColumn("sub", F.lit(0))
     nrm = assign.withColumn(
         "nrm",
         F.sqrt(
@@ -120,12 +185,14 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = nrm.select(
         F.col("cluster"),
+        F.col("sub"),
         F.col("vec_id").alias("keep_candidate"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = nrm.select(
         F.col("cluster"),
+        F.col("sub"),
         F.col("vec_id").alias("vec_id"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
@@ -136,7 +203,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "sub"])
         .where(F.col("keep_candidate") < F.col("vec_id"))
         .select(
             "vec_id",
@@ -144,7 +211,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_candidate",
             hround(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
-        .where(F.col("cos") >= F.lit(SEMDEDUP_TAU))
+        .where(F.col("cos") >= F.lit(tau))
     )
     return (
         pairs.groupBy("vec_id", "cluster")
@@ -713,3 +780,47 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+from ..operators import similarity  # noqa: E402  (ANN tier for the IVF variant)
+from . import _pq_oracle  # noqa: E402
+
+
+@register(
+    "similarity_hard_negatives_ivf",
+    oracle=_pq_oracle.ivf_topk_oracle(
+        dim=64,
+        n_cells=8,
+        n_probe=2,
+        k=5,
+        query_sql="vec_id < 20",
+        neq_col="label",
+        neq_names=("query_label", "negative_label"),
+        neighbor_name="negative_id",
+    ),
+)
+def similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining composed with the IVF ANN tier (VERDICT r7
+    #4): the label-mismatch predicate of ``similarity_hard_negatives``
+    rides ``similarity.ivf_topk``'s cell equi-join (``neq_col``), so at
+    scale a query scores only the vectors in its n_probe nearest cells
+    THAT CARRY A DIFFERENT LABEL — the candidate reduction of the
+    inverted file and the hard-negative filter in one pass, zero new
+    shuffles. Same schema as the brute-force twin; recall vs the exact
+    form is bounded in tests/test_round8_ops.py. Oracle-paired: the
+    deterministic Lloyd cells + label predicate replay in DuckDB
+    (queries/_pq_oracle.ivf_topk_oracle(neq_col=...))."""
+    out = similarity.ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 20,
+        k=5,
+        neq_col="label",
+    )
+    return out.select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        hround(F.col("cos"), 6).alias("cosine"),
+        "rank",
+        F.col("query_neq").alias("query_label"),
+        F.col("neighbor_neq").alias("negative_label"),
+    ).orderBy("query_id", "rank")

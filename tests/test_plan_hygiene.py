@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "decontaminate_bloom_prefilter": "1-row 16 KiB Bloom-bitmap broadcast",
     "corpus_dsir_importance": "1-row token-totals aggregate broadcast",
     "similarity_hard_negatives": "bounded broadcast of the small query set",
+    "similarity_hard_negatives_ivf": "bounded query x n_cells centroid fan-out (broadcast)",
 }
 
 #: queries allowed ordered-UNPARTITIONED windows: per query, a list of

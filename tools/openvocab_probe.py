@@ -119,6 +119,49 @@ def main() -> int:
         slope = math.log(times[-1] / times[0]) / math.log(szs[-1] / szs[0])
         rows.append((name, szs, times, slope))
 
+    # --- SemDeDup sub-split bound, clusters FORCED large (VERDICT r7 #1):
+    # k=1 puts the whole corpus in one cluster, the worst case the cap
+    # exists for. Uncapped the pair join is all-pairs (slope ~2); the
+    # registered SEMDEDUP_MAX_CLUSTER sub-split must probe at-or-below
+    # linear. Synthetic (vec_id, embedding) input, materialized before
+    # timing like the docs corpora.
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.queries.llm_data10 import semantic_prune_df
+
+    def _make_emb(n: int):
+        e = (
+            spark.range(0, n, 1, 32)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    *[(F.rand(seed=7 * j + 1) * 2 - 1) for j in range(64)]
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+        e.count()
+        return e
+
+    emb_cache: dict[int, object] = {}
+    EMB_OPS = [
+        ("dedup_semantic_prune (k=1, uncapped)", sizes_exact,
+         lambda d: semantic_prune_df(d, max_cluster=None, k=1)),
+        ("dedup_semantic_prune (k=1, max_cluster 50)", sizes,
+         lambda d: semantic_prune_df(d, k=1)),
+    ]
+    for name, szs, fn in EMB_OPS:
+        times = []
+        for n in szs:
+            if n not in emb_cache:
+                emb_cache[n] = _make_emb(n)
+            d = emb_cache[n]
+            t = min(_time(lambda: fn(d)) for _ in range(2))
+            times.append(t)
+            print(f"{name}  n={n}  {t:.2f}s", flush=True)
+        slope = math.log(times[-1] / times[0]) / math.log(szs[-1] / szs[0])
+        rows.append((name, szs, times, slope))
+
     lines = [
         "# OPENVOCAB — text/dedup operator slopes on an open-vocabulary corpus",
         "",
@@ -148,6 +191,11 @@ def main() -> int:
         "default (VERDICT r6 #1). The two MinHash rows measure the md5",
         "oracle-parity family against the xxhash64 100 TB default on identical",
         "input — the quantified family comparison VERDICT r6 #4 asked for.",
+        "The two SemDeDup rows run on synthetic 64-dim embeddings with k=1",
+        "(the whole corpus one cluster — the skew worst case): uncapped the",
+        "intra-cluster join is all-pairs and must probe super-linear; the",
+        "registered max_cluster sub-split must probe at-or-below linear",
+        "(VERDICT r7 #1).",
         "",
     ]
     with open(os.path.join(REPO, "OPENVOCAB.md"), "w") as f:
