@@ -137,3 +137,23 @@ def test_coverage_doc_counts_match_registry():
     assert total == len(QUERIES), (total, len(QUERIES))
     assert paired == len(ORACLES), (paired, len(ORACLES))
     assert rows_only == len(QUERIES) - len(ORACLES)
+
+
+def test_leakage_split_lsh_tier_parity(spark, sf_dir):
+    """VERDICT r7 #7: the LSH-tier pair graph must reproduce the exact
+    tier's split assignments on the fixture — banded MinHash candidate
+    generation recalled every pair that matters for the component
+    structure (and any false positive could only merge clusters, which
+    the equality check also rules out here)."""
+    from les_etl_pipeline_spark.queries.llm_data10 import leakage_safe_split_df
+
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_id, r.split) for r in leakage_safe_split_df(docs).collect()
+    }
+    lsh = {
+        (r.doc_id, r.split)
+        for r in leakage_safe_split_df(docs, fuzzy_method="lsh").collect()
+    }
+    assert exact, "fixture must produce split assignments"
+    assert lsh == exact
