@@ -157,3 +157,39 @@ def test_leakage_split_lsh_tier_parity(spark, sf_dir):
     }
     assert exact, "fixture must produce split assignments"
     assert lsh == exact
+
+
+def test_bench_previous_sweep_excludes_current_round(tmp_path, monkeypatch):
+    """VERDICT r7 #2/#6 plumbing: the drift baseline must come from a
+    PREVIOUS round — a BENCH_SWEEP.json written by a rerun in the
+    current round must not silently re-baseline the movers, while the
+    newest prior-round sweep (driver artifact or committed
+    BENCH_SWEEP.json) must win."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    # driver artifacts: r1 carries a sweep, r2 is the compact headline
+    (tmp_path / "BENCH_r1.json").write_text(
+        json.dumps({"sweep": {"q1": 1.0}})
+    )
+    (tmp_path / "BENCH_r2.json").write_text(json.dumps({"value": 9.9}))
+    assert bench._implied_round() == 3
+    # no BENCH_SWEEP.json yet: the r1 driver sweep is the baseline
+    name, sweep = bench._previous_sweep()
+    assert name == "BENCH_r1.json" and sweep == {"q1": 1.0}
+    # a committed round-2 sweep file outranks the older driver artifact
+    (tmp_path / "BENCH_SWEEP.json").write_text(
+        json.dumps({"round": 2, "sweep": {"q1": 2.0}})
+    )
+    name, sweep = bench._previous_sweep()
+    assert name == "BENCH_SWEEP.json" and sweep == {"q1": 2.0}
+    # ...but a sweep file stamped with the CURRENT round is excluded
+    (tmp_path / "BENCH_SWEEP.json").write_text(
+        json.dumps({"round": 3, "sweep": {"q1": 3.0}})
+    )
+    name, sweep = bench._previous_sweep()
+    assert name == "BENCH_r1.json" and sweep == {"q1": 1.0}
