@@ -852,3 +852,149 @@ def aligned_fingerprint_spans(
         .where(F.col("rn") == 1)
         .select("id_a", "id_b", "diag", "n_aligned", "start_a", "span_words")
     )
+
+
+def incremental_dedup_flags(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Dedup a NEW batch (``delta``) against an EXISTING corpus plus
+    within itself — the daily-increment shape of a growing 100 TB
+    corpus, where rescanning corpus x corpus every ingest would be the
+    scale killer. Only two pair families are ever generated:
+    (corpus, delta) via an equi-join of the two posting tables on the
+    shingle hash, and (delta, delta) via the standard posting-list
+    expansion on the (small) delta side. The corpus side contributes
+    ONE posting-table build — in production that table is the persisted
+    bucketed index a previous ingest already wrote (sources/
+    incremental.py supplies the HWM read that isolates the delta), so
+    the amortized per-batch cost is O(delta) scan + O(candidates) join,
+    never O(corpus^2) and never a corpus rescan per batch.
+
+    Jaccard is computed on FULL distinct shingle sets exactly as
+    ``ngram_jaccard_pairs`` (the cap prunes only posting expansion);
+    64-bit shingle hashes are grouping keys only, so counts replay on
+    shingle strings in DuckDB. Returns one row per delta doc:
+    ``verdict`` = 'dup_of_corpus' (>= threshold match in the corpus;
+    ``dup_of`` = lowest matching corpus id), else 'dup_in_batch'
+    (matched a LOWER-id delta doc; keep-lowest-id convention), else
+    'new'. ``best_jaccard`` is the strongest supporting similarity
+    (6dp-rounded), NULL for 'new'."""
+    from ..functions.rounding import hround
+
+    def _sh_arr(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+            ).alias("shs"),
+        ).localCheckpoint()
+
+    sh_c = _sh_arr(corpus)
+    sh_d = _sh_arr(delta)
+    posts_c = (
+        sh_c.select("doc_id", F.explode("shs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("cids"))
+    )
+    if max_shingle_freq is not None:
+        posts_c = posts_c.where(F.size("cids") <= max_shingle_freq)
+    posts_d = (
+        sh_d.select("doc_id", F.explode("shs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("dids"))
+    )
+    if max_shingle_freq is not None:
+        posts_d = posts_d.where(F.size("dids") <= max_shingle_freq)
+
+    sz_c = sh_c.select("doc_id", F.size("shs").alias("n_sh"))
+    sz_d = sh_d.select("doc_id", F.size("shs").alias("n_sh"))
+
+    # corpus x delta candidates: ONE equi-join of posting tables on the
+    # shingle key, pairs expanded from the two (capped) posting arrays
+    cross_pairs = (
+        posts_c.join(posts_d, "sh")
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("cids"),
+                        lambda c: F.transform(
+                            F.col("dids"),
+                            lambda d: F.struct(
+                                c.alias("id_c"), d.alias("id_d")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_c", "p.id_d")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sz_c.select(F.col("doc_id").alias("id_c"), F.col("n_sh").alias("n_c")), "id_c")
+        .join(sz_d.select(F.col("doc_id").alias("id_d"), F.col("n_sh").alias("n_d")), "id_d")
+        .withColumn(
+            "jac",
+            F.col("n_inter") / (F.col("n_c") + F.col("n_d") - F.col("n_inter")),
+        )
+        .where(F.col("jac") >= F.lit(threshold))
+    )
+
+    # delta x delta pairs: standard posting-list expansion, delta only
+    dd_structs = F.flatten(
+        F.transform(
+            F.col("dids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("dids"), i + F.lit(2), F.size(F.col("dids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    delta_pairs = (
+        posts_d.where(F.size("dids") >= 2)
+        .select(F.explode(dd_structs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sz_d.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sz_d.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jac",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jac") >= F.lit(threshold))
+    )
+
+    corpus_hit = cross_pairs.groupBy(F.col("id_d").alias("doc_id")).agg(
+        F.min("id_c").alias("corpus_dup_of"),
+        F.max("jac").alias("corpus_jac"),
+    )
+    # keep-lowest-id within the batch: a delta doc is a batch dup only
+    # of a LOWER delta id
+    batch_hit = delta_pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("batch_dup_of"),
+        F.max("jac").alias("batch_jac"),
+    )
+    return (
+        sh_d.select("doc_id")
+        .join(corpus_hit, "doc_id", "left")
+        .join(batch_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_dup_of").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("batch_dup_of").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("corpus_dup_of", "batch_dup_of").alias("dup_of"),
+            hround(
+                F.when(
+                    F.col("corpus_dup_of").isNotNull(), F.col("corpus_jac")
+                ).otherwise(F.col("batch_jac")),
+                6,
+            ).alias("best_jaccard"),
+        )
+    )

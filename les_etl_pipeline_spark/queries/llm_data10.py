@@ -881,3 +881,96 @@ def similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("query_neq").alias("query_label"),
         F.col("neighbor_neq").alias("negative_label"),
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus index (round 8)
+# --------------------------------------------------------------------------
+
+_INCR_SH_CTE = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE s IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=_INCR_SH_CTE
+    + """
+    , cd AS (
+      SELECT j.id_c, j.id_d, j.i / (sc.n + sd.n - j.i) AS jac FROM (
+        SELECT a.doc_id AS id_c, b.doc_id AS id_d, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        GROUP BY 1, 2
+      ) j JOIN sz sc ON sc.doc_id = j.id_c JOIN sz sd ON sd.doc_id = j.id_d
+      WHERE j.i / (sc.n + sd.n - j.i) >= 0.3
+    ), dd AS (
+      SELECT j.id_a, j.id_b, j.i / (sa.n + sb.n - j.i) AS jac FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+        GROUP BY 1, 2
+      ) j JOIN sz sa ON sa.doc_id = j.id_a JOIN sz sb ON sb.doc_id = j.id_b
+      WHERE j.i / (sa.n + sb.n - j.i) >= 0.3
+    ), ch AS (
+      SELECT id_d AS doc_id, min(id_c) AS corpus_dup_of, max(jac) AS jac
+      FROM cd GROUP BY id_d
+    ), bh AS (
+      SELECT id_b AS doc_id, min(id_a) AS batch_dup_of, max(jac) AS jac
+      FROM dd GROUP BY id_b
+    )
+    SELECT d.doc_id,
+           CASE WHEN ch.doc_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN bh.doc_id IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           CAST(COALESCE(ch.corpus_dup_of, bh.batch_dup_of) AS BIGINT)
+             AS dup_of,
+           (floor(CASE WHEN ch.doc_id IS NOT NULL THEN ch.jac
+                       ELSE bh.jac END * 1000000.0 + 0.5) / 1000000.0)
+             AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN ch ON ch.doc_id = d.doc_id
+    LEFT JOIN bh ON bh.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest batch against the existing
+    corpus (round 8): the growth path of a production corpus, where the
+    daily increment must be deduplicated without ever re-running
+    corpus x corpus. Batch = doc_id % 5 == 0 (the "arriving" 20%),
+    corpus = the rest. Each batch doc gets a verdict: 'dup_of_corpus'
+    (>= 0.3 shingle-Jaccard match in the index; dup_of = lowest
+    matching corpus id), 'dup_in_batch' (keep-lowest-id within the
+    batch), or 'new'.
+
+    Plan (operators/dedup.incremental_dedup_flags): the corpus
+    contributes one posting-table build — at scale the PERSISTED index
+    a previous ingest wrote (sources/incremental.py isolates the delta
+    via HWM) — then one posting-table equi-join on the shingle key for
+    corpus x batch candidates and the standard capped expansion for
+    batch x batch; cost is O(delta + candidates) per ingest, no
+    corpus rescan, no corpus x corpus pairs ever generated. The
+    max_shingle_freq=1000 cap cannot bind at fixture scale (500 docs),
+    so the oracle replays the uncapped join — the same convention as
+    the ngram_jaccard oracle family."""
+    docs = table(spark, sf_dir, "documents")
+    out = dedup.incremental_dedup_flags(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        threshold=0.3,
+    )
+    return out.orderBy("doc_id")

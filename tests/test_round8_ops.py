@@ -193,3 +193,44 @@ def test_bench_previous_sweep_excludes_current_round(tmp_path, monkeypatch):
     )
     name, sweep = bench._previous_sweep()
     assert name == "BENCH_r1.json" and sweep == {"q1": 1.0}
+
+
+def test_incremental_dedup_matches_full_pair_classification(spark, sf_dir):
+    """dedup_incremental_batch must agree with classifying the FULL
+    ngram_jaccard pair set: a batch doc is dup_of_corpus iff it pairs
+    with any corpus doc at >= threshold, else dup_in_batch iff it pairs
+    with a lower-id batch doc, else new — and dup_of is the minimum
+    qualifying partner under that priority."""
+    from les_etl_pipeline_spark.operators import dedup as dedup_ops
+    from les_etl_pipeline_spark.queries.llm_data10 import (
+        dedup_incremental_batch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+    batch = {
+        r.doc_id for r in docs.where(F.col("doc_id") % 5 == 0).collect()
+    }
+    corpus_of, batch_of = {}, {}
+    for p in pairs:
+        for d, o in ((p.id_a, p.id_b), (p.id_b, p.id_a)):
+            if d not in batch:
+                continue
+            if o not in batch:
+                corpus_of.setdefault(d, set()).add(o)
+            elif o < d:
+                batch_of.setdefault(d, set()).add(o)
+    got = {r.doc_id: r for r in dedup_incremental_batch(spark, sf_dir).collect()}
+    assert set(got) == batch
+    flagged = 0
+    for d in batch:
+        r = got[d]
+        if d in corpus_of:
+            assert r.verdict == "dup_of_corpus" and r.dup_of == min(corpus_of[d])
+            flagged += 1
+        elif d in batch_of:
+            assert r.verdict == "dup_in_batch" and r.dup_of == min(batch_of[d])
+            flagged += 1
+        else:
+            assert r.verdict == "new" and r.dup_of is None
+    assert flagged, "fixture must contain at least one cross/batch dup"
