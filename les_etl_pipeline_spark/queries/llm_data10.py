@@ -24,6 +24,18 @@ yet covered as first-class registered queries —
   language (subword-per-word ratio and chars-per-token — the standard
   "how expensive is this language for my tokenizer" table).
 
+Round 8 additions:
+
+- ``dedup_semantic_prune`` gained its enforced cluster-size bound
+  (SEMDEDUP_MAX_CLUSTER md5 sub-split, replayed in the oracle).
+- ``similarity_hard_negatives_ivf``: the hard-negative label predicate
+  composed with the IVF ANN tier (``similarity.ivf_topk(neq_col=...)``).
+- ``etl_leakage_safe_split`` gained the LSH pair-graph tier
+  (``leakage_safe_split_df(fuzzy_method="lsh")``).
+- ``dedup_incremental_batch``: new-batch-vs-corpus-index dedup — the
+  daily-increment shape (O(delta + candidates) per ingest, never a
+  corpus rescan).
+
 All pure column expressions — no UDFs, no driver loops; every query
 carries a full DuckDB oracle.
 

@@ -79,7 +79,8 @@ def main() -> None:
         "similarity_hard_negatives",
         "similarity_hard_negatives_ivf",
     ]
-    names = [n for n in HEADLINE if n in QUERIES] + [n for n in extra if n in QUERIES]
+    names = [n for n in HEADLINE if n in QUERIES]
+    names += [n for n in extra if n in QUERIES and n not in names]
     # warm codegen/JVM on every sf dir once
     for sf in SFS:
         QUERIES["q1_pricing_summary"](spark, f"{base}/sf{sf}").write.format(
