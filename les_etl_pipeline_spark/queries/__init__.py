@@ -119,7 +119,10 @@ _FORCE_REGRADE: dict[str, int] = {
     # previous grades were rows-only
     "similarity_pq_topk": 7,
     "similarity_ivf_pq_topk": 7,
-    "similarity_ivf_topk": 7,
+    # probe-cell ranking changed r8 (6dp-rounded distance before argmin,
+    # ADVICE r7 #1) — regrade with the aligned contract even though the
+    # r7 grade hash-matched the pre-fix plan
+    "similarity_ivf_topk": 8,
     # semantics changed r8: registered default now sub-splits clusters
     # at SEMDEDUP_MAX_CLUSTER via the md5 hash-bucket idiom, replayed
     # in the oracle (VERDICT r7 #1 — the last scale-weak plan)
