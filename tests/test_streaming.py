@@ -370,3 +370,61 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     }
     assert rows.get(2) == 1, rows      # matched purchase carries its view
     assert 3 in rows and rows[3] is None, rows  # unmatched emits null-extended
+
+
+def test_streaming_dedup_index_matches_sequential_batches(spark, sf_dir, tmp_path):
+    """Streaming incremental dedup: draining the document stream one
+    file per micro-batch through the persisted-index sink must produce
+    the SAME verdicts as replaying the batches sequentially through the
+    batch operator (corpus = accumulated survivors) — the streaming
+    twin of dedup_incremental_batch. Re-running against the drained
+    stream is a no-op (exactly-once batch ledger)."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.dedup import incremental_dedup_flags
+    from les_etl_pipeline_spark.streaming import dedup_index as SD
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    stream_dir = str(tmp_path / "docs_stream")
+    b1.coalesce(1).write.mode("append").parquet(stream_dir)
+    time.sleep(1.05)  # file source orders micro-batches by mtime
+    b2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    index_dir = str(tmp_path / "dedup_index")
+    ckpt = str(tmp_path / "ckpt_dedup_index")
+    SD.dedup_index_sink(
+        SD.read_document_stream(spark, stream_dir), index_dir, ckpt, threshold=0.3
+    )
+    got = {
+        r.doc_id: (r.verdict, r.dup_of, r.best_jaccard, r.batch)
+        for r in SD.read_verdicts(spark, index_dir).collect()
+    }
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    exp1 = incremental_dedup_flags(empty, b1, threshold=0.3)
+    surv1 = [r.doc_id for r in exp1.where(F.col("verdict") == "new").collect()]
+    exp2 = incremental_dedup_flags(
+        b1.where(F.col("doc_id").isin(surv1)), b2, threshold=0.3
+    )
+    expect = {}
+    for bi, exp in ((0, exp1), (1, exp2)):
+        for r in exp.collect():
+            expect[r.doc_id] = (r.verdict, r.dup_of, r.best_jaccard, bi)
+    assert got == expect
+    # the fixture must actually exercise the cross-batch index path
+    assert any(v[0] == "dup_of_corpus" for v in got.values())
+    # survivors-only index: postings cover exactly the 'new' docs
+    indexed = {
+        r.doc_id
+        for r in spark.read.schema(SD.SIZES_SCHEMA)
+        .parquet(index_dir + "/sizes")
+        .collect()
+    }
+    assert indexed == {d for d, v in expect.items() if v[0] == "new"}
+    # exactly-once: a second drain of the same (fully consumed) stream
+    # neither re-grades nor re-indexes anything
+    SD.dedup_index_sink(
+        SD.read_document_stream(spark, stream_dir), index_dir, ckpt, threshold=0.3
+    )
+    assert SD.read_verdicts(spark, index_dir).count() == len(expect)
