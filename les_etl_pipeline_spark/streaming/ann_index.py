@@ -1,0 +1,201 @@
+"""Streaming incremental ANN (IVF) index maintenance: the vector-search
+counterpart of ``streaming/dedup_index.py``. Arriving embedding batches
+are assigned to a FIXED coarse quantizer and appended to a persisted
+inverted-file index; queries probe the index exactly like
+``operators/similarity.ivf_topk`` probes its in-session one.
+
+Production vector systems split the IVF lifecycle exactly this way:
+the coarse quantizer (n_cells centroids) is trained occasionally and
+OFFLINE, while ingest only ever ASSIGNS new vectors to the nearest
+fixed centroid and appends to that cell's posting list — retraining per
+batch would move existing vectors between cells and force index
+rewrites. Here the bootstrap micro-batch trains the quantizer with the
+deterministic ``clustering.kmeans_lloyd_full`` (the same
+oracle-replayable Lloyd pass the batch IVF tier uses) and writes the
+centroid table; every batch (including the bootstrap) then runs the
+shared ``clustering._assign`` argmin (6dp-rounded distance, lowest-cell
+tie-break — the repo-wide contract) against the centroid literals and
+APPENDS (vec_id, cell, vector, norm, batch) rows. State on storage:
+
+- ``centroids``  (cell, cvec)             — n_cells rows, broadcast-sized
+- ``postings``   (vec_id, cell, v, nrm, batch) — the inverted file;
+  its ``batch`` column is the exactly-once ledger (replayed batch = no-op).
+  On a cluster this table is bucketed by ``cell`` so a query's candidate
+  fetch is a pruned bucket read, and segment compaction rides the same
+  pass that would re-shard postings.
+
+Per micro-batch cost is O(batch x n_cells) scalar arithmetic + one
+append — no shuffle at all (the argmin is a projection), no index
+rewrite, never a corpus rescan. ``ivf_search_index`` replays the exact
+probe-and-score shape of ``similarity.ivf_topk`` (rounded probe
+distance ranked with cell tie-break, raw-double cosine, rank window
+tie-broken on neighbor id), which is what lets the parity test pin
+index-search == ``ivf_topk`` bit-for-bit when both see the same
+vectors and centroids.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import hround
+from ..operators.clustering import _assign, kmeans_lloyd_full
+from ..operators.similarity import dot
+
+CENTROIDS_SCHEMA = "cell int, cvec array<double>"
+POSTINGS_SCHEMA = (
+    "vec_id bigint, cell int, v array<double>, nrm double, batch bigint"
+)
+
+
+def read_vector_stream(
+    spark, path: str, schema: str = "vec_id bigint, embedding array<double>"
+):
+    """File-source embedding stream, one file per micro-batch — the
+    test-scale stand-in for a queue of freshly embedded documents."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _doubles(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _load_centroids(spark, path: str) -> dict[int, list[float]]:
+    rows = spark.read.schema(CENTROIDS_SCHEMA).parquet(path).collect()
+    return {r.cell: list(r.cvec) for r in rows}
+
+
+def ann_index_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Drain ``stream_df`` (availableNow) into the IVF index under
+    ``index_dir``. The first batch trains the quantizer; later batches
+    assign-and-append against it. Returns the finished query."""
+    spark = stream_df.sparkSession
+    centroids_path = os.path.join(index_dir, "centroids")
+    postings_path = os.path.join(index_dir, "postings")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(postings_path):
+            prev = spark.read.schema(POSTINGS_SCHEMA).parquet(postings_path)
+            if prev.where(F.col("batch") >= batch_id).limit(1).count() > 0:
+                return
+        e = _doubles(batch_df, id_col, vec_col)
+        if not os.path.exists(centroids_path):
+            # bootstrap: train the coarse quantizer on this batch only —
+            # the offline-retrain slot in production; k x d scalars
+            _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
+            spark.createDataFrame(
+                [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
+            ).write.mode("overwrite").parquet(centroids_path)
+        else:
+            cents = _load_centroids(spark, centroids_path)
+        assigned = _assign(e, cents)
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        assigned.select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cell"),
+            "v",
+            nrm.alias("nrm"),
+            F.lit(batch_id).cast("bigint").alias("batch"),
+        ).write.mode("append").parquet(postings_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def ivf_search_index(
+    spark,
+    index_dir: str,
+    query_df: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search over the persisted index — the exact
+    probe-and-score shape of ``similarity.ivf_topk``: each query ranks
+    cells by the 6dp-ROUNDED squared distance to the centroid (ties on
+    the lower cell id), scans its ``n_probe`` cells' postings, scores
+    raw-double cosine, and takes the rank-window top-k tie-broken on
+    neighbor id. Self-matches (same id) are excluded, as in the batch
+    operator. Returns (query_id, neighbor_id, cos, rank)."""
+    centroids = spark.read.schema(CENTROIDS_SCHEMA).parquet(
+        os.path.join(index_dir, "centroids")
+    )
+    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    )
+    q = _doubles(query_df, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvd"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("qnrm"),
+    )
+    d2 = hround(
+        F.aggregate(
+            F.zip_with(F.col("qvd"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvd", "qnrm", "cell")
+    )
+    cands = postings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cvd"),
+        F.col("nrm").alias("cnrm"),
+        "cell",
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", dot(F.col("qvd"), F.col("cvd")) / (F.col("qnrm") * F.col("cnrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

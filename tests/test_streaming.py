@@ -428,3 +428,75 @@ def test_streaming_dedup_index_matches_sequential_batches(spark, sf_dir, tmp_pat
         SD.read_document_stream(spark, stream_dir), index_dir, ckpt, threshold=0.3
     )
     assert SD.read_verdicts(spark, index_dir).count() == len(expect)
+
+
+def test_streaming_ann_index_matches_batch_ivf(spark, sf_dir, tmp_path):
+    """IVF index built by the streaming sink from ONE bootstrap batch
+    (so the trained quantizer equals the batch operator's) must serve
+    searches bit-identical to similarity.ivf_topk over the same static
+    table — probe ranking, cosine, and rank tie-breaks all replayed."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import similarity
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream_dir = str(tmp_path / "vec_stream")
+    emb.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "ann_index")
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, stream_dir), index_dir, str(tmp_path / "ckpt_ann")
+    )
+    pred = F.col("vec_id") % 25 == 0
+    got = sorted(
+        map(
+            tuple,
+            SA.ivf_search_index(
+                spark, index_dir, emb.where(pred), k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, similarity.ivf_topk(emb, pred, k=5, n_probe=2).collect()))
+    assert got and got == exp
+
+
+def test_streaming_ann_index_incremental_assign_and_ledger(spark, sf_dir, tmp_path):
+    """Two-batch drain: the quantizer is trained on the FIRST batch
+    only and stays fixed; the second batch is assign-and-append (the
+    production ingest path — vectors never move cells). Assignments
+    must equal the shared _assign argmin against the bootstrap
+    centroids, and a redrain is a ledger no-op."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.clustering import _assign, kmeans_lloyd_full
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    stream_dir = str(tmp_path / "vec_stream2")
+    b1.coalesce(1).write.mode("append").parquet(stream_dir)
+    time.sleep(1.05)
+    b2.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "ann_index2")
+    ckpt = str(tmp_path / "ckpt_ann2")
+    SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
+
+    _, cents1 = kmeans_lloyd_full(
+        SA._doubles(b1, "vec_id", "embedding"), k=8, iters=2, vec_col="v"
+    )
+    got_cents = SA._load_centroids(spark, index_dir + "/centroids")
+    assert got_cents == {c: list(v) for c, v in cents1.items()}
+
+    posts = spark.read.schema(SA.POSTINGS_SCHEMA).parquet(index_dir + "/postings")
+    got = {r.vec_id: (r.cell, r.batch) for r in posts.collect()}
+    exp_assign = {
+        r.vec_id: r.cluster
+        for r in _assign(SA._doubles(emb, "vec_id", "embedding"), cents1).collect()
+    }
+    b1_ids = {r.vec_id for r in b1.select("vec_id").collect()}
+    assert set(got) == set(exp_assign)
+    for vid, (cell, batch) in got.items():
+        assert cell == exp_assign[vid]
+        assert batch == (0 if vid in b1_ids else 1)
+    # exactly-once: redrain of the consumed stream appends nothing
+    SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
+    assert posts.count() == len(got)
