@@ -998,3 +998,83 @@ def incremental_dedup_flags(
             ).alias("best_jaccard"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    gram_len: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans, the character-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed for Spark: a character position is DUPLICATED
+    when the ``gram_len``-char substring starting there occurs at least
+    ``min_count`` times corpus-wide (within-doc repeats count, as in the
+    suffix-array formulation). Per doc, overlapping/touching duplicated
+    intervals are merged into maximal covered runs via lag/lead windows
+    (gaps-and-islands without an islands subquery).
+
+    Returns (doc_id, n_spans, dup_chars, dup_frac) for every doc with at
+    least one duplicated gram.
+
+    Scale shape: the exploded positions table is LINEAR in corpus chars
+    (same asymptotics as a suffix array build); the duplicate test is one
+    hash-keyed groupBy + equi-join back (each position matches exactly
+    one gram row — no fan-out), and the merge window partitions by doc.
+    At 100 TB swap the md5 gram key for xxhash64 (cheaper, same plan) —
+    md5 is kept here because the DuckDB oracle replays it literally.
+    """
+    base = docs.select(id_col, text_col).where(F.length(text_col) >= gram_len)
+    pos = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(gram_len - 1))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.col("_t").substr(F.col("i"), F.lit(gram_len))).alias("g"),
+    )
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    dpos = pos.join(dup_grams, "g").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    marked = dpos.select(
+        "doc_id",
+        "i",
+        F.lag("i").over(w).alias("prev"),
+        F.lead("i").over(w).alias("nxt"),
+    )
+    per_pos = marked.select(
+        "doc_id",
+        F.when(
+            F.col("prev").isNull() | (F.col("i") - F.col("prev") > gram_len),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_span"),
+        F.least(
+            F.coalesce(F.col("nxt") - F.col("i"), F.lit(gram_len)),
+            F.lit(gram_len),
+        ).alias("cov"),
+    )
+    stats = per_pos.groupBy("doc_id").agg(
+        F.sum("new_span").cast("bigint").alias("n_spans"),
+        F.sum("cov").cast("bigint").alias("dup_chars"),
+    )
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).alias("_len")
+    )
+    return stats.join(lens, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_chars",
+        (F.col("dup_chars") / F.col("_len")).alias("dup_frac"),
+    )

@@ -716,3 +716,57 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+RP_SEED = "rp:42:"
+
+
+def rp_sign_matrix(d_in: int, d_out: int, seed: str = RP_SEED) -> list[list[float]]:
+    """Deterministic Achlioptas +-1 sign matrix from md5 parity of
+    "{seed}{j}:{i}" — computed driver-side once (d_out x d_in floats)
+    and embedded as plan literals, so the DuckDB oracle replays the
+    identical matrix by construction (the generator embeds the same
+    literals, not a SQL re-derivation)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}{j}:{i}".encode()).hexdigest()[:7], 16) % 2 == 0
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    d_in: int = 64,
+    d_out: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = RP_SEED,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: pv[j] = dot(v, s_j) /
+    sqrt(d_out). A NARROW projection — no shuffle, no UDF; each output
+    coordinate is one sequential fold over the input vector, all inside
+    whole-stage codegen. At 100 TB this is the cheap first stage before
+    any distance work: 4x fewer bytes into every downstream shuffle
+    (LSH banding, IVF assignment, brute-force rerank) for a bounded,
+    well-understood distance distortion (JL lemma, ~1/sqrt(d_out) mean
+    cosine error). That distortion makes it a SHORTLIST stage, not a
+    ranker: use projected distances to generate candidates, re-rank the
+    shortlist with exact cosine. Both the coarse-recall floor and the
+    1/sqrt(d_out) error scaling are pinned by pytests, not assumed."""
+    signs = rp_sign_matrix(d_in, d_out, seed)
+    scale = float(d_out) ** 0.5
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = df.select(F.col(id_col), vd.alias("_vd"))
+    proj = F.array(
+        *[
+            dot(F.col("_vd"), F.array(*[F.lit(s) for s in signs[j]])) / F.lit(scale)
+            for j in range(d_out)
+        ]
+    )
+    return e.select(id_col, proj.alias(vec_col))

@@ -1,0 +1,138 @@
+"""Twelfth LLM-data pack (round 8): corpus-quality operators that the
+big training-data writeups treat as table stakes but nothing in the
+repo covered yet —
+
+- ``dedup_duplicated_spans``: EXACT duplicated-substring spans (the
+  character-level dedup of Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better"). A character position is
+  duplicated when its 20-char gram occurs >= 2 times corpus-wide;
+  overlapping/touching duplicated intervals merge into maximal runs
+  per doc (lag/lead gaps-and-islands). The suffix-array formulation is
+  linear in corpus chars; so is this plan: one explode (linear), one
+  hash-keyed groupBy, one no-fan-out equi-join back, one per-doc
+  window. Output: (doc_id, n_spans, dup_chars, dup_frac).
+- ``embedding_random_projection_topk``: Johnson-Lindenstrauss sign
+  projection 64 -> 16 dims (Achlioptas +-1 matrix, md5-parity seeded,
+  computed driver-side and embedded as plan literals) followed by
+  exact cosine top-k in the PROJECTED space. The projection itself is
+  a narrow zero-shuffle map — at 100 TB it is the cheap first stage
+  that shrinks every downstream distance shuffle 4x. The oracle embeds
+  the identical literal matrix, so the whole pipeline replays
+  bit-exactly in DuckDB; the coarse-recall floor (shortlist quality)
+  and the JL 1/sqrt(d_out) error scaling are pinned by
+  ``tests/test_llm_data12.py``, not assumed.
+
+Reference parity: none (no corpus-quality surface in the reference —
+SURVEY.md §2.12 gap surface; LLM-data operators from the build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import dedup, similarity
+from .registry import register
+
+SPAN_GRAM_LEN = 20
+
+_SPANS_ORACLE = f"""
+    WITH p0 AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {SPAN_GRAM_LEN - 1})) AS i
+      FROM documents WHERE length(text) >= {SPAN_GRAM_LEN}
+    ), pos AS (
+      SELECT doc_id, i,
+             md5(substr(text, CAST(i AS INT), {SPAN_GRAM_LEN})) AS g
+      FROM p0
+    ), dup AS (
+      SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+    ), dpos AS (
+      SELECT doc_id, i FROM pos WHERE g IN (SELECT g FROM dup)
+    ), marked AS (
+      SELECT doc_id, i,
+             lag(i)  OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+             lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM dpos
+    ), per_pos AS (
+      SELECT doc_id,
+             CASE WHEN prev IS NULL OR i - prev > {SPAN_GRAM_LEN}
+                  THEN 1 ELSE 0 END AS new_span,
+             least(coalesce(nxt - i, {SPAN_GRAM_LEN}), {SPAN_GRAM_LEN}) AS cov
+      FROM marked
+    ), stats AS (
+      SELECT doc_id, CAST(sum(new_span) AS BIGINT) AS n_spans,
+             CAST(sum(cov) AS BIGINT) AS dup_chars
+      FROM per_pos GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_spans, s.dup_chars,
+           (floor((s.dup_chars / length(d.text)) * 1000000.0 + 0.5)
+            / 1000000.0) AS dup_frac
+    FROM stats s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+
+@register("dedup_duplicated_spans", oracle=_SPANS_ORACLE)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.duplicated_spans(
+        table(spark, sf_dir, "documents"), gram_len=SPAN_GRAM_LEN
+    )
+    return out.select(
+        "doc_id", "n_spans", "dup_chars", hround(F.col("dup_frac"), 6).alias("dup_frac")
+    )
+
+
+RP_D_IN, RP_D_OUT = 64, 16
+
+
+def _rp_oracle() -> str:
+    """The projected-space brute-force top-k, with the SAME sign-matrix
+    literals the Spark plan embeds (generated from one driver-side
+    computation — no SQL re-derivation to drift)."""
+    signs = similarity.rp_sign_matrix(RP_D_IN, RP_D_OUT)
+    scale = repr(float(RP_D_OUT) ** 0.5)
+    coords = ",\n         ".join(
+        "list_aggregate(list_apply(list_zip(v, ["
+        + ", ".join(repr(s) for s in signs[j])
+        + f"]), x -> x[1] * x[2]), 'sum') / {scale}"
+        for j in range(RP_D_OUT)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id,
+         [{coords}] AS pv
+      FROM e
+    ), n AS (
+      SELECT vec_id, pv,
+             sqrt(list_aggregate(list_apply(pv, x -> x * x), 'sum')) AS nrm
+      FROM p
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_aggregate(list_apply(list_zip(q.pv, c.pv), x -> x[1] * x[2]), 'sum')
+               / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           (floor(cos * 1000000.0 + 0.5) / 1000000.0) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("embedding_random_projection_topk", oracle=_rp_oracle())
+def embedding_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = similarity.random_project(
+        table(spark, sf_dir, "embeddings"), d_in=RP_D_IN, d_out=RP_D_OUT
+    )
+    out = similarity.cosine_topk(proj, F.col("vec_id") < 10, k=5)
+    return out.select(
+        "query_id", "neighbor_id", hround(F.col("cos"), 6).alias("cosine"), "rank"
+    )

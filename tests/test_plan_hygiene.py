@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "corpus_dsir_importance": "1-row token-totals aggregate broadcast",
     "similarity_hard_negatives": "bounded broadcast of the small query set",
     "similarity_hard_negatives_ivf": "bounded query x n_cells centroid fan-out (broadcast)",
+    "embedding_random_projection_topk": "bounded broadcast of the small query set",
 }
 
 #: queries allowed ordered-UNPARTITIONED windows: per query, a list of
