@@ -770,3 +770,115 @@ def random_project(
         ]
     )
     return e.select(id_col, proj.alias(vec_col))
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_cand: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick k results from the exact top-``n_cand`` cosine
+    shortlist, each step maximizing ``lam * rel - (1 - lam) * max-sim to
+    the already-selected set`` (ties on the lower candidate id). The
+    retrieval-diversity step of a RAG / hard-negative pipeline.
+
+    Deterministic and fully relational: the k greedy steps are UNROLLED
+    into k window-argmax stages (the same unrolling idiom as the BPE
+    merge oracle), so the whole operator replays bit-exactly in DuckDB.
+    ``(1 - lam)`` is computed ONCE driver-side and embedded as the same
+    float literal in plan and oracle — 1.0 - 0.7 is not 0.3 in IEEE.
+
+    Scale shape: candidate generation is the broadcast top-k; the
+    pairwise-sim table is per-query n_cand^2 rows (a bounded equi-join
+    on query_id, never corpus-quadratic); each greedy step is one
+    aggregate + one per-query window. k and n_cand are small constants
+    chosen by the caller, so the whole rerank is O(queries * n_cand^2)
+    — independent of corpus size."""
+    mu = 1.0 - lam
+    # localCheckpoint the two data-scale frames: the k unrolled stages
+    # below reference them in a union pyramid, and without a lineage cut
+    # Spark re-executes the corpus top-k once per PATH through that
+    # pyramid (~2^k times) — the connected-components lesson. After the
+    # cut each greedy stage reads a queries*n_cand-row in-memory table.
+    short = (
+        cosine_topk(df, query_pred, k=n_cand, id_col=id_col, vec_col=vec_col)
+        .select("query_id", F.col("neighbor_id").alias("cid"), F.col("cos").alias("rel"))
+        .localCheckpoint()
+    )
+    e = with_norm(df.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("_id"), F.col("vd").alias("_v"), F.col("nrm").alias("_n")
+    )
+    a = short.select("query_id", F.col("cid").alias("a")).join(
+        e.select(F.col("_id").alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na")),
+        "a",
+    )
+    b = short.select("query_id", F.col("cid").alias("b")).join(
+        e.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")),
+        "b",
+    )
+    pair = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cid"))
+    sel = (
+        short.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "cid",
+            (F.lit(lam) * F.col("rel")).alias("score"),
+            F.lit(1).alias("step"),
+        )
+    )
+    steps = [sel]
+    for step in range(2, k + 1):
+        selu = steps[0]
+        for s in steps[1:]:
+            selu = selu.unionByName(s)
+        picked = selu.select("query_id", "cid")
+        m = (
+            pair.join(
+                picked.select("query_id", F.col("cid").alias("b")), ["query_id", "b"]
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            short.join(picked, ["query_id", "cid"], "left_anti")
+            .join(
+                m.select("query_id", F.col("a").alias("cid"), "maxsim"),
+                ["query_id", "cid"],
+            )
+            .select(
+                "query_id",
+                "cid",
+                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")).alias(
+                    "score"
+                ),
+            )
+        )
+        ws = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cid"))
+        steps.append(
+            scored.withColumn("_rn", F.row_number().over(ws))
+            .where(F.col("_rn") == 1)
+            .select("query_id", "cid", "score", F.lit(step).alias("step"))
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "query_id", F.col("cid").alias("selected_id"), "step", "score"
+    )

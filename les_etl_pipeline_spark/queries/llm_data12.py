@@ -136,3 +136,85 @@ def embedding_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select(
         "query_id", "neighbor_id", hround(F.col("cos"), 6).alias("cosine"), "rank"
     )
+
+
+MMR_K, MMR_N_CAND, MMR_LAM = 5, 20, 0.7
+_DOT = "list_aggregate(list_apply(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
+
+
+def _mmr_oracle() -> str:
+    """The k greedy MMR steps unrolled into k CTE stages (the BPE-merge
+    idiom). ``mu`` is repr(1.0 - lam) — the exact IEEE double the Spark
+    plan uses, NOT the decimal 0.3."""
+    lam, mu = repr(MMR_LAM), repr(1.0 - MMR_LAM)
+    dot_qc = _DOT.format(a="q.v", b="c.v")
+    dot_ab = _DOT.format(a="na.v", b="nb.v")
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    ), short AS (
+      SELECT query_id, cid, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cid) AS rn
+        FROM (SELECT q.vec_id AS query_id, c.vec_id AS cid,
+                     {dot_qc} / (q.nrm * c.nrm) AS rel
+              FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+      ) WHERE rn <= {MMR_N_CAND}
+    ), pair AS (
+      SELECT s1.query_id, s1.cid AS a, s2.cid AS b,
+             {dot_ab} / (na.nrm * nb.nrm) AS sim
+      FROM short s1
+      JOIN short s2 ON s1.query_id = s2.query_id AND s1.cid != s2.cid
+      JOIN n na ON na.vec_id = s1.cid
+      JOIN n nb ON nb.vec_id = s2.cid
+    ), sel1 AS (
+      SELECT query_id, cid, {lam} * rel AS score, 1 AS step FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cid) AS rn
+        FROM short
+      ) WHERE rn = 1
+    ), selu1 AS (SELECT * FROM sel1)"""
+    for step in range(2, MMR_K + 1):
+        prev = step - 1
+        sql += f""", sel{step} AS (
+      SELECT query_id, cid, score, {step} AS step FROM (
+        SELECT c.query_id, c.cid,
+               {lam} * c.rel - {mu} * m.maxsim AS score,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY ({lam} * c.rel - {mu} * m.maxsim) DESC,
+                                           c.cid) AS rn
+        FROM short c
+        JOIN (SELECT p.query_id, p.a, max(p.sim) AS maxsim
+              FROM pair p
+              JOIN selu{prev} s ON p.query_id = s.query_id AND p.b = s.cid
+              GROUP BY p.query_id, p.a) m
+          ON c.query_id = m.query_id AND c.cid = m.a
+        WHERE NOT EXISTS (SELECT 1 FROM selu{prev} s2
+                          WHERE s2.query_id = c.query_id AND s2.cid = c.cid)
+      ) WHERE rn = 1
+    ), selu{step} AS (SELECT * FROM selu{prev} UNION ALL SELECT * FROM sel{step})"""
+    sql += f"""
+    SELECT query_id, cid AS selected_id, CAST(step AS INT) AS step,
+           (floor(score * 1000000.0 + 0.5) / 1000000.0) AS score
+    FROM selu{MMR_K}
+    """
+    return sql
+
+
+@register("similarity_mmr_rerank", oracle=_mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.mmr_rerank(
+        table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=MMR_K,
+        n_cand=MMR_N_CAND,
+        lam=MMR_LAM,
+    )
+    return out.select(
+        "query_id", "selected_id", "step", hround(F.col("score"), 6).alias("score")
+    )

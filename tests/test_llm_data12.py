@@ -112,3 +112,37 @@ def test_random_projection_is_narrow_and_seeded(spark, sf_dir):
     m3 = similarity.rp_sign_matrix(8, 4, seed="other:")
     assert m1 == m2 and m1 != m3
     assert all(s in (1.0, -1.0) for row in m1 for s in row)
+
+
+def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
+    """Independent driver-side reimplementation of greedy MMR (numpy,
+    no shared code with the operator) must agree on the selection
+    sequence for every fixture query."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = {}
+    for r in similarity.mmr_rerank(
+        emb, F.col("vec_id") < 10, k=5, n_cand=20, lam=0.7
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.step, r.selected_id))
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    U = {i: v / np.linalg.norm(v) for i, v in V.items()}
+    lam, mu = 0.7, 1.0 - 0.7
+    for q in range(10):
+        rel = {c: float(U[q] @ U[c]) for c in U if c != q}
+        shortlist = sorted(rel, key=lambda c: (-rel[c], c))[:20]
+        sel = []
+        for _ in range(5):
+            best = None
+            for c in shortlist:
+                if c in sel:
+                    continue
+                score = lam * rel[c] - mu * max(
+                    (float(U[c] @ U[s]) for s in sel), default=0.0
+                ) if sel else lam * rel[c]
+                if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                    best = (score, c)
+            sel.append(best[1])
+        assert [c for _, c in sorted(got[q])] == sel, q
