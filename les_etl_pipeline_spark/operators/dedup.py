@@ -1019,6 +1019,13 @@ def duplicated_spans(
     Returns (doc_id, n_spans, dup_chars, dup_frac) for every doc with at
     least one duplicated gram.
 
+    Complementary to ``aligned_fingerprint_spans`` (the winnowing-based
+    detector behind ``dedup_substring_spans``): that one reports
+    per-PAIR aligned word runs from sampled fingerprints; this one
+    reports per-DOC exact character coverage against the WHOLE corpus
+    (including within-doc repetition), which is the quantity Lee et
+    al.'s removal step actually consumes.
+
     Scale shape: the exploded positions table is LINEAR in corpus chars
     (same asymptotics as a suffix array build); the duplicate test is one
     hash-keyed groupBy + equi-join back (each position matches exactly

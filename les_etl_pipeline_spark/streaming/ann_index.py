@@ -150,9 +150,7 @@ def ivf_search_index(
     centroids = spark.read.schema(CENTROIDS_SCHEMA).parquet(
         os.path.join(index_dir, "centroids")
     )
-    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
-        os.path.join(index_dir, "postings")
-    )
+    postings = _live_postings(spark, index_dir)
     q = _doubles(query_df, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qvd"),
@@ -199,3 +197,71 @@ def ivf_search_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+TOMBSTONES_SCHEMA = "vec_id bigint, batch bigint"
+
+
+def delete_vectors(spark, index_dir: str, vec_ids, batch_id: int = 0) -> None:
+    """Tombstone deletes — the third leg of the index lifecycle
+    (append / delete / compact). Vector stores never rewrite posting
+    segments per delete; they append (vec_id, batch) tombstones and let
+    search anti-join them until the next compaction folds them in.
+    ``vec_ids`` may be a list or a 1-column DataFrame."""
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if isinstance(vec_ids, DataFrame):
+        df = vec_ids.select(F.col(vec_ids.columns[0]).cast("bigint").alias("vec_id"))
+    else:
+        df = spark.createDataFrame([(int(v),) for v in vec_ids], "vec_id bigint")
+    df.select(
+        "vec_id", F.lit(batch_id).cast("bigint").alias("batch")
+    ).write.mode("append").parquet(tomb_path)
+
+
+def _live_postings(spark, index_dir: str) -> DataFrame:
+    """Postings minus tombstones (one broadcast-able anti-join — the
+    tombstone set is small between compactions by construction)."""
+    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    )
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_path):
+        return postings
+    tomb = spark.read.schema(TOMBSTONES_SCHEMA).parquet(tomb_path)
+    return postings.join(
+        F.broadcast(tomb.select("vec_id").distinct()), "vec_id", "left_anti"
+    )
+
+
+def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int:
+    """Fold tombstones into the postings and rewrite the inverted file
+    PARTITIONED BY cell — after compaction a search's candidate fetch
+    is a pruned directory read of its n_probe cells instead of a full
+    postings scan. Returns the number of live rows written.
+
+    Staging-rewrite-then-swap (the ``sinks/layout.compact_parquet``
+    idiom): the live rows land in ``postings.staging``, then one
+    atomic-enough rename swap — readers never see a half-written index.
+    At 100 TB this runs as the periodic maintenance job that also
+    merges small append segments (every micro-batch appended one) into
+    ``partitions_per_cell`` files per cell."""
+    live = _live_postings(spark, index_dir)
+    postings_path = os.path.join(index_dir, "postings")
+    staging = postings_path + ".staging"
+    backup = postings_path + ".old"
+    (
+        live.repartition(partitions_per_cell * 8, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    n = spark.read.schema(POSTINGS_SCHEMA).parquet(staging).count()
+    import shutil
+
+    os.rename(postings_path, backup)
+    os.rename(staging, postings_path)
+    shutil.rmtree(backup)
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_path):
+        shutil.rmtree(tomb_path)
+    return n

@@ -206,3 +206,43 @@ def read_verdicts(spark, index_dir: str) -> DataFrame:
     return spark.read.schema(VERDICTS_SCHEMA).parquet(
         os.path.join(index_dir, "verdicts")
     )
+
+
+def compact_index(
+    spark, index_dir: str, max_shingle_freq: int | None = None, partitions: int = 8
+) -> tuple[int, int]:
+    """The maintenance pass the module docstring promises: merge the
+    per-batch posting append segments into ``partitions`` hash-ordered
+    files AND apply the corpus-level stop-shingle cap — shingles whose
+    MERGED frequency exceeds ``max_shingle_freq`` are dropped from the
+    index (they ceased to be discriminative; the per-batch cap can't
+    see cross-segment totals). Staging-rewrite-then-swap, same as
+    ``ann_index.compact_postings``. Returns (rows_before, rows_after).
+
+    Dropping a stop shingle only removes CANDIDATES whose overlap was
+    dominated by boilerplate — the exact-Jaccard verify step still
+    applies to every surviving candidate, so precision is unaffected;
+    this is the identical precision contract as the batch operator's
+    ``max_shingle_freq``."""
+    import shutil
+
+    postings_path = os.path.join(index_dir, "postings")
+    posts = spark.read.schema(POSTINGS_SCHEMA).parquet(postings_path)
+    before = posts.count()
+    live = posts
+    if max_shingle_freq is not None:
+        freq = (
+            posts.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > max_shingle_freq)
+            .select("sh")
+        )
+        live = posts.join(freq, "sh", "left_anti")
+    staging = postings_path + ".staging"
+    backup = postings_path + ".old"
+    live.repartition(partitions, "sh").write.mode("overwrite").parquet(staging)
+    after = spark.read.schema(POSTINGS_SCHEMA).parquet(staging).count()
+    os.rename(postings_path, backup)
+    os.rename(staging, postings_path)
+    shutil.rmtree(backup)
+    return before, after

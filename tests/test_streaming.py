@@ -500,3 +500,95 @@ def test_streaming_ann_index_incremental_assign_and_ledger(spark, sf_dir, tmp_pa
     # exactly-once: redrain of the consumed stream appends nothing
     SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
     assert posts.count() == len(got)
+
+
+def test_streaming_ann_index_delete_and_compact(spark, sf_dir, tmp_path):
+    """Index lifecycle: tombstone deletes take effect on search
+    immediately (anti-join), compaction folds them in and rewrites the
+    inverted file partitioned by cell — search results must be
+    BIT-IDENTICAL before and after the rewrite, deleted ids must never
+    reappear, and the exactly-once ledger must survive compaction."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream_dir = str(tmp_path / "vec_stream3")
+    emb.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "ann_index3")
+    ckpt = str(tmp_path / "ckpt_ann3")
+    SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
+
+    total = SA._live_postings(spark, index_dir).count()
+    dead = [3, 7, 11, 200, 201]
+    SA.delete_vectors(spark, index_dir, dead)
+    assert SA._live_postings(spark, index_dir).count() == total - len(dead)
+
+    pred = F.col("vec_id") % 25 == 0
+    queries = emb.where(pred)
+    before = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert before and not {r[1] for r in before} & set(dead)
+
+    n = SA.compact_postings(spark, index_dir)
+    assert n == total - len(dead)
+    import os
+
+    assert not os.path.exists(index_dir + "/tombstones")
+    assert any(d.startswith("cell=") for d in os.listdir(index_dir + "/postings"))
+    after = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert after == before
+    # ledger intact: redrain appends nothing
+    SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
+    assert SA._live_postings(spark, index_dir).count() == n
+
+
+def test_streaming_dedup_index_compaction(spark, sf_dir, tmp_path):
+    """Compaction must be verdict-preserving when the cap doesn't bind
+    (identical verdicts for a subsequent batch against the compacted
+    index) and must drop over-frequency shingles when it does."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import dedup_index as SD
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") < 300)
+    b2 = docs.where(F.col("doc_id") >= 300)
+
+    def run(index_root, compact_cap):
+        index_dir = str(tmp_path / index_root)
+        stream1 = str(tmp_path / (index_root + "_s1"))
+        b1.coalesce(1).write.mode("append").parquet(stream1)
+        SD.dedup_index_sink(
+            SD.read_document_stream(spark, stream1),
+            index_dir,
+            str(tmp_path / (index_root + "_c1")),
+            threshold=0.3,
+        )
+        if compact_cap != "skip":
+            before, after = SD.compact_index(
+                spark, index_dir, max_shingle_freq=compact_cap
+            )
+            if compact_cap is None:
+                assert after == before
+            else:
+                assert after < before
+        stream2 = str(tmp_path / (index_root + "_s2"))
+        b2.coalesce(1).write.mode("append").parquet(stream2)
+        SD.dedup_index_sink(
+            SD.read_document_stream(spark, stream2),
+            index_dir,
+            str(tmp_path / (index_root + "_c2")),
+            threshold=0.3,
+        )
+        return {
+            r.doc_id: (r.verdict, r.dup_of, r.best_jaccard)
+            for r in SD.read_verdicts(spark, index_dir).collect()
+        }
+
+    base = run("didx_base", "skip")
+    compacted = run("didx_comp", None)  # merge-only compaction
+    assert compacted == base
+    capped = run("didx_cap", 1)  # cap=1: any cross-doc shared shingle must be dropped
+    assert set(capped) == set(base)

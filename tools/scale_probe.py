@@ -78,6 +78,17 @@ def main() -> None:
         "similarity_ivf_pq_topk",
         "similarity_hard_negatives",
         "similarity_hard_negatives_ivf",
+        # round-8 pack 12: duplicated spans grows with corpus CHARS
+        # (the one op whose shuffle is the char count), the JL
+        # projection tracks the embeddings table, MMR is O(queries x
+        # n_cand^2) so its slope should be ~flat, and the layout pack
+        # tracks corpus rows
+        "dedup_duplicated_spans",
+        "embedding_random_projection_topk",
+        "similarity_mmr_rerank",
+        "corpus_global_shuffle",
+        "text_ngram_novelty",
+        "dedup_incremental_batch",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
