@@ -346,6 +346,20 @@ def simhash_hamming_pairs(
     raise ``n_bands``/key width or set ``max_bucket`` to frequency-prune
     degenerate buckets (boiler-plate signatures) at a documented recall
     cost — exactness holds only at the default ``max_bucket=None``."""
+    _check_banding(max_hamming, n_bands)
+    sig = simhash_signatures(df, text_col, id_col)
+    return hamming_band_pairs(
+        sig,
+        sig_col="simhash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )
+
+
+def _check_banding(max_hamming: int, n_bands: int) -> None:
+    """Banding-parameter contract, checked BEFORE any plan is built."""
     if max_hamming > n_bands - 1:
         raise ValueError("exactness requires max_hamming <= n_bands - 1")
     if 64 % n_bands:
@@ -354,8 +368,26 @@ def simhash_hamming_pairs(
             f"64 - {n_bands} * {64 // n_bands} signature bits would be "
             "silently dropped from both the band keys and the popcount"
         )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over ANY 64-char '01' signature
+    column — the machinery behind ``simhash_hamming_pairs``, shared with
+    image average-hash near-dup (``multimodal.image_near_dup_pairs``).
+    Same pigeonhole exactness contract: with ``max_hamming <= n_bands-1``
+    and ``max_bucket=None`` the banded candidates lose no true pair."""
+    _check_banding(max_hamming, n_bands)
     width = 64 // n_bands
-    sig = simhash_signatures(df, text_col, id_col)
+    sig = sig.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
+    )
     bands = sig.select(
         "doc_id",
         "simhash",

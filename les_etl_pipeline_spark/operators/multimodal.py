@@ -316,3 +316,117 @@ def arrow_byte_chunks(assets: DataFrame, chunk_size: int = 64) -> DataFrame:
             yield pa.RecordBatch.from_pydict(out, schema=arrow_schema)
 
     return assets.mapInArrow(op, schema=CHUNK_SCHEMA)
+
+
+def encode_bmp_pattern(width: int, height: int, value_fn) -> bytes:
+    """Patterned 24-bpp BMP fixture builder: ``value_fn(x, y)`` gives the
+    gray value (0-255) of pixel (x, y) with y=0 the TOP row (the builder
+    flips into the format's bottom-up order). Patterned fixtures are what
+    make perceptual-hash tests meaningful — uniform images all hash to
+    the same degenerate signature."""
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for y in reversed(range(height)):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            v = int(value_fn(x, y)) & 0xFF
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - width * 3)
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def _ahash_bits(payload: bytes, hash_size: int = 8) -> str:
+    """Average-hash of a decoded BMP: block-average the image down to
+    hash_size x hash_size (exact integer sums over each block's BGR
+    bytes), threshold each block at the mean of the block means. Returns
+    a row-major '01' string of hash_size^2 bits — the same signature
+    representation as ``dedup.simhash_signatures``, so the banded
+    Hamming machinery is shared."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _hdr, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP supported")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    sums = [[0] * hash_size for _ in range(hash_size)]
+    cnts = [[0] * hash_size for _ in range(hash_size)]
+    for y in range(height):
+        # stored row y is image row y for top-down, height-1-y otherwise
+        iy = y if top_down else height - 1 - y
+        by = iy * hash_size // height
+        row = payload[data_offset + y * stride : data_offset + y * stride + width * 3]
+        for x in range(width):
+            bx = x * hash_size // width
+            sums[by][bx] += row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
+            cnts[by][bx] += 3
+    means = [
+        [sums[by][bx] / cnts[by][bx] for bx in range(hash_size)]
+        for by in range(hash_size)
+    ]
+    gmean = sum(sum(r) for r in means) / (hash_size * hash_size)
+    return "".join(
+        "1" if means[by][bx] > gmean else "0"
+        for by in range(hash_size)
+        for bx in range(hash_size)
+    )
+
+
+def image_ahash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash per image asset -> (doc_id, ahash) with
+    ``ahash`` a 64-char '01' string (hash_size=8). Arrow-batched
+    mapInPandas over the payload bytes — partition-parallel, driver
+    never sees a pixel; with PIL present the same contract would wrap
+    any raster format. Compose with ``dedup.hamming_band_pairs`` for
+    near-dup candidate generation (see ``image_near_dup_pairs``)."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": [
+                        _ahash_bits(bytes(p), hash_size) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id bigint, ahash string"
+    )
+
+
+def image_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming) by banded
+    Hamming over the 64-bit average-hash — the image face of the SimHash
+    text path, riding the identical exact-under-banding machinery
+    (``dedup.hamming_band_pairs``): decode + hash are the only
+    modality-specific steps, everything after is the shared shuffle-lean
+    inverted-index plan."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        image_ahash(assets),
+        sig_col="ahash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )

@@ -480,3 +480,43 @@ def test_binaryfile_doc_ids_stable(spark, tmp_path):
     a = multimodal.read_binary_assets(spark, str(d)).select("doc_id").collect()
     b = multimodal.read_binary_assets(spark, str(d)).select("doc_id").collect()
     assert a == b and len(a) == 1
+
+
+def test_image_ahash_near_dup_pairs(spark):
+    """Perceptual near-dup over real decoded BMPs: a one-block edit is
+    Hamming-1 from the original; the inverted image is Hamming-64 and
+    must not pair. Block math is hand-checkable: 32x32 px, 8x8 blocks of
+    4x4, checkerboard blocks sit at 0/255 so only the edited block's bit
+    can flip."""
+    from les_etl_pipeline_spark.operators import multimodal as MM
+
+    def checker(x, y):
+        return 255 if (x // 4 + y // 4) % 2 == 0 else 0
+
+    def edited(x, y):  # one block (top-left) flipped to black
+        return 0 if (x < 4 and y < 4) else checker(x, y)
+
+    def inverted(x, y):
+        return 255 - checker(x, y)
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(MM.encode_bmp_pattern(32, 32, checker))),
+            (2, bytearray(MM.encode_bmp_pattern(32, 32, edited))),
+            (3, bytearray(MM.encode_bmp_pattern(32, 32, inverted))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    hashes = {r.doc_id: r.ahash for r in MM.image_ahash(assets).collect()}
+    expect_checker = "".join(
+        "1" if (bx + by) % 2 == 0 else "0" for by in range(8) for bx in range(8)
+    )
+    assert hashes[1] == expect_checker
+    assert hashes[3] == "".join("1" if c == "0" else "0" for c in expect_checker)
+    assert sum(a != b for a, b in zip(hashes[1], hashes[2])) == 1
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.image_near_dup_pairs(assets, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 1}
