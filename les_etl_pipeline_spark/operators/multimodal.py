@@ -430,3 +430,93 @@ def image_near_dup_pairs(
         n_bands=n_bands,
         max_bucket=max_bucket,
     )
+
+
+def encode_wav_pattern(n_frames: int, amp_fn, sample_rate: int = 8000) -> bytes:
+    """Amplitude-patterned 16-bit mono PCM WAV: frame i is a ±amp_fn(i)
+    square wave (period 2). Patterned fixtures make the envelope hash
+    meaningful — constant-amplitude audio has a degenerate (all-zero)
+    envelope signature, exactly like uniform images for aHash."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_frames):
+            a = int(amp_fn(i))
+            v = a if i % 2 == 0 else -a
+            frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _envelope_bits(payload: bytes, n_windows: int = 64) -> str:
+    """Energy-envelope hash of a 16-bit PCM WAV: split the frame
+    sequence into ``n_windows`` equal windows (channel samples averaged
+    per frame), window energy = mean squared amplitude, bit = energy >
+    mean of window energies. Returns an ``n_windows``-char '01' string —
+    the same signature representation as text SimHash and image aHash,
+    so all three modalities share ``dedup.hamming_band_pairs``."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"only 16-bit PCM supported (sampwidth={sw})")
+    samples = [s for (s,) in struct.iter_unpack("<h", raw[: (len(raw) // 2) * 2])]
+    frames = [
+        sum(samples[i : i + nch]) / nch for i in range(0, len(samples) - nch + 1, nch)
+    ]
+    if not frames:
+        return "0" * n_windows
+    n = len(frames)
+    energies = []
+    for wi in range(n_windows):
+        lo, hi = wi * n // n_windows, (wi + 1) * n // n_windows
+        chunk = frames[lo:hi] or [0.0]
+        energies.append(sum(v * v for v in chunk) / len(chunk))
+    gmean = sum(energies) / n_windows
+    return "".join("1" if e > gmean else "0" for e in energies)
+
+
+def audio_envelope_hash(assets: DataFrame, n_windows: int = 64) -> DataFrame:
+    """Per-asset energy-envelope hash -> (doc_id, ehash '01' string).
+    Arrow-batched mapInPandas over payload bytes, partition-parallel."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ehash": [
+                        _envelope_bits(bytes(p), n_windows) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id bigint, ehash string"
+    )
+
+
+def audio_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate audio pairs by banded Hamming over the 64-bit
+    energy envelope — third modality on the shared machinery: text
+    SimHash, image aHash, audio envelope all reduce to the same
+    '01'-signature contract and the same exact-under-banding plan."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        audio_envelope_hash(assets),
+        sig_col="ehash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )

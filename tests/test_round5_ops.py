@@ -520,3 +520,40 @@ def test_image_ahash_near_dup_pairs(spark):
         for r in MM.image_near_dup_pairs(assets, max_hamming=3).collect()
     }
     assert pairs == {(1, 2): 1}
+
+
+def test_audio_envelope_near_dup_pairs(spark):
+    """Audio face of the shared banding machinery: 6400 frames = 64
+    windows of 100; loud/quiet alternating windows give a checkerboard
+    envelope, editing ONE window is Hamming-1, inverting all windows is
+    Hamming-64 and must not pair."""
+    from les_etl_pipeline_spark.operators import multimodal as MM
+
+    def pattern(i):
+        return 20000 if (i // 100) % 2 == 0 else 1000
+
+    def edited(i):  # window 0 silenced
+        return 1000 if i < 100 else pattern(i)
+
+    def inverted(i):
+        return 1000 if (i // 100) % 2 == 0 else 20000
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(MM.encode_wav_pattern(6400, pattern))),
+            (2, bytearray(MM.encode_wav_pattern(6400, edited))),
+            (3, bytearray(MM.encode_wav_pattern(6400, inverted))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    hashes = {r.doc_id: r.ehash for r in MM.audio_envelope_hash(assets).collect()}
+    expect = "".join("1" if w % 2 == 0 else "0" for w in range(64))
+    assert hashes[1] == expect
+    assert hashes[3] == "".join("1" if c == "0" else "0" for c in expect)
+    assert sum(a != b for a, b in zip(hashes[1], hashes[2])) == 1
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.audio_near_dup_pairs(assets, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 1}
