@@ -1038,6 +1038,7 @@ def duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exact duplicated-substring spans, the character-level dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1062,21 +1063,23 @@ def duplicated_spans(
     (same asymptotics as a suffix array build); the duplicate test is one
     hash-keyed groupBy + equi-join back (each position matches exactly
     one gram row — no fan-out), and the merge window partitions by doc.
-    At 100 TB swap the md5 gram key for xxhash64 (cheaper, same plan) —
-    md5 is kept here because the DuckDB oracle replays it literally.
+    The gram key is xxhash64 (8-byte shuffle key, cheap) — the hash is
+    INTERNAL, so the result is identical under any injective-in-practice
+    keying and the DuckDB oracle may key by md5 instead (the same
+    argument as ``ngram_jaccard_pairs``' 64-bit shingle keys: collisions
+    ~2^-64 could only merge two distinct grams). ``hash_fn="md5"`` keeps
+    the plan literally oracle-identical for A/B and audits.
     """
     base = docs.select(id_col, text_col).where(F.length(text_col) >= gram_len)
+    gram = F.col("_t").substr(F.col("i"), F.lit(gram_len))
+    key = F.xxhash64(gram) if hash_fn == "xxhash64" else F.md5(gram)
     pos = base.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
         F.explode(
             F.sequence(F.lit(1), F.length(text_col) - F.lit(gram_len - 1))
         ).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.col("_t").substr(F.col("i"), F.lit(gram_len))).alias("g"),
-    )
+    ).select("doc_id", "i", key.alias("g"))
     dup_grams = (
         pos.groupBy("g")
         .agg(F.count("*").alias("c"))

@@ -361,3 +361,48 @@ def winnowing_fingerprints(
         F.expr("CAST(sel DIV 1048576 AS BIGINT)").alias("fp_hash"),
         (F.lit(1048575) - F.col("sel") % 1048576).cast("int").alias("fp_pos"),
     ).distinct()
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """gzip-ratio quality signal (the CCNet/RefinedWeb-family heuristic):
+    ratio = deflate(text) / raw bytes. Very LOW ratios flag boilerplate /
+    template spam (highly compressible), very HIGH ratios flag
+    noise/binary-ish junk — both standard cut candidates before LM
+    filtering. Returns (doc_id, raw_bytes, gz_bytes, ratio).
+
+    zlib has no Spark/SQL native, so this is a sanctioned Python path:
+    Arrow-batched mapInPandas (like the multimodal decoders), compression
+    executor-side, partition-parallel — the driver never sees text.
+    Deterministic for a fixed ``level`` (pinned against driver-side zlib
+    in ``tests/test_llm_data12.py``). Not oracle-expressible (DuckDB has
+    no deflate either) — pytest-verified, not registry-paired."""
+    import pandas as _pd
+
+    cols = (id_col, text_col)
+
+    def op(batches):
+        import zlib
+
+        for pdf in batches:
+            raws, gzs = [], []
+            for t in pdf[cols[1]]:
+                b = (t or "").encode("utf-8")
+                raws.append(len(b))
+                gzs.append(len(zlib.compress(b, level)))
+            yield _pd.DataFrame(
+                {"doc_id": pdf[cols[0]], "raw_bytes": raws, "gz_bytes": gzs}
+            )
+
+    out = docs.select(*cols).mapInPandas(
+        op, schema="doc_id bigint, raw_bytes bigint, gz_bytes bigint"
+    )
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        "gz_bytes",
+        F.when(F.col("raw_bytes") > 0, F.col("gz_bytes") / F.col("raw_bytes"))
+        .otherwise(F.lit(0.0))
+        .alias("ratio"),
+    )

@@ -146,3 +146,30 @@ def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
                     best = (score, c)
             sel.append(best[1])
         assert [c for _, c in sorted(got[q])] == sel, q
+
+
+def test_compression_ratio_signal(spark, sf_dir):
+    """Distributed zlib ratios must equal driver-side zlib exactly, and
+    the signal must order as the heuristic promises: templated repetition
+    compresses far below prose, random hex far above it."""
+    import zlib
+
+    from les_etl_pipeline_spark.operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    got = {r.doc_id: (r.raw_bytes, r.gz_bytes) for r in
+           text_ops.compression_ratio(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        assert got[r.doc_id] == (len(b), len(zlib.compress(b, 6))), r.doc_id
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "lorem ipsum " * 200),
+            (2, "".join(f"{i * 2654435761 % 2**32:08x}" for i in range(300))),
+        ],
+        "doc_id bigint, text string",
+    )
+    ratios = {r.doc_id: r.ratio for r in
+              text_ops.compression_ratio(crafted).collect()}
+    assert ratios[1] < 0.1 < 0.5 < ratios[2]
