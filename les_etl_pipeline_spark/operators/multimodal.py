@@ -520,3 +520,49 @@ def audio_near_dup_pairs(
         n_bands=n_bands,
         max_bucket=max_bucket,
     )
+
+
+def synth_image_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 10,
+    flip_every: int = 3,
+) -> DataFrame:
+    """Deterministic BMP corpus keyed on doc ids — the fixture generator
+    that makes the image near-dup pipeline REGISTRY-GRADABLE end to end:
+    each doc's 32x32 image is an 8x8 block pattern of the 64 md5 bits of
+    its id-group key (same bit-extraction convention as
+    ``dedup.simhash_signatures``'s oracle), with every ``flip_every``-th
+    doc getting ONE block inverted (bit ``doc_id % 64``). Docs in the
+    same group are therefore Hamming <= 2 apart in aHash space, docs in
+    different groups ~32 — so the closed-form DuckDB oracle can predict
+    the full encode -> decode -> block-average -> threshold -> banded
+    Hamming output exactly. mapInPandas: encoding runs executor-side,
+    the driver never sees payload bytes."""
+    import hashlib
+
+    import pandas as _pd
+
+    def bits_for(did: int) -> list[int]:
+        h = hashlib.md5(str(did // group_size).encode()).hexdigest()
+        bits = [(int(h[j // 4], 16) >> (3 - j % 4)) & 1 for j in range(64)]
+        if did % flip_every == 0:
+            k = did % 64
+            bits[k] ^= 1
+        return bits
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                bits = bits_for(int(did))
+
+                def val(x, y, _b=bits):
+                    return 255 if _b[(y // 4) * 8 + (x // 4)] else 0
+
+                payloads.append(encode_bmp_pattern(32, 32, val))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, schema="doc_id bigint, payload binary"
+    )

@@ -218,3 +218,45 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "selected_id", "step", hround(F.col("score"), 6).alias("score")
     )
+
+
+_IMG_ORACLE = """
+    WITH ids AS (SELECT doc_id FROM documents),
+    bits AS (
+      SELECT doc_id, j,
+             CAST(floor(CAST(('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)),
+                                             (j // 4) + 1, 1)) AS INT)
+                  / power(2, 3 - j % 4)) AS INT) % 2 AS bit0
+      FROM ids, generate_series(0, 63) g(j)
+    ), fbits AS (
+      SELECT doc_id, j,
+             CASE WHEN doc_id % 3 = 0 AND j = doc_id % 64
+                  THEN 1 - bit0 ELSE bit0 END AS bit
+      FROM bits
+    ), ham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS h
+      FROM fbits a JOIN fbits b ON a.j = b.j AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(h AS INT) AS hamming FROM ham WHERE h <= 2
+"""
+
+
+@register("multimodal_image_near_dup", oracle=_IMG_ORACLE)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BINARY near-dup, registry-graded: synthesize a real
+    BMP per doc (32x32, 8x8 blocks = the 64 md5 bits of the doc's
+    id-group, every 3rd doc one block inverted), then run the actual
+    byte pipeline — stdlib BMP decode, block-average aHash, banded
+    Hamming (`multimodal.image_near_dup_pairs`). Because uniform 0/255
+    blocks recover their bits exactly through the decode->average->
+    threshold chain, the closed-form oracle predicts the whole
+    pipeline's output without touching a byte — the strongest check a
+    binary operator can get from a SQL engine with no image stack."""
+    from ..operators import multimodal
+
+    assets = multimodal.synth_image_assets(
+        table(spark, sf_dir, "documents"), group_size=10, flip_every=3
+    )
+    return multimodal.image_near_dup_pairs(assets, max_hamming=2)
