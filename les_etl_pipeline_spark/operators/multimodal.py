@@ -522,6 +522,21 @@ def audio_near_dup_pairs(
     )
 
 
+def _group_bits(did: int, group_size: int, flip_every: int) -> list[int]:
+    """64 md5 bits of the doc's id-group key (the bit-extraction
+    convention of ``dedup.simhash_signatures``'s oracle), with bit
+    ``did % 64`` inverted for every ``flip_every``-th doc. Shared by the
+    image AND audio synth generators — both media encode the SAME bit
+    pattern, which is why one closed-form oracle covers both."""
+    import hashlib
+
+    h = hashlib.md5(str(did // group_size).encode()).hexdigest()
+    bits = [(int(h[j // 4], 16) >> (3 - j % 4)) & 1 for j in range(64)]
+    if did % flip_every == 0:
+        bits[did % 64] ^= 1
+    return bits
+
+
 def synth_image_assets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -539,28 +554,51 @@ def synth_image_assets(
     the full encode -> decode -> block-average -> threshold -> banded
     Hamming output exactly. mapInPandas: encoding runs executor-side,
     the driver never sees payload bytes."""
-    import hashlib
-
     import pandas as _pd
-
-    def bits_for(did: int) -> list[int]:
-        h = hashlib.md5(str(did // group_size).encode()).hexdigest()
-        bits = [(int(h[j // 4], 16) >> (3 - j % 4)) & 1 for j in range(64)]
-        if did % flip_every == 0:
-            k = did % 64
-            bits[k] ^= 1
-        return bits
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                bits = bits_for(int(did))
+                bits = _group_bits(int(did), group_size, flip_every)
 
                 def val(x, y, _b=bits):
                     return 255 if _b[(y // 4) * 8 + (x // 4)] else 0
 
                 payloads.append(encode_bmp_pattern(32, 32, val))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, schema="doc_id bigint, payload binary"
+    )
+
+
+def synth_audio_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 10,
+    flip_every: int = 3,
+    frames_per_window: int = 100,
+) -> DataFrame:
+    """Audio twin of ``synth_image_assets``: a real 16-bit PCM WAV per
+    doc whose 64-window energy envelope encodes the same ``_group_bits``
+    pattern (loud window = bit 1, quiet = bit 0; square waves have
+    exactly-A^2 window energy, so the envelope hash recovers the bits
+    exactly). One oracle therefore grades both modalities end to end."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                bits = _group_bits(int(did), group_size, flip_every)
+
+                def amp(i, _b=bits):
+                    return 20000 if _b[i // frames_per_window] else 1000
+
+                payloads.append(
+                    encode_wav_pattern(64 * frames_per_window, amp)
+                )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(

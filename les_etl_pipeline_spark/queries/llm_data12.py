@@ -260,3 +260,18 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), group_size=10, flip_every=3
     )
     return multimodal.image_near_dup_pairs(assets, max_hamming=2)
+
+
+@register("multimodal_audio_near_dup", oracle=_IMG_ORACLE)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of ``multimodal_image_near_dup``, same oracle: the
+    synth WAVs encode the identical ``_group_bits`` patterns through
+    their energy envelope, so one closed form predicts the end-to-end
+    output of BOTH binary pipelines (stdlib WAV decode, envelope hash,
+    banded Hamming) — modality changes, contract doesn't."""
+    from ..operators import multimodal
+
+    assets = multimodal.synth_audio_assets(
+        table(spark, sf_dir, "documents"), group_size=10, flip_every=3
+    )
+    return multimodal.audio_near_dup_pairs(assets, max_hamming=2)
