@@ -604,3 +604,166 @@ def synth_audio_assets(
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, schema="doc_id bigint, payload binary"
     )
+
+
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Minimal deterministic video container: b'VID0' + u32 frame count
+    + (u32 length, BMP payload) per frame. Real containers (mp4/webm)
+    need ffmpeg/PyAV — absent here; this keeps the frame-sampling and
+    signature plumbing real and byte-level while the codec is the one
+    swapped-in piece (same contract as the BMP/WAV decoders)."""
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def decode_video_frames(payload: bytes, every_k: int = 1) -> list[tuple[int, bytes]]:
+    """Parse the container and return every ``every_k``-th frame as
+    (frame_idx, bmp_bytes) — frame SAMPLING happens at decode so
+    unsampled frames are never materialized downstream."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 payload (real codecs unavailable here)")
+    n = struct.unpack_from("<I", payload, 4)[0]
+    off, frames = 8, []
+    for i in range(n):
+        ln = struct.unpack_from("<I", payload, off)[0]
+        off += 4
+        if i % every_k == 0:
+            frames.append((i, payload[off : off + ln]))
+        off += ln
+    return frames
+
+
+def video_frame_sample(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Explode each video asset into its sampled frames ->
+    (doc_id, frame_idx, payload). mapInPandas: container parsing and the
+    sampling predicate run executor-side; one output row per SAMPLED
+    frame only."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, f in decode_video_frames(bytes(p), every_k):
+                    ids.append(did)
+                    idxs.append(i)
+                    payloads.append(f)
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        op, schema="doc_id bigint, frame_idx int, payload binary"
+    )
+
+
+def video_signature(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Temporal video signature: aHash every sampled frame, then
+    MAJORITY-VOTE each of the 64 bits across the sampled frames — one
+    corrupted/cut frame cannot flip a bit as long as the sampled
+    majority agrees (the standard robust-video-hash construction).
+    Returns (doc_id, vhash '01' string). All post-decode steps are
+    native Column expressions: per-position explode, one groupBy
+    majority, one ordered re-assembly — no Python past the decoder."""
+    frames = video_frame_sample(assets, every_k)
+    hashed = image_ahash(
+        frames.select("doc_id", "frame_idx", "payload").withColumnRenamed(
+            "frame_idx", "_fi"
+        )
+    )
+    # image_ahash keys by doc_id; frames of one video share it, which is
+    # exactly what the majority groupBy wants
+    bits = hashed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.substring("ahash", 1, 64)
+                    .substr(j + F.lit(1), F.lit(1))
+                    .cast("int")
+                    .alias("bit"),
+                ),
+            )
+        ).alias("pb"),
+    ).select("doc_id", "pb.j", "pb.bit")
+    maj = bits.groupBy("doc_id", "j").agg(
+        (F.sum("bit") * 2 > F.count(F.lit(1))).cast("int").alias("mb")
+    )
+    return maj.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mb"))),
+                lambda x: x["mb"].cast("string"),
+            ),
+            "",
+        ).alias("vhash")
+    )
+
+
+def video_near_dup_pairs(
+    assets: DataFrame,
+    every_k: int = 2,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate video pairs — FOURTH modality on
+    ``dedup.hamming_band_pairs``: frame-sample, per-frame aHash,
+    majority-vote temporal signature, banded Hamming."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        video_signature(assets, every_k),
+        sig_col="vhash",
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )
+
+
+def synth_video_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 10,
+    flip_every: int = 3,
+    n_frames: int = 5,
+) -> DataFrame:
+    """Video twin of the image/audio synth corpora: ``n_frames`` static
+    frames of the doc's ``_group_bits`` pattern with ONE fully-INVERTED
+    frame (index ``doc_id % n_frames`` — a scene cut / corruption), so
+    the majority-vote signature must survive it. With every_k=2 the
+    3-frame sample contains at most one inverted frame and the majority
+    recovers the pattern exactly — which is what lets the SAME
+    closed-form oracle grade video end to end as well."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                bits = _group_bits(int(did), group_size, flip_every)
+                bad = int(did) % n_frames
+                frames = []
+                for fi in range(n_frames):
+                    fb = [1 - b for b in bits] if fi == bad else bits
+
+                    def val(x, y, _b=fb):
+                        return 255 if _b[(y // 4) * 8 + (x // 4)] else 0
+
+                    frames.append(encode_bmp_pattern(32, 32, val))
+                payloads.append(encode_video(frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, schema="doc_id bigint, payload binary"
+    )

@@ -275,3 +275,19 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), group_size=10, flip_every=3
     )
     return multimodal.audio_near_dup_pairs(assets, max_hamming=2)
+
+
+@register("multimodal_video_near_dup", oracle=_IMG_ORACLE)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video, same oracle as image/audio: each synth video is n_frames
+    static renderings of its ``_group_bits`` pattern plus ONE fully
+    inverted frame (scene cut), and the majority-vote temporal signature
+    must absorb it — so the closed form that predicts the bit patterns
+    also predicts the whole frame-sample -> per-frame aHash -> majority
+    -> banded-Hamming pipeline. Fourth modality, one contract."""
+    from ..operators import multimodal
+
+    assets = multimodal.synth_video_assets(
+        table(spark, sf_dir, "documents"), group_size=10, flip_every=3, n_frames=5
+    )
+    return multimodal.video_near_dup_pairs(assets, every_k=2, max_hamming=2)

@@ -557,3 +557,30 @@ def test_audio_envelope_near_dup_pairs(spark):
         for r in MM.audio_near_dup_pairs(assets, max_hamming=3).collect()
     }
     assert pairs == {(1, 2): 1}
+
+
+def test_video_signature_majority_absorbs_corrupt_frame(spark):
+    """The temporal signature must equal the clean frame pattern even
+    when one sampled frame is fully inverted, and frame sampling must
+    only materialize every_k-th frame."""
+    from les_etl_pipeline_spark.operators import multimodal as MM
+
+    def checker(x, y):
+        return 255 if (x // 4 + y // 4) % 2 == 0 else 0
+
+    def inverted(x, y):
+        return 255 - checker(x, y)
+
+    clean = MM.encode_bmp_pattern(32, 32, checker)
+    bad = MM.encode_bmp_pattern(32, 32, inverted)
+    vids = spark.createDataFrame(
+        [(1, bytearray(MM.encode_video([clean, clean, bad, clean, clean])))],
+        "doc_id bigint, payload binary",
+    )
+    sampled = MM.video_frame_sample(vids, every_k=2).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2, 4]
+    expect = "".join(
+        "1" if (bx + by) % 2 == 0 else "0" for by in range(8) for bx in range(8)
+    )
+    sig = MM.video_signature(vids, every_k=2).collect()
+    assert sig[0].vhash == expect  # 2-of-3 majority absorbed the inversion
