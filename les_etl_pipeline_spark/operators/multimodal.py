@@ -360,27 +360,23 @@ def _ahash_bits(payload: bytes, hash_size: int = 8) -> str:
     top_down = height < 0
     height = abs(height)
     stride = (width * 3 + 3) // 4 * 4
-    sums = [[0] * hash_size for _ in range(hash_size)]
-    cnts = [[0] * hash_size for _ in range(hash_size)]
-    for y in range(height):
-        # stored row y is image row y for top-down, height-1-y otherwise
-        iy = y if top_down else height - 1 - y
-        by = iy * hash_size // height
-        row = payload[data_offset + y * stride : data_offset + y * stride + width * 3]
-        for x in range(width):
-            bx = x * hash_size // width
-            sums[by][bx] += row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
-            cnts[by][bx] += 3
-    means = [
-        [sums[by][bx] / cnts[by][bx] for bx in range(hash_size)]
-        for by in range(hash_size)
-    ]
-    gmean = sum(sum(r) for r in means) / (hash_size * hash_size)
-    return "".join(
-        "1" if means[by][bx] > gmean else "0"
-        for by in range(hash_size)
-        for bx in range(hash_size)
-    )
+    import numpy as np
+
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3]
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up -> image order
+    # per-pixel BGR sum, then block sums on the same lo = b*dim//hs
+    # boundaries the scalar loop used (i*hs//dim maps into exactly these)
+    pix = rows.reshape(height, width, 3).sum(axis=2, dtype=np.int64)
+    yb = [b * height // hash_size for b in range(hash_size + 1)]
+    xb = [b * width // hash_size for b in range(hash_size + 1)]
+    sums = np.add.reduceat(np.add.reduceat(pix, yb[:-1], axis=0), xb[:-1], axis=1)
+    cnts = np.outer(np.diff(yb), np.diff(xb)) * 3
+    means = sums / np.maximum(cnts, 1)  # block byte-sum / byte-count
+    gmean = float(means.sum()) / (hash_size * hash_size)
+    return "".join("1" if m > gmean else "0" for m in means.ravel())
 
 
 def image_ahash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
@@ -463,19 +459,20 @@ def _envelope_bits(payload: bytes, n_windows: int = 64) -> str:
         raw = w.readframes(nframes)
     if sw != 2:
         raise ValueError(f"only 16-bit PCM supported (sampwidth={sw})")
-    samples = [s for (s,) in struct.iter_unpack("<h", raw[: (len(raw) // 2) * 2])]
-    frames = [
-        sum(samples[i : i + nch]) / nch for i in range(0, len(samples) - nch + 1, nch)
-    ]
-    if not frames:
+    import numpy as np
+
+    samples = np.frombuffer(raw, dtype="<i2", count=(len(raw) // 2) // nch * nch)
+    if samples.size == 0:
         return "0" * n_windows
+    frames = samples.reshape(-1, nch).sum(axis=1, dtype=np.int64) / nch
     n = len(frames)
-    energies = []
-    for wi in range(n_windows):
-        lo, hi = wi * n // n_windows, (wi + 1) * n // n_windows
-        chunk = frames[lo:hi] or [0.0]
-        energies.append(sum(v * v for v in chunk) / len(chunk))
-    gmean = sum(energies) / n_windows
+    # window boundaries lo = w*n//n_windows, identical to the scalar loop
+    bounds = [w * n // n_windows for w in range(n_windows + 1)]
+    cums = np.concatenate(([0.0], np.cumsum(frames * frames)))
+    sums = cums[bounds[1:]] - cums[np.asarray(bounds[:-1])]
+    cnts = np.diff(bounds)
+    energies = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+    gmean = float(energies.sum()) / n_windows
     return "".join("1" if e > gmean else "0" for e in energies)
 
 
@@ -559,13 +556,12 @@ def synth_image_assets(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
+            import numpy as np
+
             for did in pdf["doc_id"]:
                 bits = _group_bits(int(did), group_size, flip_every)
-
-                def val(x, y, _b=bits):
-                    return 255 if _b[(y // 4) * 8 + (x // 4)] else 0
-
-                payloads.append(encode_bmp_pattern(32, 32, val))
+                blocks = np.array(bits, dtype=np.uint8).reshape(8, 8) * 255
+                payloads.append(_bmp_from_gray(np.kron(blocks, np.ones((4, 4), np.uint8))))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -590,15 +586,14 @@ def synth_audio_assets(
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
+            import numpy as np
+
             for did in pdf["doc_id"]:
                 bits = _group_bits(int(did), group_size, flip_every)
-
-                def amp(i, _b=bits):
-                    return 20000 if _b[i // frames_per_window] else 1000
-
-                payloads.append(
-                    encode_wav_pattern(64 * frames_per_window, amp)
+                amps = np.repeat(
+                    np.array(bits, dtype=np.int64) * 19000 + 1000, frames_per_window
                 )
+                payloads.append(_wav_from_amplitudes(amps))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
@@ -748,22 +743,61 @@ def synth_video_assets(
     import pandas as _pd
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 bits = _group_bits(int(did), group_size, flip_every)
                 bad = int(did) % n_frames
-                frames = []
-                for fi in range(n_frames):
-                    fb = [1 - b for b in bits] if fi == bad else bits
-
-                    def val(x, y, _b=fb):
-                        return 255 if _b[(y // 4) * 8 + (x // 4)] else 0
-
-                    frames.append(encode_bmp_pattern(32, 32, val))
+                base = np.array(bits, dtype=np.uint8).reshape(8, 8) * 255
+                good_bmp = _bmp_from_gray(np.kron(base, np.ones((4, 4), np.uint8)))
+                bad_bmp = _bmp_from_gray(np.kron(255 - base, np.ones((4, 4), np.uint8)))
+                frames = [
+                    bad_bmp if fi == bad else good_bmp for fi in range(n_frames)
+                ]
                 payloads.append(encode_video(frames))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
         op, schema="doc_id bigint, payload binary"
     )
+
+
+def _bmp_from_gray(arr) -> bytes:
+    """Vectorized BMP builder: 2D uint8 gray array (row 0 = top) ->
+    byte-identical output to ``encode_bmp_pattern`` with the same
+    values (pinned by test). numpy path for the synth corpus generators,
+    which would otherwise spend their time in per-pixel struct calls."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    height, width = a.shape
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = np.repeat(a[::-1], 3, axis=1)  # bottom-up, BGR
+    pixels = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def _wav_from_amplitudes(amps, sample_rate: int = 8000) -> bytes:
+    """Vectorized WAV builder: per-frame amplitude array -> the ±amp
+    period-2 square wave ``encode_wav_pattern`` produces, byte-identical
+    (pinned by test)."""
+    import numpy as np
+
+    a = np.asarray(amps, dtype=np.int64)
+    signs = np.where(np.arange(len(a)) % 2 == 0, 1, -1)
+    samples = (a * signs).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()

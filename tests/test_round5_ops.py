@@ -584,3 +584,28 @@ def test_video_signature_majority_absorbs_corrupt_frame(spark):
     )
     sig = MM.video_signature(vids, every_k=2).collect()
     assert sig[0].vhash == expect  # 2-of-3 majority absorbed the inversion
+
+
+def test_fast_media_builders_byte_identical():
+    """The numpy synth builders must produce byte-identical files to the
+    scalar reference builders — the synth corpus (and thus the
+    registry-graded multimodal queries) must not depend on which path
+    built it."""
+    import numpy as np
+
+    from les_etl_pipeline_spark.operators import multimodal as MM
+
+    bits = [(i * 7 + 3) % 3 == 0 for i in range(64)]
+    blocks = np.array(bits, dtype=np.uint8).reshape(8, 8) * 255
+    fast = MM._bmp_from_gray(np.kron(blocks, np.ones((4, 4), np.uint8)))
+    slow = MM.encode_bmp_pattern(
+        32, 32, lambda x, y: 255 if bits[(y // 4) * 8 + (x // 4)] else 0
+    )
+    assert fast == slow
+
+    amps = np.repeat(np.array(bits, dtype=np.int64) * 19000 + 1000, 100)
+    fastw = MM._wav_from_amplitudes(amps)
+    sloww = MM.encode_wav_pattern(
+        6400, lambda i: 20000 if bits[i // 100] else 1000
+    )
+    assert fastw == sloww

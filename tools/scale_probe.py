@@ -89,6 +89,12 @@ def main() -> None:
         "corpus_global_shuffle",
         "text_ngram_novelty",
         "dedup_incremental_batch",
+        # round-8 multimodal tier: one fixed-size synthetic asset per
+        # doc, so the slope tracks doc count (decode + signature are
+        # per-asset constants)
+        "multimodal_image_near_dup",
+        "multimodal_audio_near_dup",
+        "multimodal_video_near_dup",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
