@@ -780,6 +780,9 @@ def mmr_rerank(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist: str = "exact",
+    ivf_n_cells: int = 8,
+    ivf_n_probe: int = 2,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
     greedily pick k results from the exact top-``n_cand`` cosine
@@ -800,14 +803,26 @@ def mmr_rerank(
     chosen by the caller, so the whole rerank is O(queries * n_cand^2)
     — independent of corpus size."""
     mu = 1.0 - lam
+    # candidate stage is PLUGGABLE: exact brute-force top-n_cand, or the
+    # IVF tier (broadcast centroids, probed cells only) — the greedy
+    # re-rank below is identical either way. Both emit RAW cosines,
+    # which the oracles replay bit-exactly.
+    if shortlist == "ivf":
+        cand = ivf_topk(
+            df, query_pred, k=n_cand, id_col=id_col, vec_col=vec_col,
+            n_cells=ivf_n_cells, n_probe=ivf_n_probe,
+        )
+    else:
+        cand = cosine_topk(df, query_pred, k=n_cand, id_col=id_col, vec_col=vec_col)
     # localCheckpoint the two data-scale frames: the k unrolled stages
     # below reference them in a union pyramid, and without a lineage cut
     # Spark re-executes the corpus top-k once per PATH through that
     # pyramid (~2^k times) — the connected-components lesson. After the
     # cut each greedy stage reads a queries*n_cand-row in-memory table.
     short = (
-        cosine_topk(df, query_pred, k=n_cand, id_col=id_col, vec_col=vec_col)
-        .select("query_id", F.col("neighbor_id").alias("cid"), F.col("cos").alias("rel"))
+        cand.select(
+            "query_id", F.col("neighbor_id").alias("cid"), F.col("cos").alias("rel")
+        )
         .localCheckpoint()
     )
     e = with_norm(df.select(id_col, vec_col), vec_col).select(

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "similarity_hard_negatives_ivf": "bounded query x n_cells centroid fan-out (broadcast)",
     "embedding_random_projection_topk": "bounded broadcast of the small query set",
     "similarity_mmr_rerank": "bounded broadcast of the small query set",
+    "similarity_mmr_rerank_ivf": "bounded query x n_cells centroid fan-out (broadcast)",
 }
 
 #: queries allowed ordered-UNPARTITIONED windows: per query, a list of
