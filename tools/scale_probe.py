@@ -95,6 +95,7 @@ def main() -> None:
         "multimodal_image_near_dup",
         "multimodal_audio_near_dup",
         "multimodal_video_near_dup",
+        "similarity_mmr_rerank_ivf",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
