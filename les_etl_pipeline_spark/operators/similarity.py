@@ -762,6 +762,19 @@ def random_project(
     signs = rp_sign_matrix(d_in, d_out, seed)
     scale = float(d_out) ** 0.5
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # fail-loud dimension guard (ADVICE r8): zip_with pads a mismatched
+    # vector with nulls, which would yield silently-null projections.
+    # Executor-side raise_error — no driver round-trip, no extra job.
+    vd = F.when(
+        F.size(vd) == F.lit(d_in), vd
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_project: expected d_in={d_in} but vector has length "),
+                F.size(vd).cast("string"),
+            )
+        )
+    )
     e = df.select(F.col(id_col), vd.alias("_vd"))
     proj = F.array(
         *[
@@ -848,6 +861,11 @@ def mmr_rerank(
         .localCheckpoint()
     )
     w1 = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cid"))
+    # each greedy step is localCheckpoint'ed (one row per query — tiny):
+    # step s's plan otherwise re-inlines steps 1..s-1 as a union pyramid,
+    # growing plan size / re-executed window stages exponentially in the
+    # caller-chosen k (ADVICE r8). With the cut each step reads s-1
+    # materialized one-row-per-query tables: plans stay O(1), cost O(k).
     sel = (
         short.withColumn("_rn", F.row_number().over(w1))
         .where(F.col("_rn") == 1)
@@ -857,6 +875,7 @@ def mmr_rerank(
             (F.lit(lam) * F.col("rel")).alias("score"),
             F.lit(1).alias("step"),
         )
+        .localCheckpoint()
     )
     steps = [sel]
     for step in range(2, k + 1):
@@ -890,6 +909,7 @@ def mmr_rerank(
             scored.withColumn("_rn", F.row_number().over(ws))
             .where(F.col("_rn") == 1)
             .select("query_id", "cid", "score", F.lit(step).alias("step"))
+            .localCheckpoint()
         )
     out = steps[0]
     for s in steps[1:]:

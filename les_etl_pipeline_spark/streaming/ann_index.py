@@ -18,11 +18,19 @@ tie-break — the repo-wide contract) against the centroid literals and
 APPENDS (vec_id, cell, vector, norm, batch) rows. State on storage:
 
 - ``centroids``  (cell, cvec)             — n_cells rows, broadcast-sized
-- ``postings``   (vec_id, cell, v, nrm, batch) — the inverted file;
-  its ``batch`` column is the exactly-once ledger (replayed batch = no-op).
-  On a cluster this table is bucketed by ``cell`` so a query's candidate
-  fetch is a pruned bucket read, and segment compaction rides the same
-  pass that would re-shard postings.
+- ``postings``   (vec_id, cell, v, nrm, batch) — the inverted file.
+  ``cell`` is a DATA column everywhere (appends and compaction alike):
+  one uniform layout, no partition-discovery conflicts between per-batch
+  segments and compacted files (ADVICE r8). Compaction clusters files by
+  cell (repartition + sortWithinPartitions), so a probe's cell filter
+  prunes at parquet row-group stats; on a cluster the same pass writes
+  a bucketed-by-``cell`` table for pruned bucket reads.
+
+Exactly-once is provided by ``streaming/_exactly_once.py`` (shared with
+the dedup index): a per-CHECKPOINT high-water-mark ledger plus
+per-(checkpoint, batch) overwrite segments, so replays are idempotent
+and new streams draining into an existing index are not mistaken for
+replays (the ADVICE r8 ledger defect). Ledger commit is the last step.
 
 Per micro-batch cost is O(batch x n_cells) scalar arithmetic + one
 append — no shuffle at all (the argmin is a projection), no index
@@ -44,6 +52,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import hround
 from ..operators.clustering import _assign, kmeans_lloyd_full
 from ..operators.similarity import dot
+from . import _exactly_once as xo
 
 CENTROIDS_SCHEMA = "cell int, cvec array<double>"
 POSTINGS_SCHEMA = (
@@ -89,20 +98,27 @@ def ann_index_sink(
     spark = stream_df.sparkSession
     centroids_path = os.path.join(index_dir, "centroids")
     postings_path = os.path.join(index_dir, "postings")
+    key = xo.ckpt_key(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(postings_path):
-            prev = spark.read.schema(POSTINGS_SCHEMA).parquet(postings_path)
-            if prev.where(F.col("batch") >= batch_id).limit(1).count() > 0:
-                return
+        # exactly-once: per-checkpoint HWM ledger (a new stream's batch 0
+        # into an existing index is real work, not a replay)
+        if xo.committed(index_dir, key, batch_id):
+            return
+        xo.clear_segments([postings_path], key, batch_id)
         e = _doubles(batch_df, id_col, vec_col)
-        if not os.path.exists(centroids_path):
+        # a write-complete marker gates the bootstrap: a crash mid-
+        # centroid-write leaves no marker, and the replay retrains
+        # (deterministic Lloyd on the same batch => identical centroids)
+        # and overwrites; bare exists() would trust a torn write
+        if not xo.is_complete(centroids_path):
             # bootstrap: train the coarse quantizer on this batch only —
             # the offline-retrain slot in production; k x d scalars
             _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
             spark.createDataFrame(
                 [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
             ).write.mode("overwrite").parquet(centroids_path)
+            xo.mark_complete(centroids_path)
         else:
             cents = _load_centroids(spark, centroids_path)
         assigned = _assign(e, cents)
@@ -119,7 +135,10 @@ def ann_index_sink(
             "v",
             nrm.alias("nrm"),
             F.lit(batch_id).cast("bigint").alias("batch"),
-        ).write.mode("append").parquet(postings_path)
+        ).write.mode("overwrite").parquet(
+            xo.segment(postings_path, key, batch_id)
+        )
+        xo.commit(index_dir, key, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(process)
@@ -221,8 +240,8 @@ def delete_vectors(spark, index_dir: str, vec_ids, batch_id: int = 0) -> None:
 def _live_postings(spark, index_dir: str) -> DataFrame:
     """Postings minus tombstones (one broadcast-able anti-join — the
     tombstone set is small between compactions by construction)."""
-    postings = spark.read.schema(POSTINGS_SCHEMA).parquet(
-        os.path.join(index_dir, "postings")
+    postings = xo.read_table(
+        spark, os.path.join(index_dir, "postings"), POSTINGS_SCHEMA
     )
     tomb_path = os.path.join(index_dir, "tombstones")
     if not os.path.exists(tomb_path):
@@ -235,9 +254,15 @@ def _live_postings(spark, index_dir: str) -> DataFrame:
 
 def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int:
     """Fold tombstones into the postings and rewrite the inverted file
-    PARTITIONED BY cell — after compaction a search's candidate fetch
-    is a pruned directory read of its n_probe cells instead of a full
-    postings scan. Returns the number of live rows written.
+    CLUSTERED BY cell — hash-repartitioned on ``cell`` and sorted within
+    each file, so a probe's ``cell IN (...)`` filter prunes at parquet
+    row-group statistics. ``cell`` stays a data column (NOT a partition
+    directory): per-batch segment subdirs and compacted files then share
+    one uniform layout and every reader is a single recursive parquet
+    scan — mixing partitioned and flat writes under one root is what
+    broke partition discovery (ADVICE r8). On a real cluster this same
+    pass writes a bucketed-by-``cell`` table for pruned bucket reads.
+    Returns the number of live rows written.
 
     Staging-rewrite-then-swap (the ``sinks/layout.compact_parquet``
     idiom): the live rows land in ``postings.staging``, then one
@@ -245,14 +270,17 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
     At 100 TB this runs as the periodic maintenance job that also
     merges small append segments (every micro-batch appended one) into
     ``partitions_per_cell`` files per cell."""
-    live = _live_postings(spark, index_dir)
     postings_path = os.path.join(index_dir, "postings")
+    # sweep abandoned-crash segment debris first (single-writer contract:
+    # compaction never runs concurrently with an active drain)
+    xo.drop_uncommitted_segments(index_dir, [postings_path])
+    live = _live_postings(spark, index_dir)
     staging = postings_path + ".staging"
     backup = postings_path + ".old"
     (
         live.repartition(partitions_per_cell * 8, "cell")
+        .sortWithinPartitions("cell")
         .write.mode("overwrite")
-        .partitionBy("cell")
         .parquet(staging)
     )
     n = spark.read.schema(POSTINGS_SCHEMA).parquet(staging).count()

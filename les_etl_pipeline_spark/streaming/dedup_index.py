@@ -15,8 +15,15 @@ join is shuffle-free on the corpus side):
 - ``sizes``     (doc_id, n_sh) — full distinct-shingle-set sizes
   (true Jaccard denominators, exactly as the batch operator)
 - ``verdicts``  (doc_id, verdict, dup_of, best_jaccard, batch) — the
-  output log; its ``batch`` column doubles as the exactly-once ledger
-  (a replayed foreachBatch id is skipped)
+  output log (``batch`` is the per-checkpoint foreachBatch id, kept for
+  observability)
+
+Exactly-once is provided by ``streaming/_exactly_once.py``: a
+per-CHECKPOINT high-water-mark ledger plus per-(checkpoint, batch)
+segment directories written with overwrite, so replays are idempotent
+and a NEW stream draining into an existing index starts cleanly at its
+own batch 0 instead of being mistaken for a replay (the ADVICE r8
+ledger defect). The ledger commit is the last step of each batch.
 
 Per micro-batch cost is O(batch + candidates): ONE equi-join of the
 batch's postings against the persisted index plus the standard capped
@@ -48,6 +55,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import hround
 from ..operators.dedup import ngram_jaccard_pairs, shingles
+from . import _exactly_once as xo
 
 POSTINGS_SCHEMA = "sh bigint, doc_id bigint"
 SIZES_SCHEMA = "doc_id bigint, n_sh int"
@@ -84,14 +92,17 @@ def dedup_index_sink(
     postings_path = os.path.join(index_dir, "postings")
     sizes_path = os.path.join(index_dir, "sizes")
     verdicts_path = os.path.join(index_dir, "verdicts")
+    key = xo.ckpt_key(checkpoint_dir)
+    tables = [postings_path, sizes_path, verdicts_path]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # exactly-once: foreachBatch replays a batch after failure; a
-        # batch id already present in the verdict log is a no-op
-        if os.path.exists(verdicts_path):
-            prev = spark.read.schema(VERDICTS_SCHEMA).parquet(verdicts_path)
-            if prev.where(F.col("batch") >= batch_id).limit(1).count() > 0:
-                return
+        # exactly-once: skip iff THIS stream already committed this batch
+        # (per-checkpoint HWM ledger — a new stream's batch 0 into an
+        # existing index is real work, not a replay)
+        if xo.committed(index_dir, key, batch_id):
+            return
+        # a replay must not see its own crashed partial segments as corpus
+        xo.clear_segments(tables, key, batch_id)
         # one materialized distinct-shingle-hash array per doc, shared by
         # the candidate join, the size table, and the index append
         sh_d = (
@@ -106,8 +117,8 @@ def dedup_index_sink(
         sz_d = sh_d.select("doc_id", F.size("shs").alias("n_sh"))
 
         if os.path.exists(postings_path):
-            posts_c = spark.read.schema(POSTINGS_SCHEMA).parquet(postings_path)
-            sz_c = spark.read.schema(SIZES_SCHEMA).parquet(sizes_path)
+            posts_c = xo.read_table(spark, postings_path, POSTINGS_SCHEMA)
+            sz_c = xo.read_table(spark, sizes_path, SIZES_SCHEMA)
             posts_d = (
                 sh_d.select("doc_id", F.explode("shs").alias("sh"))
                 .groupBy("sh")
@@ -181,16 +192,22 @@ def dedup_index_sink(
             # so the pair joins don't re-execute per consumer
             .localCheckpoint()
         )
-        verdicts.write.mode("append").parquet(verdicts_path)
+        # idempotent writes: per-(checkpoint, batch) segment dirs, then
+        # the ledger commit LAST — a crash anywhere in between replays
+        # into identical overwrites (see _exactly_once crash matrix)
+        verdicts.write.mode("overwrite").parquet(
+            xo.segment(verdicts_path, key, batch_id)
+        )
         new_sh = sh_d.join(
             verdicts.where(F.col("verdict") == "new").select("doc_id"), "doc_id"
         )
         new_sh.select(F.explode("shs").alias("sh"), "doc_id").write.mode(
-            "append"
-        ).parquet(postings_path)
+            "overwrite"
+        ).parquet(xo.segment(postings_path, key, batch_id))
         new_sh.select("doc_id", F.size("shs").alias("n_sh")).write.mode(
-            "append"
-        ).parquet(sizes_path)
+            "overwrite"
+        ).parquet(xo.segment(sizes_path, key, batch_id))
+        xo.commit(index_dir, key, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(process)
@@ -203,8 +220,8 @@ def dedup_index_sink(
 
 
 def read_verdicts(spark, index_dir: str) -> DataFrame:
-    return spark.read.schema(VERDICTS_SCHEMA).parquet(
-        os.path.join(index_dir, "verdicts")
+    return xo.read_table(
+        spark, os.path.join(index_dir, "verdicts"), VERDICTS_SCHEMA
     )
 
 
@@ -227,7 +244,13 @@ def compact_index(
     import shutil
 
     postings_path = os.path.join(index_dir, "postings")
-    posts = spark.read.schema(POSTINGS_SCHEMA).parquet(postings_path)
+    # sweep abandoned-crash debris before merging (never concurrent with
+    # an active drain, per the single-writer contract)
+    xo.drop_uncommitted_segments(
+        index_dir,
+        [postings_path, os.path.join(index_dir, "sizes"), os.path.join(index_dir, "verdicts")],
+    )
+    posts = xo.read_table(spark, postings_path, POSTINGS_SCHEMA)
     before = posts.count()
     live = posts
     if max_shingle_freq is not None:

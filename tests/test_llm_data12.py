@@ -114,6 +114,52 @@ def test_random_projection_is_narrow_and_seeded(spark, sf_dir):
     assert all(s in (1.0, -1.0) for row in m1 for s in row)
 
 
+def test_random_projection_rejects_wrong_dimension(spark, sf_dir):
+    """A d_in that doesn't match the vectors must FAIL LOUDLY (executor-
+    side raise_error), not emit silently-null projections via zip_with's
+    null padding (ADVICE r8)."""
+    import pytest
+
+    emb = table(spark, sf_dir, "embeddings").limit(5)
+    with pytest.raises(Exception, match="expected d_in=32"):
+        similarity.random_project(emb, d_in=32, d_out=8).collect()
+
+
+def test_mmr_rerank_large_k_stays_linear_and_correct(spark, sf_dir):
+    """k=12 greedy unrolling: each step is checkpointed, so later steps
+    read materialized one-row-per-query tables instead of re-inlining the
+    whole pyramid (ADVICE r8 — plans grew exponentially in k). Correctness
+    re-pinned against the independent numpy greedy at the larger k."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    got = {}
+    for r in similarity.mmr_rerank(
+        emb, F.col("vec_id") < 4, k=12, n_cand=20, lam=0.7
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.step, r.selected_id))
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    U = {i: v / np.linalg.norm(v) for i, v in V.items()}
+    lam, mu = 0.7, 1.0 - 0.7
+    for q in range(4):
+        rel = {c: float(U[q] @ U[c]) for c in U if c != q}
+        shortlist = sorted(rel, key=lambda c: (-rel[c], c))[:20]
+        sel = []
+        for _ in range(12):
+            best = None
+            for c in shortlist:
+                if c in sel:
+                    continue
+                score = lam * rel[c] - mu * max(
+                    (float(U[c] @ U[s]) for s in sel), default=0.0
+                ) if sel else lam * rel[c]
+                if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                    best = (score, c)
+            sel.append(best[1])
+        assert [c for _, c in sorted(got[q])] == sel, q
+
+
 def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
     """Independent driver-side reimplementation of greedy MMR (numpy,
     no shared code with the operator) must agree on the selection

@@ -415,11 +415,11 @@ def test_streaming_dedup_index_matches_sequential_batches(spark, sf_dir, tmp_pat
     # the fixture must actually exercise the cross-batch index path
     assert any(v[0] == "dup_of_corpus" for v in got.values())
     # survivors-only index: postings cover exactly the 'new' docs
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+
     indexed = {
         r.doc_id
-        for r in spark.read.schema(SD.SIZES_SCHEMA)
-        .parquet(index_dir + "/sizes")
-        .collect()
+        for r in xo.read_table(spark, index_dir + "/sizes", SD.SIZES_SCHEMA).collect()
     }
     assert indexed == {d for d, v in expect.items() if v[0] == "new"}
     # exactly-once: a second drain of the same (fully consumed) stream
@@ -486,7 +486,9 @@ def test_streaming_ann_index_incremental_assign_and_ledger(spark, sf_dir, tmp_pa
     got_cents = SA._load_centroids(spark, index_dir + "/centroids")
     assert got_cents == {c: list(v) for c, v in cents1.items()}
 
-    posts = spark.read.schema(SA.POSTINGS_SCHEMA).parquet(index_dir + "/postings")
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+
+    posts = xo.read_table(spark, index_dir + "/postings", SA.POSTINGS_SCHEMA)
     got = {r.vec_id: (r.cell, r.batch) for r in posts.collect()}
     exp_assign = {
         r.vec_id: r.cluster
@@ -535,14 +537,37 @@ def test_streaming_ann_index_delete_and_compact(spark, sf_dir, tmp_path):
     import os
 
     assert not os.path.exists(index_dir + "/tombstones")
-    assert any(d.startswith("cell=") for d in os.listdir(index_dir + "/postings"))
+    # cell is a DATA column: compaction must NOT emit partition dirs —
+    # that's what made post-compaction appends unreadable (ADVICE r8)
+    assert not any(
+        d.startswith("cell=") for d in os.listdir(index_dir + "/postings")
+    )
     after = sorted(
         map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
     )
     assert after == before
-    # ledger intact: redrain appends nothing
+    # ledger intact: redrain of the consumed stream appends nothing
     SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
     assert SA._live_postings(spark, index_dir).count() == n
+    # the ADVICE r8 mixed-layout scenario: a NEW stream appending into the
+    # compacted index must (a) actually ingest (per-checkpoint ledger, not
+    # the old global batch>=0 scan) and (b) leave the index readable and
+    # searchable across compacted files + fresh segment subdirs
+    extra = spark.range(9000, 9003).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda i: (F.col("id") % 7 + i).cast("double")).alias("embedding"),
+    )
+    stream2 = str(tmp_path / "vec_stream3b")
+    extra.coalesce(1).write.mode("append").parquet(stream2)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, stream2), index_dir, str(tmp_path / "ckpt_ann3b")
+    )
+    live = SA._live_postings(spark, index_dir)
+    assert live.count() == n + 3
+    post_append = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert len(post_append) == len(before)
 
 
 def test_streaming_dedup_index_compaction(spark, sf_dir, tmp_path):
@@ -588,7 +613,170 @@ def test_streaming_dedup_index_compaction(spark, sf_dir, tmp_path):
         }
 
     base = run("didx_base", "skip")
+    # the second drain uses a NEW stream + NEW checkpoint: its batch ids
+    # restart at 0, so the old global batch>=0 ledger silently skipped it
+    # and these cross-batch assertions passed vacuously (ADVICE r8). Pin
+    # that batch 2's docs were actually graded.
+    b2_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    assert b2_ids and b2_ids <= set(base)
+    assert any(v[0] == "dup_of_corpus" for d, v in base.items() if d in b2_ids)
     compacted = run("didx_comp", None)  # merge-only compaction
     assert compacted == base
     capped = run("didx_cap", 1)  # cap=1: any cross-doc shared shingle must be dropped
     assert set(capped) == set(base)
+
+
+def test_streaming_dedup_index_crash_between_write_and_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Failure injection (VERDICT r8 #3): kill the sink AFTER the batch's
+    verdict/posting/size segments land but BEFORE the ledger commit.
+    The restarted stream replays the batch; the overwrite-segment design
+    must leave the index identical to a never-crashed run — no lost and
+    no duplicated verdicts or postings."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import dedup_index as SD
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 120)
+    )
+    n_docs = docs.count()
+    stream_dir = str(tmp_path / "crash_stream")
+    docs.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "crash_idx")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    real_commit = xo.commit
+    monkeypatch.setattr(
+        xo, "commit", lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash"))
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        SD.dedup_index_sink(
+            SD.read_document_stream(spark, stream_dir), index_dir, ckpt, threshold=0.3
+        )
+    # the crash window is real: data landed, ledger did not
+    assert SD.read_verdicts(spark, index_dir).count() == n_docs
+    assert not xo.committed(index_dir, xo.ckpt_key(ckpt), 0)
+
+    monkeypatch.setattr(xo, "commit", real_commit)
+    SD.dedup_index_sink(
+        SD.read_document_stream(spark, stream_dir), index_dir, ckpt, threshold=0.3
+    )
+    got = SD.read_verdicts(spark, index_dir).collect()
+    assert len(got) == n_docs  # replay did not duplicate
+    assert {r.doc_id for r in got} == {r.doc_id for r in docs.select("doc_id").collect()}
+    # index state equals a clean, never-crashed drain (verdicts AND index)
+    clean_idx = str(tmp_path / "clean_idx")
+    clean_stream = str(tmp_path / "clean_stream")
+    docs.coalesce(1).write.mode("append").parquet(clean_stream)
+    SD.dedup_index_sink(
+        SD.read_document_stream(spark, clean_stream),
+        clean_idx,
+        str(tmp_path / "clean_ckpt"),
+        threshold=0.3,
+    )
+    as_map = lambda idx: {
+        r.doc_id: (r.verdict, r.dup_of, r.best_jaccard)
+        for r in SD.read_verdicts(spark, idx).collect()
+    }
+    assert as_map(index_dir) == as_map(clean_idx)
+    posts = lambda idx: sorted(
+        map(
+            tuple,
+            xo.read_table(spark, idx + "/postings", SD.POSTINGS_SCHEMA).collect(),
+        )
+    )
+    assert posts(index_dir) == posts(clean_idx)
+
+
+def test_streaming_ann_index_crash_replay_and_stale_segment(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ANN-sink twin of the crash test, plus the stale-partial-segment
+    case: debris from a crashed attempt already sitting in the batch's
+    segment dir must be overwritten by the replay, not double-counted."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 200)
+    )
+    n_vecs = emb.count()
+    stream_dir = str(tmp_path / "ann_crash_stream")
+    emb.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "ann_crash_idx")
+    ckpt = str(tmp_path / "ann_crash_ckpt")
+
+    # plant stale debris where the first batch will write (simulates a
+    # crash that died mid-segment-write on a previous attempt)
+    key = xo.ckpt_key(ckpt)
+    emb.limit(7).select(
+        "vec_id",
+        F.lit(0).alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.lit(1.0).alias("nrm"),
+        F.lit(0).cast("bigint").alias("batch"),
+    ).write.mode("overwrite").parquet(xo.segment(index_dir + "/postings", key, 0))
+
+    real_commit = xo.commit
+    monkeypatch.setattr(
+        xo, "commit", lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash"))
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
+    monkeypatch.setattr(xo, "commit", real_commit)
+    SA.ann_index_sink(SA.read_vector_stream(spark, stream_dir), index_dir, ckpt)
+
+    posts = SA._live_postings(spark, index_dir)
+    assert posts.count() == n_vecs  # stale debris + crash replay, still exactly-once
+    assert posts.select("vec_id").distinct().count() == n_vecs
+    # search parity vs a clean drain of the same data
+    clean_idx = str(tmp_path / "ann_clean_idx")
+    clean_stream = str(tmp_path / "ann_clean_stream")
+    emb.coalesce(1).write.mode("append").parquet(clean_stream)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, clean_stream),
+        clean_idx,
+        str(tmp_path / "ann_clean_ckpt"),
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    got = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    exp = sorted(
+        map(tuple, SA.ivf_search_index(spark, clean_idx, queries, k=5, n_probe=2).collect())
+    )
+    assert got and got == exp
+
+
+def test_streaming_ann_index_second_stream_into_existing_index(
+    spark, sf_dir, tmp_path
+):
+    """The ADVICE r8 high defect, pinned directly: a SECOND stream (new
+    checkpoint, batch ids restarting at 0) draining into an existing
+    index must ingest its batches instead of being skipped as replays."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "two_stream_idx")
+    s1 = str(tmp_path / "ts_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "ts_c1")
+    )
+    s2 = str(tmp_path / "ts_s2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s2), index_dir, str(tmp_path / "ts_c2")
+    )
+    got = {r.vec_id for r in SA._live_postings(spark, index_dir).collect()}
+    assert got == {r.vec_id for r in emb.select("vec_id").collect()}
