@@ -785,6 +785,122 @@ def random_project(
     return e.select(id_col, proj.alias(vec_col))
 
 
+RH_SEED = "rhlsh:42:"
+
+
+def rh_planes(
+    d_in: int, n_bits: int, num_tables: int, seed: str = RH_SEED
+) -> list[list[list[float]]]:
+    """Deterministic random-hyperplane family: ``num_tables`` tables of
+    ``n_bits`` ±1-sign hyperplanes each, from the same md5-parity
+    generator as ``rp_sign_matrix`` (per-table seed suffix). Driver-side
+    literals — the DuckDB oracle embeds the identical planes, which is
+    what makes the whole LSH tier hash-replayable (the r7 Lloyd trick
+    applied to LSH; pyspark.ml's BRP-LSH hashes never were)."""
+    return [
+        rp_sign_matrix(d_in, n_bits, seed=f"{seed}{t}:") for t in range(num_tables)
+    ]
+
+
+def rh_bucket_expr(vec, planes_t: list[list[float]]):
+    """Bucket id of ``vec`` in one table: bit j set iff
+    dot(vec, plane_j) >= 0 (SimHash / Charikar 2002 cosine LSH)."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(s) for s in plane])) >= F.lit(0.0),
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j, plane in enumerate(planes_t)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def rh_lsh_topk(
+    df: DataFrame,
+    query_pred,
+    k: int = 5,
+    d_in: int = 64,
+    n_bits: int = 6,
+    num_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = RH_SEED,
+) -> DataFrame:
+    """Approximate cosine top-k via deterministic random-hyperplane LSH:
+    candidates are vectors sharing the query's bucket in >= 1 of
+    ``num_tables`` hash tables; every candidate is then scored with the
+    EXACT cosine and ranked (precision is exact, recall is the only
+    approximation — raise num_tables/lower n_bits to push it up).
+
+    Scale shape: the hash table is a (num_tables x corpus)-row key table
+    built by one narrow projection + explode; candidate generation is an
+    equi-join on (table, bucket) with the (small) query side broadcast —
+    never a nested-loop or all-pairs comparison; distinct collapses
+    multi-table collisions BEFORE the exact re-rank so each surviving
+    pair is scored once; per-bucket population is corpus/2^n_bits by the
+    balanced-sign construction, so the candidate volume is tunable and
+    skew-free on centered data. Unlike pyspark.ml's BucketedRandomProjectionLSH
+    (seeded JVM RNG, not replayable off-Spark), the hyperplanes are
+    md5-parity literals: the identical family replays in DuckDB and the
+    query is graded hash-exact, not rows-only."""
+    planes = rh_planes(d_in, n_bits, num_tables, seed)
+    e = with_norm(df.select(id_col, vec_col), vec_col)
+    # fail-loud on dimension mismatch, same contract as random_project
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), rh_bucket_expr(F.col("vd"), planes[t]).alias("b")
+            )
+            for t in range(num_tables)
+        ]
+    )
+    keys = e.select(
+        F.col(id_col).alias("_id"), F.explode(tb).alias("tb")
+    ).select("_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    qk = keys.join(
+        e.where(query_pred).select(F.col(id_col).alias("_id")), "_id"
+    ).select(F.col("_id").alias("query_id"), "t", "b")
+    cand = (
+        keys.join(F.broadcast(qk), ["t", "b"])
+        .where(F.col("_id") != F.col("query_id"))
+        .select("query_id", F.col("_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = e.select(F.col(id_col).alias("_vid"), "vd", "nrm")
+    scored = (
+        cand.join(
+            F.broadcast(
+                vecs.select(
+                    F.col("_vid").alias("query_id"),
+                    F.col("vd").alias("qvd"),
+                    F.col("nrm").alias("qnrm"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("neighbor_id"),
+                F.col("vd").alias("cvd"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cos", dot(F.col("qvd"), F.col("cvd")) / (F.col("qnrm") * F.col("cnrm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     query_pred,

@@ -129,6 +129,10 @@ _FORCE_REGRADE: dict[str, int] = {
     # at SEMDEDUP_MAX_CLUSTER via the md5 hash-bucket idiom, replayed
     # in the oracle (VERDICT r7 #1 — the last scale-weak plan)
     "dedup_semantic_prune": 8,
+    # oracle-paired r9: registered default switched from pyspark.ml
+    # BRP-LSH (seeded JVM RNG, rows-only since r3) to the deterministic
+    # md5-sign random-hyperplane family replayed in DuckDB (VERDICT r8 #1)
+    "similarity_lsh_buckets": 9,
 }
 
 

@@ -187,12 +187,81 @@ def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", hround(F.col("cos"), 6).alias("cosine"))
 
 
-@register("similarity_lsh_buckets")  # approximate LSH -> rows-only check
-def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.lsh_bucket_neighbors(
-        table(spark, sf_dir, "embeddings"), F.col("vec_id") < 10, k=5, seed=42
+_RH_D, _RH_BITS, _RH_TABLES = 64, 6, 3
+
+
+def _rh_lsh_oracle() -> str:
+    """Replay of the random-hyperplane LSH tier: the SAME md5-parity
+    hyperplane literals the Spark plan embeds (one driver-side
+    computation feeds both sides — the r7 Lloyd-quantizer trick applied
+    to LSH, which is what turned this query from rows-only into
+    hash-graded, VERDICT r8 #1)."""
+    planes = similarity.rh_planes(_RH_D, _RH_BITS, _RH_TABLES)
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_aggregate(list_apply(list_zip(v, ["
+            + ", ".join(repr(s) for s in planes[t][j])
+            + "]), x -> x[1] * x[2]), 'sum') >= 0.0 THEN "
+            + str(1 << j)
+            + " ELSE 0 END)"
+            for j in range(_RH_BITS)
+        )
+
+    hashes = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS t, ({bucket(t)}) AS b FROM e"
+        for t in range(_RH_TABLES)
     )
-    return out.select("query_id", "neighbor_id", hround(F.col("dist"), 4).alias("dist"), "rank")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e
+    ), h AS (
+      {hashes}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM h q JOIN h c ON q.t = c.t AND q.b = c.b
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_aggregate(list_apply(list_zip(nq.v, nc.v), x -> x[1] * x[2]), 'sum')
+               / (nq.nrm * nc.nrm) AS cos
+      FROM cand
+      JOIN n nq ON nq.vec_id = cand.query_id
+      JOIN n nc ON nc.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           (floor(cos * 1000000.0 + 0.5) / 1000000.0) AS cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("similarity_lsh_buckets", oracle=_rh_lsh_oracle())
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, hash-graded (was rows-only through r8:
+    pyspark.ml's BRP-LSH hashes are seeded JVM RNG, unreplayable off-
+    Spark — that form stays as the operator twin
+    ``similarity.lsh_bucket_neighbors``, recall-pinned in
+    tests/test_round6_ops.py)."""
+    out = similarity.rh_lsh_topk(
+        table(spark, sf_dir, "embeddings"),
+        F.col("vec_id") < 10,
+        k=5,
+        d_in=_RH_D,
+        n_bits=_RH_BITS,
+        num_tables=_RH_TABLES,
+    )
+    return out.select(
+        "query_id", "neighbor_id", hround(F.col("cos"), 6).alias("cosine"), "rank"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -160,6 +160,43 @@ def test_mmr_rerank_large_k_stays_linear_and_correct(spark, sf_dir):
         assert [c for _, c in sorted(got[q])] == sel, q
 
 
+def test_rh_lsh_topk_finds_planted_near_duplicates(spark, sf_dir):
+    """The deterministic random-hyperplane LSH must do LSH's actual job:
+    retrieve HIGH-similarity neighbors. The fixture embeddings are
+    near-orthogonal (no pair above cos 0.7), so plant a scaled+shifted
+    twin of each vector (cos ~ 1) and require the twin to surface as the
+    rank-1 neighbor for >= 90% of queries. (Charikar bound: p_bit ~ 1 -
+    acos(cos)/pi ~ 0.99 for twins, so 6-bit/3-table recall ~ 0.9998 —
+    90% is a safe floor for fixture noise.)"""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.01 + 0.0005
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    got = similarity.rh_lsh_topk(
+        corpus, F.col("vec_id") >= 10000, k=1, n_bits=6, num_tables=3
+    ).collect()
+    hits = sum(1 for r in got if r.neighbor_id == r.query_id - 10000)
+    assert hits >= 90, (hits, len(got))
+
+
+def test_rh_lsh_topk_plan_is_bucketed(spark, sf_dir):
+    """Candidate generation must be an equi-join on (table, bucket) with
+    the query side broadcast — no nested-loop/cartesian candidate path."""
+    emb = table(spark, sf_dir, "embeddings")
+    plan = (
+        similarity.rh_lsh_topk(emb, F.col("vec_id") < 10, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_mmr_rerank_matches_numpy_greedy(spark, sf_dir):
     """Independent driver-side reimplementation of greedy MMR (numpy,
     no shared code with the operator) must agree on the selection
