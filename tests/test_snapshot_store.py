@@ -74,3 +74,122 @@ def test_partitioned_snapshot(spark, store):
     snap = os.path.join(store.root, "v=0")
     assert any(n.startswith("part=") for n in os.listdir(snap))
     assert store.read().count() == 20
+
+
+def test_concurrent_blind_writers_no_lost_update(spark, store):
+    """Two writers racing blind publishes (VERDICT r8 #2): the atomic
+    version-dir claim must serialize them — every publish lands in its
+    own version, both serialization orders are valid, nothing is lost,
+    and current_version is the max committed slot."""
+    import threading
+
+    results, errors = [], []
+
+    def writer(tag):
+        try:
+            for i in range(4):
+                v = store.publish(
+                    spark.createDataFrame([(tag, i)], "writer string, i int")
+                )
+                results.append((tag, i, v))
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a",))
+    t2 = threading.Thread(target=writer, args=("b",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    versions = [v for _, _, v in results]
+    assert sorted(versions) == list(range(8))  # every slot claimed once
+    assert store.current_version() == 7
+    # no lost update: each writer's payload is readable at its version
+    for tag, i, v in results:
+        assert [tuple(r) for r in store.read(v).collect()] == [(tag, i)]
+    # each writer's own versions are monotone (its publishes serialized)
+    for tag in ("a", "b"):
+        own = [v for t, _, v in sorted(r for r in results if r[0] == tag)]
+        assert own == sorted(own)
+
+
+def test_optimistic_read_modify_write_conflict(spark, store):
+    """The Delta-style optimistic transaction: a writer that read v=N may
+    only commit v=N+1; if the table moved in between it must get
+    ConcurrentWriteError and re-derive from the fresh state — counter
+    increments from two interleaved writers must both survive."""
+    from les_etl_pipeline_spark.sinks.snapshot_store import ConcurrentWriteError
+
+    store.publish(spark.createDataFrame([(0,)], "n int"))
+
+    def increment():
+        # read-modify-write with the classic CAS retry loop
+        while True:
+            base = store.current_version()
+            n = store.read(base).collect()[0].n
+            try:
+                return store.publish(
+                    spark.createDataFrame([(n + 1,)], "n int"),
+                    expected_version=base,
+                )
+            except ConcurrentWriteError:
+                continue
+
+    # interleave manually: A reads v0, B commits first, A must conflict
+    base_a = store.current_version()
+    n_a = store.read(base_a).collect()[0].n
+    increment()  # writer B lands n=1 at v1
+    with pytest.raises(ConcurrentWriteError):
+        store.publish(
+            spark.createDataFrame([(n_a + 1,)], "n int"), expected_version=base_a
+        )
+    # A retries from fresh state and lands n=2: neither increment lost
+    increment()
+    assert store.read().collect()[0].n == 2
+    assert store.current_version() == 2
+
+
+def test_concurrent_increment_threads_both_apply(spark, store):
+    """Thread race over the full CAS loop: 2 writers x 3 increments on a
+    shared counter — the final value must be exactly 6 (optimistic
+    retries absorb every conflict; no increment lost or doubled)."""
+    import threading
+
+    from les_etl_pipeline_spark.sinks.snapshot_store import ConcurrentWriteError
+
+    store.publish(spark.createDataFrame([(0,)], "n int"))
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(3):
+                while True:
+                    base = store.current_version()
+                    n = store.read(base).collect()[0].n
+                    try:
+                        store.publish(
+                            spark.createDataFrame([(n + 1,)], "n int"),
+                            expected_version=base,
+                        )
+                        break
+                    except ConcurrentWriteError:
+                        continue
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors
+    assert store.read().collect()[0].n == 6
+
+
+def test_vacuum_sweeps_staging_debris(spark, store, tmp_path):
+    """Crashed publishes leave dot-prefixed staging dirs; they are
+    invisible to readers and vacuum removes them."""
+    store.publish(spark.range(3))
+    debris = os.path.join(store.root, ".tx-deadbeef0000")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-junk.parquet"), "w") as f:
+        f.write("junk")
+    assert store.read().count() == 3  # invisible to reads
+    store.vacuum()
+    assert not os.path.exists(debris)
