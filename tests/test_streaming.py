@@ -755,6 +755,86 @@ def test_streaming_ann_index_crash_replay_and_stale_segment(
     assert got and got == exp
 
 
+def test_streaming_ann_index_retrain_swap(spark, sf_dir, tmp_path):
+    """Drift metric + retrain + atomic generation swap (VERDICT r8 #4).
+    Bootstrap trains on batch 1; batch 2 arrives SHIFTED (+0.3/coord), so
+    assignment_drift rises well above 1. retrain_index then retrains the
+    quantizer on all live vectors and publishes centroids+postings as one
+    atomic SnapshotStore generation: post-swap search must be BIT-EXACT
+    vs a fresh-trained batch ivf_topk over the same vectors, drift
+    returns to exactly 1 (same vectors, same quantizer, same rounding),
+    and subsequent drains land in the new generation."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import similarity
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + 0.3).alias("embedding"),
+    )
+    index_dir = str(tmp_path / "retrain_idx")
+    s1 = str(tmp_path / "rt_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "rt_c1")
+    )
+    d0 = SA.assignment_drift(spark, index_dir)
+    assert abs(d0["drift"] - 1.0) < 1e-9, d0  # postings == training set
+    s2 = str(tmp_path / "rt_s2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s2), index_dir, str(tmp_path / "rt_c2")
+    )
+    d1 = SA.assignment_drift(spark, index_dir)
+    assert d1["drift"] > 1.2, d1  # the shifted half sits far from the old centroids
+
+    v = SA.retrain_index(spark, index_dir)
+    assert v == 0
+    import os
+
+    assert os.path.isdir(index_dir + "/state/v=0/postings")
+    d2 = SA.assignment_drift(spark, index_dir)
+    assert abs(d2["drift"] - 1.0) < 1e-9, d2
+
+    # post-swap search == fresh-trained batch IVF over the same vectors
+    full = b1.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(b2)
+    pred = F.col("vec_id") % 25 == 0
+    got = sorted(
+        map(
+            tuple,
+            SA.ivf_search_index(
+                spark, index_dir, full.where(pred), k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    exp = sorted(
+        map(tuple, similarity.ivf_topk(full, pred, k=5, n_probe=2).collect())
+    )
+    assert got and got == exp
+
+    # a post-retrain drain assigns against the NEW quantizer and lands in
+    # the new generation
+    n_before = SA._live_postings(spark, index_dir).count()
+    extra = spark.range(9100, 9103).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)), lambda i: (F.col("id") % 5 + i).cast("double")
+        ).alias("embedding"),
+    )
+    s3 = str(tmp_path / "rt_s3")
+    extra.coalesce(1).write.mode("append").parquet(s3)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s3), index_dir, str(tmp_path / "rt_c3")
+    )
+    assert SA._live_postings(spark, index_dir).count() == n_before + 3
+    segs = os.listdir(index_dir + "/state/v=0/postings")
+    assert any(s.startswith("seg-") for s in segs)
+
+
 def test_streaming_ann_index_second_stream_into_existing_index(
     spark, sf_dir, tmp_path
 ):
