@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.literal_df import driver_literal_df
 from ..functions.rounding import hround
 
 
@@ -249,7 +250,7 @@ def ivf_topk(
             # the Lloyd path trains on (id, vd) only; rejoin the
             # attribute by id (equi-join, co-partitionable at scale)
             assigned = assigned.join(df.select(id_col, neq_col), id_col)
-        centroids = spark.createDataFrame(
+        centroids = driver_literal_df(spark, 
             [(c, v) for c, v in sorted(cents.items())],
             "cell int, cvec array<double>",
         )
@@ -263,7 +264,7 @@ def ivf_topk(
         assigned = model.transform(feats)
 
         # centroid table: (cell, centroid vector) — tiny, broadcastable
-        centroids = spark.createDataFrame(
+        centroids = driver_literal_df(spark, 
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "cell int, cvec array<double>",
         )
@@ -389,7 +390,7 @@ def lloyd_codebooks(
     sub = base.select(F.col(id_col).alias("_id"), F.inline(_sub_structs(bounds)))
     sub = sub.localCheckpoint()
     for it in range(max(iters - 1, 0)):
-        codebook = spark.createDataFrame(cb, "j int, code int, cvec array<double>")
+        codebook = driver_literal_df(spark, cb, "j int, code int, cvec array<double>")
         assign = (
             sub.join(F.broadcast(codebook), "j")
             .withColumn("d2", _sub_d2())
@@ -412,7 +413,7 @@ def lloyd_codebooks(
             (j, c, [dims[p] for p in sorted(dims)])
             for (j, c), dims in sorted(by_code.items())
         ]
-    return spark.createDataFrame(cb, "j int, code int, cvec array<double>")
+    return driver_literal_df(spark, cb, "j int, code int, cvec array<double>")
 
 
 def pq_topk(
@@ -492,7 +493,7 @@ def pq_topk(
                 (j, c, [float(x) for x in center])
                 for c, center in enumerate(model.clusterCenters())
             ]
-        codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+        codebook = driver_literal_df(spark, cb_rows, "j int, code int, cvec array<double>")
 
     sub_structs = _sub_structs(bounds)
     d2 = _sub_d2()
@@ -599,7 +600,7 @@ def ivf_pq_topk(
             F.col("v").alias("ud"),
             F.col("cluster").alias("cell"),
         ).localCheckpoint()
-        centroids = spark.createDataFrame(
+        centroids = driver_literal_df(spark, 
             [(c, v) for c, v in sorted(cents.items())],
             "cell int, cvec array<double>",
         )
@@ -617,7 +618,7 @@ def ivf_pq_topk(
             k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
         ).fit(feats)
         assigned = coarse.transform(feats).select(id_col, "ud", "cell").localCheckpoint()
-        centroids = spark.createDataFrame(
+        centroids = driver_literal_df(spark, 
             [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
             "cell int, cvec array<double>",
         )
@@ -637,7 +638,7 @@ def ivf_pq_topk(
                 (j, c, [float(x) for x in center])
                 for c, center in enumerate(model.clusterCenters())
             ]
-        codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
+        codebook = driver_literal_df(spark, cb_rows, "j int, code int, cvec array<double>")
 
     sub_structs = _sub_structs(bounds)
     d2 = _sub_d2()
