@@ -64,6 +64,13 @@ EXTENDED = [
     # the 100 TB-default hash family, benched alongside the md5 oracle
     # twin so the claimed speed advantage is measured (VERDICT r6 #4)
     "dedup_minhash_banded_xxhash",
+    # ANN tier at sf0.1 (VERDICT r8 #7): the sweep carries these only at
+    # sf0.01 where Lloyd training + unrolled greedy stages (fixed
+    # overhead) dominate; benching them here at 4x the vectors makes
+    # the training-amortization claim (SCALING.md slopes -0.04..0.31)
+    # visible in the round artifact
+    "similarity_ivf_pq_topk",
+    "similarity_mmr_rerank_ivf",
 ]
 # deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic
 # corpus has a CLOSED 31-token vocabulary at every sf, so the exact

