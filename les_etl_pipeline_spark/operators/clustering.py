@@ -62,17 +62,28 @@ def kmeans_lloyd_full(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_vectors: list[list[float]] | None = None,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """``kmeans_lloyd`` plus the FINAL centroid dict (cluster -> vector)
     — callers like the IVF coarse quantizer need the centroids to rank
-    probe cells, and re-deriving them would cost another pass."""
+    probe cells, and re-deriving them would cost another pass.
+
+    ``seed_vectors`` lets a caller that already collected the ordered
+    id-prefix (ivf_pq_topk shares one fetch between the coarse quantizer
+    and the PQ codebooks) supply the k seed vectors directly and skip
+    the duplicate driver round-trip; they MUST be the double-cast
+    vectors of the k lowest-id rows, in id order, or the oracle replay
+    breaks."""
     e = df.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # k x d scalar seed fetch — metadata-scale by design (see module doc)
-    seeds = e.orderBy("vec_id").limit(k).collect()
-    cents = {i: list(r.v) for i, r in enumerate(seeds)}
+    if seed_vectors is None:
+        # k x d scalar seed fetch — metadata-scale by design (module doc)
+        seeds = e.orderBy("vec_id").limit(k).collect()
+        cents = {i: list(r.v) for i, r in enumerate(seeds)}
+    else:
+        cents = {i: [float(x) for x in v] for i, v in enumerate(seed_vectors[:k])}
     assign = _assign(e, cents)
     for _ in range(iters - 1):
         rows = (

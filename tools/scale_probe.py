@@ -96,6 +96,12 @@ def main() -> None:
         "multimodal_audio_near_dup",
         "multimodal_video_near_dup",
         "similarity_mmr_rerank_ivf",
+        # round-9: the deterministic random-hyperplane LSH default —
+        # hash-table build is linear in vectors, candidate volume is
+        # T x n^2 / 2^bits, so the slope should sit near-linear on the
+        # 4x embeddings step while staying far under the exact
+        # threshold_pairs quadratic
+        "similarity_lsh_buckets",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
