@@ -137,3 +137,166 @@ def bitmap_distinct(df: DataFrame, group_cols: list[str], key: Column | str) -> 
         per_bucket.groupBy(*group_cols)
         .agg(F.sum(F.bitmap_count("_bm")).alias("n_distinct"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters: Misra-Gries candidates + one exact verify scan
+# --------------------------------------------------------------------------
+def mg_candidates(df: DataFrame, value: str, capacity: int = 2048) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: a candidate table
+    that PROVABLY contains every value whose global frequency exceeds
+    N/(capacity+1), in at most capacity rows per partition.
+
+    Why this exists: an exact GROUP BY over a heavy-tailed key space
+    (URLs, tokens, user ids) shuffles EVERY distinct key; at 100 TB the
+    long tail is the cost, while the answer only concerns the head.
+    MG keeps a bounded dict per partition (batch-vectorized: pandas
+    value_counts folded in per Arrow batch; on overflow the
+    (capacity+1)-th largest count is subtracted from every key and
+    non-positive keys drop — each such decrement event charges at least
+    capacity+1 keys, so total decrement <= n_partition/(capacity+1),
+    the textbook MG bound). The summary is a SUBSET guarantee, not an
+    estimate: ``lb`` is a lower bound on the partition count, and any
+    key with partition count > n_p/(capacity+1) survives; summing over
+    partitions, any key with GLOBAL count > N/(capacity+1) survives in
+    at least one partition. Exact counts come from the verify scan in
+    ``heavy_hitters_exact`` — this stage only bounds the candidate set.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    dtype = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[value]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                delta = vals[capacity]  # the (capacity+1)-th largest
+                counts = {k: c - delta for k, c in counts.items() if c > delta}
+        yield pd.DataFrame(
+            {"value": list(counts.keys()), "lb": [int(c) for c in counts.values()]}
+        )
+
+    return df.select(value).mapInPandas(op, schema=f"value {dtype}, lb long")
+
+
+def heavy_hitters_exact(
+    df: DataFrame, value: str, min_freq: int, capacity: int = 2048
+) -> DataFrame:
+    """All values whose EXACT global frequency is >= ``min_freq``,
+    without ever shuffling the long tail: MG candidate generation
+    (bounded state, <= capacity rows per partition exchanged) followed
+    by one exact counting scan restricted to the candidate set
+    (broadcast semi-join — the tail never reaches a reducer).
+
+    COMPLETENESS is guaranteed whenever min_freq > N/(capacity+1) (the
+    MG survival bound; the caller sizes capacity >= N/min_freq).
+    PRECISION is unconditional: output counts come from the verify
+    scan, so they are exact and the >= min_freq filter is applied to
+    true counts. Returns (value, cnt)."""
+    cands = mg_candidates(df, value, capacity).select("value").distinct()
+    return (
+        df.select(F.col(value).alias("value"))
+        .join(F.broadcast(cands), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_freq))
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable equi-width histogram quantile sketch (two scans, bounded error)
+# --------------------------------------------------------------------------
+def histogram_build(
+    df: DataFrame,
+    value: str,
+    n_bins: int = 4096,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-geometry histogram sketch over a numeric column: ONE 1-row
+    min/max aggregate (broadcast — the plan gate proves it bounded) then
+    one binning scan into at most ``n_bins`` (bin, c) rows. Shards built
+    with the same (lo, hi, n_bins) geometry merge by union + sum —
+    the same relational-mergeability story as the CMS cell table; pass
+    the agreed global (lo, hi) explicitly when building per-shard.
+    Returns (bin, c, lo, hi) with lo/hi carried on every row so
+    downstream quantile math needs no second broadcast."""
+    v = F.col(value).cast("double")
+    if lo is not None and hi is not None:
+        mm = df.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi")
+        )
+    else:
+        mm = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    binned = df.select(v.alias("_x")).join(F.broadcast(mm))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_ = F.least(
+        F.floor((F.col("_x") - F.col("lo")) / width).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        binned.select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(bin_).alias("bin"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + re-sum histograms built with identical geometry."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin", "lo", "hi").agg(F.sum("c").alias("c"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame, probs: list[float], n_bins: int = 4096
+) -> DataFrame:
+    """Quantile estimates from the histogram sketch: for each p, walk
+    the cumulative bin counts to the first bin where cum >= ceil(p*N)
+    and interpolate linearly inside it. Deterministic double math
+    (oracle-replayable) with absolute error bounded by one bin width —
+    (hi-lo)/n_bins — regardless of data size or distribution, and the
+    whole computation after the scan touches <= n_bins metadata rows
+    (the ordered window runs over the bin table, never over data).
+    Returns (p, q)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.rounding import hround
+
+    cum = sketch.withColumn(
+        "cum", F.sum("c").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("c").over(W.partitionBy()))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    out = None
+    for p in probs:
+        target = F.ceil(F.lit(float(p)) * F.col("total")).cast("double")
+        hit = (
+            cum.where(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(p)).alias("p"),
+                hround(
+                    F.col("lo")
+                    + width
+                    * (
+                        F.col("bin").cast("double")
+                        + (target - (F.col("cum") - F.col("c")).cast("double"))
+                        / F.col("c").cast("double")
+                    ),
+                    6,
+                ).alias("q"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -59,6 +59,9 @@ UNPART_WINDOW_ALLOWED = {
     "events_max_concurrency": [("day", "carried-offset cumulation, one row per day")],
     "events_sliding_distinct_users": [("_w1", "day-grain sliding frame")],
     "events_changepoint_cusum": [("day", "CUSUM over the one-row-per-day table")],
+    "sketch_histogram_quantiles": [
+        ("bin", "cumulation over the <= n_bins-row histogram cell table")
+    ],
 }
 
 _WSD_START = "windowspecdefinition("
