@@ -390,7 +390,7 @@ def lloyd_codebooks(
     sub = base.select(F.col(id_col).alias("_id"), F.inline(_sub_structs(bounds)))
     sub = sub.localCheckpoint()
     for it in range(max(iters - 1, 0)):
-        codebook = driver_literal_df(spark, cb, "j int, code int, cvec array<double>")
+        codebook = spark.createDataFrame(cb, "j int, code int, cvec array<double>")
         assign = (
             sub.join(F.broadcast(codebook), "j")
             .withColumn("d2", _sub_d2())
@@ -413,7 +413,7 @@ def lloyd_codebooks(
             (j, c, [dims[p] for p in sorted(dims)])
             for (j, c), dims in sorted(by_code.items())
         ]
-    return driver_literal_df(spark, cb, "j int, code int, cvec array<double>")
+    return spark.createDataFrame(cb, "j int, code int, cvec array<double>")
 
 
 def pq_topk(
@@ -493,7 +493,7 @@ def pq_topk(
                 (j, c, [float(x) for x in center])
                 for c, center in enumerate(model.clusterCenters())
             ]
-        codebook = driver_literal_df(spark, cb_rows, "j int, code int, cvec array<double>")
+        codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
 
     sub_structs = _sub_structs(bounds)
     d2 = _sub_d2()
@@ -651,7 +651,7 @@ def ivf_pq_topk(
                 (j, c, [float(x) for x in center])
                 for c, center in enumerate(model.clusterCenters())
             ]
-        codebook = driver_literal_df(spark, cb_rows, "j int, code int, cvec array<double>")
+        codebook = spark.createDataFrame(cb_rows, "j int, code int, cvec array<double>")
 
     sub_structs = _sub_structs(bounds)
     d2 = _sub_d2()
