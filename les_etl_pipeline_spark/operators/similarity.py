@@ -856,7 +856,12 @@ def rh_lsh_topk(
     multi-table collisions BEFORE the exact re-rank so each surviving
     pair is scored once; per-bucket population is corpus/2^n_bits by the
     balanced-sign construction, so the candidate volume is tunable and
-    skew-free on centered data. Unlike pyspark.ml's BucketedRandomProjectionLSH
+    skew-free on centered data. SIZING RULE at scale: candidate volume
+    is ~ num_tables * queries * corpus / 2^n_bits, so n_bits must grow
+    with log2(corpus) to hold per-query candidates constant (e.g.
+    n_bits = log2(corpus / target_bucket_size)) — fixed bits on a
+    growing corpus degrades to a linear scan per query, not a failure
+    but a waste. Unlike pyspark.ml's BucketedRandomProjectionLSH
     (seeded JVM RNG, not replayable off-Spark), the hyperplanes are
     md5-parity literals: the identical family replays in DuckDB and the
     query is graded hash-exact, not rows-only."""
