@@ -133,6 +133,32 @@ def _hwms(index_dir: str) -> dict[str, int]:
     return out
 
 
+def recover_swap(table_path: str) -> str | None:
+    """Repair a compaction swap interrupted mid-flight. The swap is
+    staging-write -> rename(table, table.old) -> rename(staging, table)
+    -> rmtree(table.old); a crash can leave (a) the table dir missing
+    with a COMPLETE staging beside it (the first rename only ever runs
+    after staging is fully written and counted — adopt staging), (b) the
+    table missing with only the backup left (restore the backup), or
+    (c) the table intact with stale staging/backup debris (drop both —
+    a staging next to an intact table is either unswapped or partial,
+    and the next compaction rebuilds it anyway). Run at the top of every
+    compaction, under the same never-concurrent-with-a-drain contract.
+    Returns the action taken, or None."""
+    staging, backup = table_path + ".staging", table_path + ".old"
+    action = None
+    if not os.path.exists(table_path):
+        if os.path.exists(staging):
+            os.rename(staging, table_path)
+            action = "adopted_staging"
+        elif os.path.exists(backup):
+            os.rename(backup, table_path)
+            action = "restored_backup"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    return action
+
+
 def drop_uncommitted_segments(index_dir: str, table_paths: list[str]) -> int:
     """Maintenance sweep (run at the top of every compaction, which is
     by contract never concurrent with an active drain): delete segment

@@ -147,6 +147,8 @@ def ann_index_sink(
         root = _index_root(spark, index_dir)
         centroids_path = os.path.join(root, "centroids")
         postings_path = os.path.join(root, "postings")
+        # repair a crashed compaction swap before reading/writing postings
+        xo.recover_swap(postings_path)
         xo.clear_segments([postings_path], key, batch_id)
         e = _doubles(batch_df, id_col, vec_col)
         # a write-complete marker gates the bootstrap: a crash mid-
@@ -319,8 +321,10 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
     ``partitions_per_cell`` files per cell."""
     root = _index_root(spark, index_dir)
     postings_path = os.path.join(root, "postings")
-    # sweep abandoned-crash segment debris first (single-writer contract:
-    # compaction never runs concurrently with an active drain)
+    # repair any half-finished previous swap, then sweep abandoned-crash
+    # segment debris (single-writer contract: compaction never runs
+    # concurrently with an active drain)
+    xo.recover_swap(postings_path)
     xo.drop_uncommitted_segments(index_dir, [postings_path])
     live = _live_postings(spark, index_dir)
     staging = postings_path + ".staging"
@@ -387,6 +391,7 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
 
     root = _index_root(spark, index_dir)
     # crash debris must not leak into the new generation
+    xo.recover_swap(os.path.join(root, "postings"))
     xo.drop_uncommitted_segments(index_dir, [os.path.join(root, "postings")])
     live = _live_postings(spark, index_dir).localCheckpoint()
     n_live = live.count()

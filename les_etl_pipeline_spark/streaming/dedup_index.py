@@ -101,6 +101,9 @@ def dedup_index_sink(
         # existing index is real work, not a replay)
         if xo.committed(index_dir, key, batch_id):
             return
+        # a compaction crash must not present an absent postings dir as
+        # an empty corpus (single-writer contract makes this race-free)
+        xo.recover_swap(postings_path)
         # a replay must not see its own crashed partial segments as corpus
         xo.clear_segments(tables, key, batch_id)
         # one materialized distinct-shingle-hash array per doc, shared by
@@ -244,8 +247,10 @@ def compact_index(
     import shutil
 
     postings_path = os.path.join(index_dir, "postings")
-    # sweep abandoned-crash debris before merging (never concurrent with
-    # an active drain, per the single-writer contract)
+    # repair any half-finished previous swap, then sweep abandoned-crash
+    # debris (never concurrent with an active drain, per the
+    # single-writer contract)
+    xo.recover_swap(postings_path)
     xo.drop_uncommitted_segments(
         index_dir,
         [postings_path, os.path.join(index_dir, "sizes"), os.path.join(index_dir, "verdicts")],

@@ -835,6 +835,58 @@ def test_streaming_ann_index_retrain_swap(spark, sf_dir, tmp_path):
     assert any(s.startswith("seg-") for s in segs)
 
 
+def test_compaction_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """The compaction swap (rename-out, rename-in, cleanup) has two crash
+    windows; both must self-heal: (a) killed between the renames — the
+    table dir is ABSENT, the complete staging beside it must be adopted;
+    (b) killed before the backup cleanup — the stale .old must not block
+    the next compaction. Search results stay identical throughout."""
+    import os
+    import shutil
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream_dir = str(tmp_path / "swap_stream")
+    emb.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "swap_idx")
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, stream_dir), index_dir, str(tmp_path / "swap_ckpt")
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    before = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    posts = index_dir + "/postings"
+
+    # (a) crash between rename-out and rename-in: table absent, staging
+    # complete. Reconstruct that exact state by hand.
+    SA._live_postings(spark, index_dir).repartition(4, "cell").write.parquet(
+        posts + ".staging"
+    )
+    os.rename(posts, posts + ".old.gone")  # simulate: old moved, not cleaned
+    os.rename(posts + ".old.gone", posts + ".old")
+    assert not os.path.exists(posts)
+    n = SA.compact_postings(spark, index_dir)  # recovery preamble adopts staging
+    assert n == SA._live_postings(spark, index_dir).count()
+    after = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert after == before
+
+    # (b) stale backup left behind (crash before cleanup): next
+    # compaction must clear it instead of failing its rename
+    shutil.copytree(posts, posts + ".old")
+    SA.compact_postings(spark, index_dir)
+    assert not os.path.exists(posts + ".old")
+    final = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert final == before
+
+
 def test_streaming_ann_index_second_stream_into_existing_index(
     spark, sf_dir, tmp_path
 ):
