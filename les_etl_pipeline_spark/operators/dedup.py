@@ -1120,3 +1120,98 @@ def duplicated_spans(
         "dup_chars",
         (F.col("dup_chars") / F.col("_len")).alias("dup_frac"),
     )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Document pairs (id_a < id_b) with shingle-set Jaccard >= threshold
+    via PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin family) — a
+    LOSSLESS candidate pruner, unlike ``max_shingle_freq``'s recall cap.
+
+    The guarantee: order every document's shingles by a global rank
+    (ascending document frequency, rarest first — ties on the hash) and
+    keep only its first ``|x| - ceil(t*|x|) + 1`` as the PREFIX. If
+    J(x, y) >= t then x misses at most ``|x| - ceil(t*|x|)`` of its own
+    shingles from y, so at least one PREFIX shingle of x occurs in y —
+    indexing prefixes against full postings finds every qualifying pair,
+    exactly. Rare-first ordering makes prefixes the shortest posting
+    lists in the corpus, so the candidate join touches a fraction of the
+    full posting expansion (the classic (1-t) prefix-size saving times
+    the rare-token posting-length saving).
+
+    Plan shape: one per-doc window (partitioned by doc) ranks shingles;
+    candidates are ONE equi-join of the prefix posting table against the
+    full posting table (no self-join of the corpus); the exact verify is
+    two id-equi-joins fetching the materialized distinct-hash arrays and
+    a JVM ``array_intersect`` per candidate. A candidate size filter
+    (t*|x| <= |y| <= |x|/t, the standard length filter) drops impossible
+    pairs before the arrays are fetched. Returns
+    (id_a, id_b, jaccard_raw), bit-identical to
+    ``ngram_jaccard_pairs(..., threshold, max_shingle_freq=None)``."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < _estimated_scan_splits(df) < par:
+        src = src.repartition(par)
+    sh_arr = src.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles("_txt", k), lambda s: F.xxhash64(s))
+        ).alias("shs"),
+    ).localCheckpoint()  # consumed by ranking, postings, and the verify
+    sizes = sh_arr.select("doc_id", F.size("shs").alias("n_sh"))
+    tok = sh_arr.select("doc_id", F.explode("shs").alias("sh"))
+    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("dfr"))
+    ranked = (
+        tok.join(dfreq, "sh")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("dfr"), F.col("sh"))
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("r") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("sh", F.col("doc_id").alias("id_p"), F.col("n_sh").alias("n_p"))
+    full = tok.join(sizes, "doc_id").select(
+        "sh", F.col("doc_id").alias("id_f"), F.col("n_sh").alias("n_f")
+    )
+    cand = (
+        prefix.join(full, "sh")
+        .where(F.col("id_p") != F.col("id_f"))
+        # length filter rides the candidate join: J >= t forces
+        # t*|x| <= |y| <= |x|/t
+        .where(
+            (F.col("n_f") >= F.lit(threshold) * F.col("n_p"))
+            & (F.col("n_f") <= F.col("n_p") / F.lit(threshold))
+        )
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = sh_arr.select(
+        F.col("doc_id").alias("id_a"), F.col("shs").alias("_sa")
+    )
+    b = sh_arr.select(
+        F.col("doc_id").alias("id_b"), F.col("shs").alias("_sb")
+    )
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_inter")
+            / (F.size("_sa") + F.size("_sb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard_raw") >= F.lit(threshold))
+    )
+    return verified.select("id_a", "id_b", "jaccard_raw")
