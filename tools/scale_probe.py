@@ -102,6 +102,13 @@ def main() -> None:
         # 4x embeddings step while staying far under the exact
         # threshold_pairs quadratic
         "similarity_lsh_buckets",
+        # round-9 sketch/dedup pack: MG heavy hitters and the histogram
+        # quantile sketch are single-scan + bounded-state (slope ~ scan
+        # cost); the prefix-filtered Jaccard join should track the
+        # capped default's slope while staying lossless
+        "sketch_heavy_hitters_exact",
+        "sketch_histogram_quantiles",
+        "dedup_jaccard_prefix_filter",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
