@@ -5,8 +5,8 @@ transaction log for atomic replace and time travel
 (generate_bronze_tables.py:81-86, les_main.py:28-39 in the reference).
 ``delta-spark`` is not installable in this container (COVERAGE.md §2.9),
 so this module supplies the part of that contract a 100 TB pipeline
-actually depends on, using nothing beyond parquet + atomic filesystem
-rename:
+actually depends on, using nothing beyond parquet + two commit
+protocols:
 
 - **Write**: each publish writes a brand-new immutable staging dir
   (``.tx-<nonce>/``) — never in place, so readers of the current version
@@ -15,21 +15,36 @@ rename:
   BEFORE anything becomes visible; a failed audit leaves the store
   exactly as it was (the rejected staging dir is deleted on the spot; if
   the process dies mid-publish the dot-prefixed leftover is invisible to
-  readers and swept by ``vacuum``).
-- **Publish / arbitration**: the COMMIT POINT is one atomic
-  ``os.rename(staging, v=<n>)``. A rename onto an existing non-empty
-  directory fails on POSIX, and every staging dir contains a
-  ``_COMMITTED`` marker file before the rename, so two concurrent
-  writers racing for the same slot serialize: exactly one claims
-  ``v=<n>``, the loser's rename raises and it either retries the next
-  slot (blind write) or surfaces ``ConcurrentWriteError`` (optimistic
-  read-modify-write via ``expected_version`` — Delta's commit-by-
-  creating-the-next-log-file protocol, filesystem edition). No lost
-  updates: claimed version dirs are never overwritten.
+  readers and swept by ``vacuum`` once it ages past the grace window).
+- **Publish / arbitration** — pluggable commit point
+  (``protocol=``):
+
+  * ``"rename"`` (default, POSIX filesystems): the commit point is one
+    atomic ``os.rename(staging, v=<n>)``. Rename onto an existing
+    non-empty directory fails on POSIX, so two concurrent writers racing
+    for the same slot serialize: exactly one claims ``v=<n>``. This is
+    the fast path on HDFS/POSIX but does NOT transfer to object stores,
+    where rename is copy+delete and not atomic.
+  * ``"marker"`` (object-store-safe): the commit point is an
+    EXCLUSIVE-CREATE of a tiny ``commit-v=<n>`` marker file
+    (``O_CREAT|O_EXCL`` — atomic on POSIX *and* on strongly-consistent
+    object stores via if-none-match puts; the same primitive Delta's
+    GCSLogStore builds on, reference ``les_main.py:37-39``). The data
+    move from staging to ``v=<n>`` is demoted to LAYOUT: it happens
+    after the claim, may be non-atomic (copy+delete is fine), and is
+    self-healing — any reader or vacuum that finds a claimed marker
+    whose data dir is missing finalizes the move from the surviving
+    staging dir.
+
+  Either way, the loser of a race retries the next slot (blind write)
+  or surfaces ``ConcurrentWriteError`` (optimistic read-modify-write
+  via ``expected_version`` — Delta's commit-by-creating-the-next-log-
+  file protocol). No lost updates: claimed slots are never overwritten.
 - **Current version** = the highest committed version on disk (marker
-  files), so it can never move backwards even under racing publishers;
-  the ``_CURRENT`` pointer file is maintained as a monotone read hint
-  and for stores written by older revisions of this module.
+  files and ``_COMMITTED``-stamped dirs), so it can never move backwards
+  even under racing publishers; the ``_CURRENT`` pointer file is
+  maintained as a monotone read hint and for stores written by older
+  revisions of this module.
 - **Time travel**: old snapshot dirs stay until ``vacuum``; ``read``
   takes an explicit version.
 
@@ -37,10 +52,15 @@ rename:
 content (a builder callback materializes arbitrary files into the
 staging dir): the streaming ANN index uses it to retrain-and-swap its
 quantizer + reassigned postings as one atomic unit.
+
+Residual gap vs real Delta: conflict *granularity* — whole-table
+versions here vs partition-level conflict detection there
+(COVERAGE.md divergence 0).
 """
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -53,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 CURRENT = "_CURRENT"
 COMMITTED = "_COMMITTED"
+MARKER_PREFIX = "commit-v="
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -63,12 +84,16 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class SnapshotStore:
-    """Atomic-rename versioned parquet table (write-audit-publish) with
-    optimistic multi-writer arbitration."""
+    """Atomic versioned parquet table (write-audit-publish) with
+    optimistic multi-writer arbitration and a pluggable commit point
+    (``protocol="rename"`` for POSIX, ``"marker"`` for object stores)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, protocol: str = "rename"):
+        if protocol not in ("rename", "marker"):
+            raise ValueError(f"unknown commit protocol {protocol!r}")
         self.spark = spark
         self.root = root
+        self.protocol = protocol
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -97,12 +122,26 @@ class SnapshotStore:
                 out.append(v)
         return sorted(out)
 
+    def _marker_versions(self) -> list[int]:
+        """Versions claimed via the marker protocol. A marker IS a
+        commit, whether or not the data layout has landed yet."""
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith(MARKER_PREFIX):
+                try:
+                    out.append(int(name[len(MARKER_PREFIX):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def current_version(self) -> int | None:
-        """Highest committed version: max over marker-committed dirs and
-        the pointer (which covers dirs published by older revisions of
-        this module, pre-marker). Monotone under any writer race because
-        claimed dirs are immutable."""
+        """Highest committed version: max over marker-committed slots,
+        ``_COMMITTED``-stamped dirs, and the pointer (which covers dirs
+        published by older revisions of this module, pre-marker).
+        Monotone under any writer race because claimed slots are
+        immutable."""
         cands = self._versions_on_disk(committed_only=True)
+        cands += self._marker_versions()
         ptr = self._pointer_version()
         if ptr is not None:
             cands = cands + [ptr]
@@ -112,16 +151,27 @@ class SnapshotStore:
     def _staging_dir(self) -> str:
         return os.path.join(self.root, f".tx-{uuid.uuid4().hex[:12]}")
 
-    def _claim(self, staging: str, expected_version: int | None) -> int:
-        """Atomically promote ``staging`` to the next version slot.
+    def _move(self, src: str, dst: str) -> None:
+        """Layout move of a claimed staging dir into its version dir.
+        ``os.rename`` where available; safe to substitute copy+delete on
+        object stores — under the marker protocol this move is NOT the
+        commit point, so atomicity is not required here."""
+        os.rename(src, dst)
 
-        The rename is the commit point: POSIX rename onto an existing
-        non-empty directory fails, and every staging dir holds the
-        ``_COMMITTED`` marker before the rename, so a slot can be won by
-        exactly one writer. With ``expected_version`` set, losing the
-        race (or discovering the table moved since the caller's read)
-        raises ``ConcurrentWriteError`` instead of silently publishing
-        over a state the caller never saw."""
+    def _next_slot(self, cur: int | None) -> int:
+        # next slot skips EVERY slot on disk — committed dirs, marker
+        # claims, and uncommitted orphans (legacy failed publishes must
+        # not pin the retry loop on a permanently-occupied slot)
+        taken = self._versions_on_disk() + self._marker_versions()
+        return max([cur if cur is not None else -1] + taken) + 1
+
+    def _claim(self, staging: str, expected_version: int | None) -> int:
+        """Atomically promote ``staging`` to the next version slot via
+        the configured commit point (see module docstring). With
+        ``expected_version`` set, losing the race (or discovering the
+        table moved since the caller's read) raises
+        ``ConcurrentWriteError`` instead of silently publishing over a
+        state the caller never saw."""
         while True:
             cur = self.current_version()
             if expected_version is not None and cur != expected_version:
@@ -130,14 +180,12 @@ class SnapshotStore:
                     f"table moved: expected v={expected_version}, found "
                     f"v={cur} — re-read and retry"
                 )
-            # next slot skips EVERY dir on disk, committed or not —
-            # uncommitted orphans (legacy failed publishes) must not pin
-            # the retry loop on a permanently-occupied slot
-            on_disk = self._versions_on_disk()
-            nxt = max([cur if cur is not None else -1] + on_disk) + 1
-            try:
-                os.rename(staging, os.path.join(self.root, f"v={nxt}"))
-            except OSError:
+            nxt = self._next_slot(cur)
+            if self.protocol == "marker":
+                won = self._claim_marker(staging, nxt)
+            else:
+                won = self._claim_rename(staging, nxt)
+            if not won:
                 if expected_version is not None:
                     shutil.rmtree(staging, ignore_errors=True)
                     raise ConcurrentWriteError(
@@ -147,9 +195,81 @@ class SnapshotStore:
             self._advance_pointer(nxt)
             return nxt
 
+    def _claim_rename(self, staging: str, nxt: int) -> bool:
+        """POSIX commit point: rename staging onto the slot dir. Returns
+        False only on a genuine lost race (slot already occupied); any
+        other failure — staging swept, permissions, cross-device — is
+        re-raised rather than looping forever."""
+        try:
+            os.rename(staging, os.path.join(self.root, f"v={nxt}"))
+            return True
+        except OSError as e:
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY) and os.path.isdir(staging):
+                return False  # slot taken by another writer; staging intact
+            raise
+
+    def _claim_marker(self, staging: str, nxt: int) -> bool:
+        """Object-store-safe commit point: exclusive-create of the
+        ``commit-v=<nxt>`` marker (naming the staging dir) IS the
+        commit; the data move to ``v=<nxt>`` is layout only and
+        self-healing (``_finalize``)."""
+        if not os.path.isdir(staging):
+            raise FileNotFoundError(
+                f"staging dir {staging} vanished before commit (swept by a "
+                "concurrent vacuum? raise vacuum's tx_grace_seconds)"
+            )
+        marker = os.path.join(self.root, f"{MARKER_PREFIX}{nxt}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump({"staging": os.path.basename(staging)}, f)
+        self._finalize(nxt)
+        return True
+
+    def _finalize(self, version: int) -> bool:
+        """Ensure the data layout for a marker-claimed version exists:
+        move the staging dir named in the marker into ``v=<version>``.
+        Idempotent and crash-safe — callable by the committing writer,
+        any later reader, or vacuum. Returns True when the data dir
+        exists afterwards."""
+        dst = os.path.join(self.root, f"v={version}")
+        if os.path.isdir(dst):
+            return True
+        marker = os.path.join(self.root, f"{MARKER_PREFIX}{version}")
+        try:
+            with open(marker) as f:
+                staging_name = json.load(f)["staging"]
+        except (OSError, ValueError, KeyError):
+            return False  # torn marker (crash inside the one write syscall)
+        src = os.path.join(self.root, staging_name)
+        if not os.path.isdir(src):
+            return os.path.isdir(dst)  # another healer finished first
+        try:
+            self._move(src, dst)
+        except OSError:
+            # concurrent healer won the move, or dst appeared — re-check
+            pass
+        return os.path.isdir(dst)
+
+    def _pending_staging_names(self) -> set[str]:
+        """Staging dirs referenced by a claimed-but-unfinalized marker —
+        these hold committed data and must NEVER be swept."""
+        out = set()
+        for v in self._marker_versions():
+            if os.path.isdir(os.path.join(self.root, f"v={v}")):
+                continue
+            try:
+                with open(os.path.join(self.root, f"{MARKER_PREFIX}{v}")) as f:
+                    out.add(json.load(f)["staging"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
     def _advance_pointer(self, version: int) -> None:
         """Best-effort monotone hint; correctness never depends on it
-        (current_version() maxes over committed dirs)."""
+        (current_version() maxes over committed slots)."""
         cur = self._pointer_version()
         if cur is not None and cur >= version:
             return
@@ -224,27 +344,59 @@ class SnapshotStore:
             raise FileNotFoundError(
                 f"snapshot store {self.root} has no published version"
             )
-        return os.path.join(self.root, f"v={v}")
+        path = os.path.join(self.root, f"v={v}")
+        if not os.path.isdir(path) and not self._finalize(v):
+            raise FileNotFoundError(
+                f"snapshot store {self.root} v={v}: no data dir and the "
+                "commit marker's staging dir is gone (vacuumed old version, "
+                "or torn commit)"
+            )
+        return path
 
     def read(self, version: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self.version_path(version))
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(self, keep_last: int = 2, tx_grace_seconds: float = 3600.0) -> list[int]:
         """Drop snapshot dirs older than the last ``keep_last`` published
         versions (never the current one), plus any dot-prefixed staging
-        debris from crashed publishes. Returns dropped versions."""
-        cur = self.current_version()
+        debris from crashed publishes. Returns dropped versions.
+
+        Staging sweep safety (the store supports CONCURRENT publishers):
+        a ``.tx-*`` dir is removed only when (a) it is not referenced by
+        a claimed-but-unfinalized commit marker — that data is committed,
+        so it is finalized into its version dir instead — and (b) its
+        mtime is older than ``tx_grace_seconds``, so an in-flight
+        publish's live staging is never destroyed mid-build/audit. Set
+        the grace to 0 only when no publisher can be running."""
+        # heal first: committed-by-marker data must land before any sweep
+        for v in self._marker_versions():
+            self._finalize(v)
+        pending = self._pending_staging_names()
+        now = time.time()
         for name in os.listdir(self.root):
-            if name.startswith(".tx-"):
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            if not name.startswith(".tx-") or name in pending:
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished under us (owner finished its publish)
+            if age >= tx_grace_seconds:
+                shutil.rmtree(path, ignore_errors=True)
+        cur = self.current_version()
         if cur is None:
             return []
-        keep = {v for v in self._versions_on_disk() if v > cur} | set(
+        committed = set(self._versions_on_disk()) | set(self._marker_versions())
+        keep = {v for v in committed if v > cur} | set(
             range(max(0, cur - keep_last + 1), cur + 1)
         )
         dropped = []
-        for v in self._versions_on_disk():
+        for v in sorted(committed):
             if v not in keep:
                 shutil.rmtree(os.path.join(self.root, f"v={v}"), ignore_errors=True)
+                try:
+                    os.remove(os.path.join(self.root, f"{MARKER_PREFIX}{v}"))
+                except OSError:
+                    pass
                 dropped.append(v)
         return dropped
