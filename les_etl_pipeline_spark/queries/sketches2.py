@@ -38,7 +38,8 @@ HH_CAPACITY = 2048
 
 _HH_ORACLE = f"""
     SELECT user_id AS value, CAST(count(*) AS BIGINT) AS cnt
-    FROM events GROUP BY user_id HAVING count(*) >= {HH_MIN_FREQ}
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= {HH_MIN_FREQ}
 """
 
 
@@ -95,3 +96,62 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sk = sketches.histogram_build(li, "l_extendedprice", n_bins=HQ_BINS)
     return sketches.histogram_quantiles(sk, HQ_PROBS, n_bins=HQ_BINS)
+
+
+KLL_CAPACITY = 4096
+KLL_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _kll_oracle() -> str:
+    """Relational replay of the canonical KLL-family compactor
+    (operators/sketches.py kll_build/kll_quantiles): per-item 60-bit md5
+    coins, l* = min level whose survivor count fits capacity, survivor
+    filter, then sample order statistics at ceil(p*m). Every stage is
+    order-independent arithmetic, so DuckDB reproduces the sketch
+    bit-exactly."""
+    b = sketches.KLL_COIN_BITS
+    probs_rows = ",\n      ".join(f"(CAST({float(p)!r} AS DOUBLE))" for p in KLL_PROBS)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), cnts AS (
+      SELECT ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT min(l) AS lstar FROM cnts WHERE c <= {KLL_CAPACITY}
+    ), sk AS MATERIALIZED (
+      SELECT v, u FROM base, lstar
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
+    ), ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, u) AS rn,
+             count(*) OVER () AS m
+      FROM sk
+    )
+    SELECT t.p, ranked.v AS q
+    FROM ranked JOIN (VALUES {probs_rows}) t(p)
+      ON ranked.rn = CAST(ceil(t.p * ranked.m) AS BIGINT)
+    """
+
+
+@register("sketch_kll_quantiles", oracle=_kll_oracle())
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass range-free rank-quantile sketch over extended price: the
+    canonical KLL-family compactor (per-item seeded md5 coins — see
+    operators/sketches.py for the exact-mergeability trade), capacity
+    {KLL_CAPACITY}. Unlike sketch_histogram_quantiles this needs no
+    min/max pre-scan and no fixed range; error is a rank bound."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=KLL_CAPACITY)
+    return sketches.kll_quantiles(sk, KLL_PROBS)

@@ -62,6 +62,9 @@ UNPART_WINDOW_ALLOWED = {
     "sketch_histogram_quantiles": [
         ("bin", "cumulation over the <= n_bins-row histogram cell table")
     ],
+    "sketch_kll_quantiles": [
+        ("v", "row_number over the <= capacity-row survivor sample")
+    ],
 }
 
 _WSD_START = "windowspecdefinition("

@@ -1,0 +1,167 @@
+"""Round-10 sketch hardening: the global Misra-Gries merge (bounds the
+heavy-hitter broadcast to <= capacity rows regardless of partition
+count) and the canonical KLL-family rank sketch (one pass, range-free,
+exactly mergeable, rank-error bounded)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.catalog import table
+from les_etl_pipeline_spark.operators import sketches
+
+
+# -- mg_merge (VERDICT r9 #4) -------------------------------------------------
+def test_mg_merge_bounds_candidates_and_preserves_survival(spark):
+    """The merged summary is <= capacity rows no matter how many
+    partition summaries feed it, every key with global count >
+    N/(capacity+1) survives the merge, and lb stays a lower bound."""
+    n_part, capacity = 16, 16
+    rows = []
+    for p in range(n_part):
+        rows += [("HEAVY",)] * 30 + [("WARM",)] * 20
+        rows += [(f"tail-{p}-{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string").repartition(n_part)
+    n = len(rows)
+    summaries = sketches.mg_candidates(df, "k", capacity=capacity)
+    assert summaries.count() > capacity  # the union really is oversized
+    merged = sketches.mg_merge(summaries, capacity).collect()
+    assert len(merged) <= capacity
+    true = {
+        r.k: r.cnt
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    survivors = {r.value for r in merged}
+    for k, cnt in true.items():
+        if cnt > n / (capacity + 1):
+            assert k in survivors, (k, cnt, n / (capacity + 1))
+    for r in merged:
+        assert 0 < r.lb <= true[r.value]
+
+
+def test_heavy_hitters_broadcast_is_capacity_bounded(spark):
+    """End-to-end pin of the r10 plan change: with many partitions and a
+    huge key space the candidate set entering the verify semi-join is
+    <= capacity rows (pre-merge it would be up to capacity x
+    n_partitions), and the exact result is unchanged."""
+    # 4 heavy keys (800 each) + 370-key tail of 2: N = 3940, so the MG
+    # completeness precondition min_freq > N/(capacity+1) = 438 holds
+    rows = [(f"H{i % 4}",) for i in range(3200)]
+    rows += [(f"tail-{i}",) for i in range(370) for _ in range(2)]
+    df = spark.createDataFrame(rows, "k string").repartition(32)
+    cands = sketches.mg_merge(sketches.mg_candidates(df, "k", 8), 8)
+    assert cands.count() <= 8
+    got = {
+        (r.value, r.cnt)
+        for r in sketches.heavy_hitters_exact(df, "k", min_freq=800, capacity=8).collect()
+    }
+    assert got == {(f"H{i}", 800) for i in range(4)}
+
+
+def test_heavy_hitters_nulls_excluded_by_contract(spark):
+    """ADVICE r9 low: nulls never appear as heavy hitters — MG state
+    drops them and the verify scan filters them, matching the oracle's
+    explicit WHERE value IS NOT NULL."""
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [(None,)] * 50 + [("b",)] * 3, "k string"
+    )
+    got = sketches.heavy_hitters_exact(df, "k", min_freq=10, capacity=64).collect()
+    assert {(r.value, r.cnt) for r in got} == {("a", 50)}
+
+
+# -- histogram quantiles: one subplan for all probs (VERDICT r9 #6) -----------
+def test_histogram_quantiles_plan_constant_in_probs(spark, sf_dir):
+    """Node count of the physical plan no longer grows with len(probs)
+    (the per-probability limit(1) union is gone), and more probs means
+    the same answers for the shared ones."""
+    li = table(spark, sf_dir, "lineitem")
+    sk = sketches.histogram_build(li, "l_extendedprice", n_bins=256)
+
+    def plan_lines(probs):
+        df = sketches.histogram_quantiles(sk, probs, n_bins=256)
+        return len(
+            df._jdf.queryExecution().executedPlan().toString().splitlines()
+        )
+
+    assert plan_lines([0.5]) == plan_lines([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    few = {r.p: r.q for r in sketches.histogram_quantiles(sk, [0.5], n_bins=256).collect()}
+    many = {
+        r.p: r.q
+        for r in sketches.histogram_quantiles(
+            sk, [0.25, 0.5, 0.9], n_bins=256
+        ).collect()
+    }
+    assert few[0.5] == many[0.5]
+
+
+# -- KLL-family rank sketch (VERDICT r9 #3) -----------------------------------
+def test_kll_capacity_bound_and_determinism(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 512
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    rows = {(r.v, r.u) for r in sk.collect()}
+    assert 0 < len(rows) <= cap
+    again = {(r.v, r.u) for r in
+             sketches.kll_build(li, "l_extendedprice", key, capacity=cap).collect()}
+    assert rows == again  # pure function of the multiset
+
+
+def test_kll_merge_equals_single_build(spark, sf_dir):
+    """The canonical-compactor property position-parity KLL cannot have:
+    merging shard sketches is BIT-IDENTICAL to sketching the union."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 1024
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = sketches.kll_merge(
+        sketches.kll_build(a, "l_extendedprice", key, capacity=cap),
+        sketches.kll_build(b, "l_extendedprice", key, capacity=cap),
+        capacity=cap,
+    )
+    single = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    assert {(r.v, r.u) for r in merged.collect()} == {
+        (r.v, r.u) for r in single.collect()
+    }
+
+
+def test_kll_rank_error_bounded(spark, sf_dir):
+    """Every estimated quantile's TRUE rank lands within the Bernoulli
+    sample bound: |true_rank(q) - p*N| <= 4 * N / sqrt(m) (>= 4-sigma
+    margin on the documented O(N * sqrt(1/capacity)) rank error)."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 2048
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    m = sk.count()
+    n = li.count()
+    probs = [0.1, 0.5, 0.9]
+    got = {r.p: r.q for r in sketches.kll_quantiles(sk, probs).collect()}
+    vals = F.col("l_extendedprice").cast("double")
+    for p in probs:
+        true_rank = li.where(vals <= F.lit(got[p])).count()
+        assert abs(true_rank - p * n) <= 4.0 * n / (m ** 0.5), (
+            p, got[p], true_rank, p * n, m,
+        )
+
+
+def test_kll_small_input_is_lossless(spark):
+    """Inputs within capacity never compact: l*=0, every row survives,
+    quantiles are EXACT order statistics."""
+    data = [(float(i), str(i)) for i in range(100)]
+    df = spark.createDataFrame(data, "x double, k string")
+    sk = sketches.kll_build(df, "x", F.col("k"), capacity=4096)
+    assert sk.count() == 100
+    assert sk.select("lstar").distinct().collect()[0].lstar == 0
+    got = {r.p: r.q for r in sketches.kll_quantiles(sk, [0.5, 0.25]).collect()}
+    assert got[0.5] == 49.0 and got[0.25] == 24.0  # ceil(p*100)-th smallest
