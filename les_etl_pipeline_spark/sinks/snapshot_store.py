@@ -74,6 +74,10 @@ from pyspark.sql import DataFrame, SparkSession
 CURRENT = "_CURRENT"
 COMMITTED = "_COMMITTED"
 MARKER_PREFIX = "commit-v="
+#: pass as ``expected_version`` to CAS-assert the store has never
+#: published (the first-commit race: exactly one of N concurrent
+#: initializers wins)
+EXPECT_EMPTY = -1
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -174,7 +178,12 @@ class SnapshotStore:
         state the caller never saw."""
         while True:
             cur = self.current_version()
-            if expected_version is not None and cur != expected_version:
+            # expected_version semantics: None = blind write (no CAS);
+            # -1 (EXPECT_EMPTY) = assert no version has ever been
+            # published (first-commit CAS); >= 0 = classic optimistic CAS
+            if expected_version is not None and cur != (
+                None if expected_version < 0 else expected_version
+            ):
                 shutil.rmtree(staging, ignore_errors=True)
                 raise ConcurrentWriteError(
                     f"table moved: expected v={expected_version}, found "

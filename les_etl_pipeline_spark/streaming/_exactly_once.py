@@ -117,6 +117,38 @@ def read_table(spark, table_path: str, schema: str):
     )
 
 
+def read_committed(spark, index_dir: str, table_path: str, schema: str):
+    """Read only LEDGER-COMMITTED content of a table root: top-level data
+    files (compaction/retrain rewrites) plus segment dirs whose batch id
+    is within their stream's committed high-water mark.
+
+    This is the non-destructive counterpart of
+    ``drop_uncommitted_segments``: a maintenance reader (retrain /
+    compaction building a new index generation) uses it so it can run
+    CONCURRENTLY with an active drain — the mid-flight batch's
+    uncommitted segment is simply not seen, and the epoch CAS
+    (ann_index._epoch_txn) then arbitrates which side's commit lands
+    first; the loser redoes its work against the fresh state. Nothing is
+    deleted, so a drain that commits after this read keeps its segment
+    either way."""
+    hwms = _hwms(index_dir)
+    paths: list[str] = []
+    if os.path.isdir(table_path):
+        for name in sorted(os.listdir(table_path)):
+            if name.startswith((".", "_")):
+                continue
+            full = os.path.join(table_path, name)
+            m = _SEG_RE.match(name)
+            if m:
+                if int(m.group(2)) <= hwms.get(m.group(1), -1):
+                    paths.append(full)
+            elif os.path.isfile(full):
+                paths.append(full)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def _hwms(index_dir: str) -> dict[str, int]:
     ledger = os.path.join(index_dir, LEDGER_DIR)
     out: dict[str, int] = {}

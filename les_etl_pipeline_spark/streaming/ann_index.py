@@ -32,18 +32,49 @@ per-(checkpoint, batch) overwrite segments, so replays are idempotent
 and new streams draining into an existing index are not mistaken for
 replays (the ADVICE r8 ledger defect). Ledger commit is the last step.
 
+Concurrency (round 10 — VERDICT r9 #5): the "never run maintenance
+concurrently with a drain" CONVENTION is replaced by optimistic
+arbitration on the snapshot store's CAS. ``index_dir/state`` is an
+EPOCH LOG (a ``SnapshotStore``); every index mutation commits by
+publishing the next epoch with ``expected_version`` = the epoch it read:
+
+- a DRAIN batch / a tombstone DELETE publishes a tiny POINTER epoch
+  (``_GENERATION`` json naming the live generation) after its writes;
+- RETRAIN / COMPACTION publish a DATA generation (centroids + stats +
+  rewritten postings in the epoch dir itself) built from
+  LEDGER-COMMITTED rows only (``xo.read_committed`` — non-destructive,
+  so an in-flight batch's segment is never swept, merely not seen).
+
+Any interleaving therefore loses at exactly one commit point and
+retries: a retrain racing a drain either publishes first (the drain's
+CAS fails and it redoes the batch against the new generation — its
+writes are idempotent per-(checkpoint,batch) overwrite segments) or
+second (the retrain's CAS fails and it re-reads live rows including the
+new batch). Two maintenance jobs serialize the same way
+(``ConcurrentWriteError`` to the loser). Compaction no longer swaps the
+postings dir in place — the in-place swap had an unclosable window
+against a concurrent drain — it publishes a new generation like retrain
+does. The ONE remaining single-writer requirement is the bootstrap
+(first-ever batch training the quantizer at the flat root): two streams
+bootstrapping one EMPTY index concurrently still race on the shared
+centroid table; every post-bootstrap operation is CAS-safe.
+
+The ledger (stream identity) stays at ``index_dir/_ledger`` — it tracks
+the STREAM's progress, which is generation-independent.
+
 Per micro-batch cost is O(batch x n_cells) scalar arithmetic + one
-append — no shuffle at all (the argmin is a projection), no index
-rewrite, never a corpus rescan. ``ivf_search_index`` replays the exact
-probe-and-score shape of ``similarity.ivf_topk`` (rounded probe
-distance ranked with cell tie-break, raw-double cosine, rank window
-tie-broken on neighbor id), which is what lets the parity test pin
-index-search == ``ivf_topk`` bit-for-bit when both see the same
-vectors and centroids.
+append + one pointer-epoch publish (two tiny files) — no shuffle at all
+(the argmin is a projection), no index rewrite, never a corpus rescan.
+``ivf_search_index`` replays the exact probe-and-score shape of
+``similarity.ivf_topk`` (rounded probe distance ranked with cell
+tie-break, raw-double cosine, rank window tie-broken on neighbor id),
+which is what lets the parity test pin index-search == ``ivf_topk``
+bit-for-bit when both see the same vectors and centroids.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -59,27 +90,95 @@ POSTINGS_SCHEMA = (
     "vec_id bigint, cell int, v array<double>, nrm double, batch bigint"
 )
 _STATS = "_STATS.json"
+_GENERATION = "_GENERATION"
+_FLAT = "flat"
+
+
+# -- epoch log ---------------------------------------------------------------
+def _state_store(spark, index_dir: str):
+    from ..sinks.snapshot_store import SnapshotStore
+
+    return SnapshotStore(spark, os.path.join(index_dir, "state"))
+
+
+def _generation_path(store, version: int, index_dir: str) -> str:
+    """Collapse an epoch to its generation's data root: a DATA epoch
+    (has a centroids dir) is its own generation; a POINTER epoch names
+    one (a store version, or 'flat' = the bootstrap layout directly
+    under index_dir). Pointers always name a data generation, never
+    another pointer, so this never chains."""
+    path = store.version_path(version)
+    if os.path.isdir(os.path.join(path, "centroids")):
+        return path
+    try:
+        with open(os.path.join(path, _GENERATION)) as f:
+            gen = json.load(f)["generation"]
+    except (OSError, ValueError, KeyError):
+        return index_dir
+    return index_dir if gen == _FLAT else store.version_path(int(gen))
 
 
 def _index_root(spark, index_dir: str) -> str:
-    """Resolve the index's LIVE generation. A retrained index keeps its
-    state under ``index_dir/state/v=<n>/{centroids,postings}`` (a
-    SnapshotStore — the retrain swap is one atomic version claim); an
-    index that has never been retrained uses the flat bootstrap layout
+    """Resolve the index's LIVE generation via the epoch log. An index
+    that has never published an epoch uses the flat bootstrap layout
     directly under ``index_dir``. Sink, search, delete and compaction
-    all resolve through here, so a retrain redirects every consumer at
-    its next operation. The ledger (stream identity) stays at
-    ``index_dir/_ledger`` — it tracks the STREAM's progress, which is
-    generation-independent."""
-    from ..sinks.snapshot_store import SnapshotStore
-
+    all resolve through here, so a retrain/compaction redirects every
+    consumer at its next operation."""
     state = os.path.join(index_dir, "state")
     if os.path.isdir(state):
-        store = SnapshotStore(spark, state)
+        store = _state_store(spark, index_dir)
         v = store.current_version()
         if v is not None:
-            return store.version_path(v)
+            return _generation_path(store, v, index_dir)
     return index_dir
+
+
+def _generation_id(store, root: str, index_dir: str):
+    if root == index_dir:
+        return _FLAT
+    return int(os.path.basename(root)[2:])
+
+
+def _expected(ev):
+    from ..sinks.snapshot_store import EXPECT_EMPTY
+
+    return EXPECT_EMPTY if ev is None else ev
+
+
+def _epoch_txn(spark, index_dir: str, work, max_attempts: int = 10) -> str:
+    """Optimistic index transaction: run ``work(root)`` against the
+    current generation, then commit by publishing a pointer epoch with
+    ``expected_version`` = the epoch that was read. If ANY other writer
+    (another batch, a delete, a retrain, a compaction) committed in
+    between, the CAS raises and the transaction re-resolves and redoes
+    its work against the fresh state — so ``work`` must be idempotent
+    per attempt (per-(checkpoint,batch) overwrite segments are; a
+    tombstone append may duplicate rows across attempts, which the
+    distinct anti-join and compaction fold absorb). Returns the root the
+    committed attempt ran against."""
+    from ..sinks.snapshot_store import ConcurrentWriteError
+
+    store = _state_store(spark, index_dir)
+    for _ in range(max_attempts):
+        ev = store.current_version()
+        root = (
+            _generation_path(store, ev, index_dir) if ev is not None else index_dir
+        )
+        work(root)
+        gen = _generation_id(store, root, index_dir)
+
+        def pointer(staging: str, gen=gen) -> None:
+            with open(os.path.join(staging, _GENERATION), "w") as f:
+                json.dump({"generation": gen}, f)
+
+        try:
+            store.publish_dir(pointer, expected_version=_expected(ev))
+            return root
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"index {index_dir}: epoch CAS lost {max_attempts} straight races"
+    )
 
 
 def read_vector_stream(
@@ -110,15 +209,11 @@ def _write_stats(centroids_path: str, trained_mean_d2) -> None:
     """Record the quantizer's training-time mean assignment distance
     (the drift baseline) next to the centroids — written before the
     completeness marker, so a complete quantizer always has stats."""
-    import json
-
     with open(os.path.join(centroids_path, _STATS), "w") as f:
         json.dump({"trained_mean_d2": float(trained_mean_d2)}, f)
 
 
 def _read_stats(centroids_path: str) -> dict:
-    import json
-
     with open(os.path.join(centroids_path, _STATS)) as f:
         return json.load(f)
 
@@ -142,50 +237,54 @@ def ann_index_sink(
         # into an existing index is real work, not a replay)
         if xo.committed(index_dir, key, batch_id):
             return
-        # resolve the live generation PER BATCH: a retrain between
-        # batches atomically redirects the ingest to the new quantizer
-        root = _index_root(spark, index_dir)
-        centroids_path = os.path.join(root, "centroids")
-        postings_path = os.path.join(root, "postings")
-        # repair a crashed compaction swap before reading/writing postings
-        xo.recover_swap(postings_path)
-        xo.clear_segments([postings_path], key, batch_id)
         e = _doubles(batch_df, id_col, vec_col)
-        # a write-complete marker gates the bootstrap: a crash mid-
-        # centroid-write leaves no marker, and the replay retrains
-        # (deterministic Lloyd on the same batch => identical centroids)
-        # and overwrites; bare exists() would trust a torn write
-        if not xo.is_complete(centroids_path):
-            # bootstrap: train the coarse quantizer on this batch only —
-            # the offline-retrain slot is retrain_index(); k x d scalars
-            _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
-            spark.createDataFrame(
-                [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
-            ).write.mode("overwrite").parquet(centroids_path)
-            _write_stats(
-                centroids_path,
-                _assign(e, cents).agg(F.avg("d")).collect()[0][0],
+
+        def work(root: str) -> None:
+            # the txn resolves the live generation PER ATTEMPT: a retrain
+            # that lands mid-batch fails our CAS and this work redoes
+            # against the new quantizer
+            centroids_path = os.path.join(root, "centroids")
+            postings_path = os.path.join(root, "postings")
+            # repair a legacy crashed in-place swap before touching postings
+            xo.recover_swap(postings_path)
+            xo.clear_segments([postings_path], key, batch_id)
+            # a write-complete marker gates the bootstrap: a crash mid-
+            # centroid-write leaves no marker, and the replay retrains
+            # (deterministic Lloyd on the same batch => identical
+            # centroids) and overwrites; bare exists() would trust a torn
+            # write. Bootstrap is the one step still under a single-
+            # writer requirement (module docstring).
+            if not xo.is_complete(centroids_path):
+                _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
+                spark.createDataFrame(
+                    [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
+                ).write.mode("overwrite").parquet(centroids_path)
+                _write_stats(
+                    centroids_path,
+                    _assign(e, cents).agg(F.avg("d")).collect()[0][0],
+                )
+                xo.mark_complete(centroids_path)
+            else:
+                cents = _load_centroids(spark, centroids_path)
+            assigned = _assign(e, cents)
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
             )
-            xo.mark_complete(centroids_path)
-        else:
-            cents = _load_centroids(spark, centroids_path)
-        assigned = _assign(e, cents)
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform(F.col("v"), lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
+            assigned.select(
+                "vec_id",
+                F.col("cluster").cast("int").alias("cell"),
+                "v",
+                nrm.alias("nrm"),
+                F.lit(batch_id).cast("bigint").alias("batch"),
+            ).write.mode("overwrite").parquet(
+                xo.segment(postings_path, key, batch_id)
             )
-        )
-        assigned.select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cell"),
-            "v",
-            nrm.alias("nrm"),
-            F.lit(batch_id).cast("bigint").alias("batch"),
-        ).write.mode("overwrite").parquet(
-            xo.segment(postings_path, key, batch_id)
-        )
+
+        _epoch_txn(spark, index_dir, work)
         xo.commit(index_dir, key, batch_id)
 
     q = (
@@ -274,23 +373,32 @@ def delete_vectors(spark, index_dir: str, vec_ids, batch_id: int = 0) -> None:
     (append / delete / compact). Vector stores never rewrite posting
     segments per delete; they append (vec_id, batch) tombstones and let
     search anti-join them until the next compaction folds them in.
-    ``vec_ids`` may be a list or a 1-column DataFrame."""
-    tomb_path = os.path.join(_index_root(spark, index_dir), "tombstones")
+    ``vec_ids`` may be a list or a 1-column DataFrame. Runs as an epoch
+    transaction, so a delete racing a retrain/compaction re-appends into
+    the surviving generation instead of tombstoning a dead one (a retry
+    may duplicate tombstone rows — absorbed by the distinct anti-join
+    and the next fold)."""
     if isinstance(vec_ids, DataFrame):
         df = vec_ids.select(F.col(vec_ids.columns[0]).cast("bigint").alias("vec_id"))
     else:
         df = spark.createDataFrame([(int(v),) for v in vec_ids], "vec_id bigint")
-    df.select(
-        "vec_id", F.lit(batch_id).cast("bigint").alias("batch")
-    ).write.mode("append").parquet(tomb_path)
+
+    def work(root: str) -> None:
+        df.select(
+            "vec_id", F.lit(batch_id).cast("bigint").alias("batch")
+        ).write.mode("append").parquet(os.path.join(root, "tombstones"))
+
+    _epoch_txn(spark, index_dir, work)
 
 
-def _live_postings(spark, index_dir: str) -> DataFrame:
-    """Postings minus tombstones (one broadcast-able anti-join — the
-    tombstone set is small between compactions by construction)."""
-    root = _index_root(spark, index_dir)
-    postings = xo.read_table(
-        spark, os.path.join(root, "postings"), POSTINGS_SCHEMA
+def _live_postings_at(spark, index_dir: str, root: str) -> DataFrame:
+    """Committed postings of ONE generation minus its tombstones (one
+    broadcast-able anti-join — the tombstone set is small between
+    compactions by construction). Only ledger-committed segments are
+    read (xo.read_committed), so maintenance can run while a drain is
+    mid-batch without seeing half-written rows."""
+    postings = xo.read_committed(
+        spark, index_dir, os.path.join(root, "postings"), POSTINGS_SCHEMA
     )
     tomb_path = os.path.join(root, "tombstones")
     if not os.path.exists(tomb_path):
@@ -301,50 +409,73 @@ def _live_postings(spark, index_dir: str) -> DataFrame:
     )
 
 
+def _live_postings(spark, index_dir: str) -> DataFrame:
+    return _live_postings_at(spark, index_dir, _index_root(spark, index_dir))
+
+
 def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int:
     """Fold tombstones into the postings and rewrite the inverted file
     CLUSTERED BY cell — hash-repartitioned on ``cell`` and sorted within
     each file, so a probe's ``cell IN (...)`` filter prunes at parquet
     row-group statistics. ``cell`` stays a data column (NOT a partition
-    directory): per-batch segment subdirs and compacted files then share
-    one uniform layout and every reader is a single recursive parquet
-    scan — mixing partitioned and flat writes under one root is what
-    broke partition discovery (ADVICE r8). On a real cluster this same
-    pass writes a bucketed-by-``cell`` table for pruned bucket reads.
+    directory): per-batch segment subdirs and compacted files share one
+    uniform layout and every reader is a single schema-pinned scan —
+    mixing partitioned and flat writes under one root is what broke
+    partition discovery (ADVICE r8). On a real cluster this same pass
+    writes a bucketed-by-``cell`` table for pruned bucket reads.
     Returns the number of live rows written.
 
-    Staging-rewrite-then-swap (the ``sinks/layout.compact_parquet``
-    idiom): the live rows land in ``postings.staging``, then one
-    atomic-enough rename swap — readers never see a half-written index.
-    At 100 TB this runs as the periodic maintenance job that also
-    merges small append segments (every micro-batch appended one) into
-    ``partitions_per_cell`` files per cell."""
-    root = _index_root(spark, index_dir)
-    postings_path = os.path.join(root, "postings")
-    # repair any half-finished previous swap, then sweep abandoned-crash
-    # segment debris (single-writer contract: compaction never runs
-    # concurrently with an active drain)
-    xo.recover_swap(postings_path)
-    xo.drop_uncommitted_segments(index_dir, [postings_path])
-    live = _live_postings(spark, index_dir)
-    staging = postings_path + ".staging"
-    backup = postings_path + ".old"
-    (
-        live.repartition(partitions_per_cell * 8, "cell")
-        .sortWithinPartitions("cell")
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
-    n = spark.read.schema(POSTINGS_SCHEMA).parquet(staging).count()
-    import shutil
+    Commit protocol (round 10): the compacted index is published as a
+    NEW GENERATION (centroids copied, postings rewritten) via the epoch
+    CAS — the in-place staging swap it replaces had an unclosable
+    lost-append window against a concurrent drain. A drain or delete
+    that commits while the rewrite is running fails our CAS; we re-read
+    (including its rows) and retry. At 100 TB this runs as the periodic
+    maintenance job that also merges small append segments (every
+    micro-batch appended one) into ``partitions_per_cell`` files per
+    cell."""
+    from ..sinks.snapshot_store import ConcurrentWriteError
 
-    os.rename(postings_path, backup)
-    os.rename(staging, postings_path)
-    shutil.rmtree(backup)
-    tomb_path = os.path.join(root, "tombstones")
-    if os.path.exists(tomb_path):
-        shutil.rmtree(tomb_path)
-    return n
+    store = _state_store(spark, index_dir)
+    for _ in range(5):
+        ev = store.current_version()
+        root = (
+            _generation_path(store, ev, index_dir) if ev is not None else index_dir
+        )
+        # repair a LEGACY crashed in-place swap (pre-r10 layout) before
+        # reading — recover_swap is a no-op on generation-published dirs
+        xo.recover_swap(os.path.join(root, "postings"))
+        live = _live_postings_at(spark, index_dir, root).localCheckpoint()
+        n = live.count()
+
+        def build(staging: str, root=root, live=live) -> None:
+            import shutil
+
+            shutil.copytree(
+                os.path.join(root, "centroids"), os.path.join(staging, "centroids")
+            )
+            (
+                live.repartition(partitions_per_cell * 8, "cell")
+                .sortWithinPartitions("cell")
+                .write.parquet(os.path.join(staging, "postings"))
+            )
+
+        try:
+            store.publish_dir(
+                build,
+                audit=lambda staging: spark.read.schema(POSTINGS_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(os.path.join(staging, "postings"))
+                .count()
+                == n,
+                expected_version=_expected(ev),
+            )
+            return n
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"index {index_dir}: compaction lost 5 straight epoch races"
+    )
 
 
 def assignment_drift(spark, index_dir: str) -> dict:
@@ -361,7 +492,7 @@ def assignment_drift(spark, index_dir: str) -> dict:
     cents = _load_centroids(spark, centroids_path)
     trained = _read_stats(centroids_path)["trained_mean_d2"]
     cur = (
-        _assign(_live_postings(spark, index_dir).select("vec_id", "v"), cents)
+        _assign(_live_postings_at(spark, index_dir, root).select("vec_id", "v"), cents)
         .agg(F.avg("d"))
         .collect()[0][0]
     )
@@ -379,54 +510,98 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
     retrained index searches bit-identically to a fresh-trained batch
     ``similarity.ivf_topk`` over the same vectors), reassign every live
     vector, and publish (centroids + stats + reassigned postings) as ONE
-    atomic generation via ``SnapshotStore.publish_dir`` — the version
-    claim is a single rename, so sink/search/compact consumers resolve
-    either the old generation or the new one, never a mix. Tombstones
-    fold in (retraining reads live postings only); the stream ledger is
-    untouched (stream progress is generation-independent). Runs as a
-    maintenance job, never concurrently with a drain (same single-
-    maintenance-writer contract as compaction). Returns the new
-    generation's version number."""
-    from ..sinks.snapshot_store import SnapshotStore
+    atomic generation via ``SnapshotStore.publish_dir``. Tombstones fold
+    in (retraining reads live rows only); the stream ledger is untouched
+    (stream progress is generation-independent).
 
-    root = _index_root(spark, index_dir)
-    # crash debris must not leak into the new generation
-    xo.recover_swap(os.path.join(root, "postings"))
-    xo.drop_uncommitted_segments(index_dir, [os.path.join(root, "postings")])
-    live = _live_postings(spark, index_dir).localCheckpoint()
-    n_live = live.count()
-    _, cents = kmeans_lloyd_full(
-        live.select("vec_id", "v"), k=n_cells, iters=iters, vec_col="v"
-    )
-    reassigned = _assign(live.select("vec_id", "v"), cents)
-    mean_d2 = reassigned.agg(F.avg("d")).collect()[0][0]
+    Concurrency (VERDICT r9 #5): the generation publish carries
+    ``expected_version`` = the epoch this retrain read. A drain batch, a
+    delete, or another maintenance job that commits mid-retrain moves
+    the epoch, the claim raises ``ConcurrentWriteError``, and the
+    retrain retries from the fresh state (now including the interleaved
+    rows) — enforcement by CAS, not by convention. Reads see only
+    ledger-committed segments, so nothing of an in-flight batch is
+    trained on or lost. Returns the new generation's version number."""
+    from ..sinks.snapshot_store import ConcurrentWriteError
 
-    def build(staging: str) -> None:
-        cpath = os.path.join(staging, "centroids")
-        spark.createDataFrame(
-            [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
-        ).write.parquet(cpath)
-        _write_stats(cpath, mean_d2)
-        xo.mark_complete(cpath)
-        (
-            reassigned.select(
-                "vec_id",
-                F.col("cluster").cast("int").alias("cell"),
-                "v",
-            )
-            .join(live.select("vec_id", "nrm", "batch"), "vec_id")
-            .select("vec_id", "cell", "v", "nrm", "batch")
-            .repartition(8, "cell")
-            .sortWithinPartitions("cell")
-            .write.parquet(os.path.join(staging, "postings"))
+    store = _state_store(spark, index_dir)
+    for _ in range(5):
+        ev = store.current_version()
+        root = (
+            _generation_path(store, ev, index_dir) if ev is not None else index_dir
         )
+        xo.recover_swap(os.path.join(root, "postings"))  # legacy crash debris
+        live = _live_postings_at(spark, index_dir, root).localCheckpoint()
+        n_live = live.count()
+        _, cents = kmeans_lloyd_full(
+            live.select("vec_id", "v"), k=n_cells, iters=iters, vec_col="v"
+        )
+        reassigned = _assign(live.select("vec_id", "v"), cents)
+        mean_d2 = reassigned.agg(F.avg("d")).collect()[0][0]
 
-    store = SnapshotStore(spark, os.path.join(index_dir, "state"))
-    return store.publish_dir(
-        build,
-        audit=lambda staging: spark.read.schema(POSTINGS_SCHEMA)
-        .option("recursiveFileLookup", "true")
-        .parquet(os.path.join(staging, "postings"))
-        .count()
-        == n_live,
+        def build(staging: str, cents=cents, mean_d2=mean_d2,
+                  reassigned=reassigned, live=live) -> None:
+            cpath = os.path.join(staging, "centroids")
+            spark.createDataFrame(
+                [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
+            ).write.parquet(cpath)
+            _write_stats(cpath, mean_d2)
+            xo.mark_complete(cpath)
+            (
+                reassigned.select(
+                    "vec_id",
+                    F.col("cluster").cast("int").alias("cell"),
+                    "v",
+                )
+                .join(live.select("vec_id", "nrm", "batch"), "vec_id")
+                .select("vec_id", "cell", "v", "nrm", "batch")
+                .repartition(8, "cell")
+                .sortWithinPartitions("cell")
+                .write.parquet(os.path.join(staging, "postings"))
+            )
+
+        try:
+            return store.publish_dir(
+                build,
+                audit=lambda staging: spark.read.schema(POSTINGS_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(os.path.join(staging, "postings"))
+                .count()
+                == n_live,
+                expected_version=_expected(ev),
+            )
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"index {index_dir}: retrain lost 5 straight epoch races"
     )
+
+
+def vacuum_index_state(spark, index_dir: str) -> list[int]:
+    """Sweep epochs strictly older than the LIVE generation — superseded
+    pointer epochs and retired data generations nothing references
+    anymore. The live generation and every epoch after it (pointers to
+    it) stay. NEVER use the raw ``SnapshotStore.vacuum`` on an index
+    state store: its keep-last-N policy can drop a data generation that
+    newer pointer epochs still reference. Returns dropped versions."""
+    import shutil
+
+    state = os.path.join(index_dir, "state")
+    if not os.path.isdir(state):
+        return []
+    store = _state_store(spark, index_dir)
+    cur = store.current_version()
+    if cur is None:
+        return []
+    root = _generation_path(store, cur, index_dir)
+    floor = cur if root == index_dir else int(os.path.basename(root)[2:])
+    dropped = []
+    for v in store._versions_on_disk():
+        if v < floor:
+            shutil.rmtree(os.path.join(state, f"v={v}"), ignore_errors=True)
+            try:
+                os.remove(os.path.join(state, f"commit-v={v}"))
+            except OSError:
+                pass
+            dropped.append(v)
+    return dropped

@@ -536,11 +536,14 @@ def test_streaming_ann_index_delete_and_compact(spark, sf_dir, tmp_path):
     assert n == total - len(dead)
     import os
 
-    assert not os.path.exists(index_dir + "/tombstones")
+    # compaction publishes a NEW generation (r10): resolve the live root
+    root = SA._index_root(spark, index_dir)
+    assert root != index_dir  # the epoch log redirected every consumer
+    assert not os.path.exists(root + "/tombstones")  # folded in
     # cell is a DATA column: compaction must NOT emit partition dirs —
     # that's what made post-compaction appends unreadable (ADVICE r8)
     assert not any(
-        d.startswith("cell=") for d in os.listdir(index_dir + "/postings")
+        d.startswith("cell=") for d in os.listdir(root + "/postings")
     )
     after = sorted(
         map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
@@ -791,10 +794,12 @@ def test_streaming_ann_index_retrain_swap(spark, sf_dir, tmp_path):
     assert d1["drift"] > 1.2, d1  # the shifted half sits far from the old centroids
 
     v = SA.retrain_index(spark, index_dir)
-    assert v == 0
     import os
 
-    assert os.path.isdir(index_dir + "/state/v=0/postings")
+    # the retrain generation is a DATA epoch in the epoch log (drain
+    # batches published pointer epochs before it, so v > 0 since r10)
+    assert os.path.isdir(index_dir + f"/state/v={v}/postings")
+    assert SA._index_root(spark, index_dir) == index_dir + f"/state/v={v}"
     d2 = SA.assignment_drift(spark, index_dir)
     assert abs(d2["drift"] - 1.0) < 1e-9, d2
 
@@ -831,21 +836,22 @@ def test_streaming_ann_index_retrain_swap(spark, sf_dir, tmp_path):
         SA.read_vector_stream(spark, s3), index_dir, str(tmp_path / "rt_c3")
     )
     assert SA._live_postings(spark, index_dir).count() == n_before + 3
-    segs = os.listdir(index_dir + "/state/v=0/postings")
+    segs = os.listdir(SA._index_root(spark, index_dir) + "/postings")
     assert any(s.startswith("seg-") for s in segs)
 
 
 def test_compaction_swap_crash_recovery(spark, sf_dir, tmp_path):
-    """The compaction swap (rename-out, rename-in, cleanup) has two crash
-    windows; both must self-heal: (a) killed between the renames — the
-    table dir is ABSENT, the complete staging beside it must be adopted;
-    (b) killed before the backup cleanup — the stale .old must not block
-    the next compaction. Search results stay identical throughout."""
+    """Compaction crash windows under the r10 generation-publish
+    protocol: (a) LEGACY debris from a pre-r10 in-place swap that died
+    between its renames (table absent, complete staging beside it) must
+    be healed by the preamble before the rewrite; (b) a crash DURING the
+    generation build must leave the old generation live and the store
+    clean (publish_dir discards its staging — the commit point is the
+    version claim, so there is no half-compacted state to recover).
+    Search results stay identical throughout."""
     import os
-    import shutil
 
     from les_etl_pipeline_spark.catalog import table
-    from les_etl_pipeline_spark.streaming import _exactly_once as xo
     from les_etl_pipeline_spark.streaming import ann_index as SA
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -861,8 +867,7 @@ def test_compaction_swap_crash_recovery(spark, sf_dir, tmp_path):
     )
     posts = index_dir + "/postings"
 
-    # (a) crash between rename-out and rename-in: table absent, staging
-    # complete. Reconstruct that exact state by hand.
+    # (a) legacy swap crash: table absent, staging complete
     SA._live_postings(spark, index_dir).repartition(4, "cell").write.parquet(
         posts + ".staging"
     )
@@ -876,15 +881,190 @@ def test_compaction_swap_crash_recovery(spark, sf_dir, tmp_path):
     )
     assert after == before
 
-    # (b) stale backup left behind (crash before cleanup): next
-    # compaction must clear it instead of failing its rename
-    shutil.copytree(posts, posts + ".old")
+    # (b) crash mid-generation-build: the old generation stays live, no
+    # .tx staging survives, and the next compaction succeeds
+    root_before = SA._index_root(spark, index_dir)
+    real_copytree = __import__("shutil").copytree
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected build crash")
+
+    import shutil as _shutil
+
+    _shutil.copytree, saved = boom, real_copytree
+    try:
+        with pytest.raises(RuntimeError, match="injected build crash"):
+            SA.compact_postings(spark, index_dir)
+    finally:
+        _shutil.copytree = saved
+    assert SA._index_root(spark, index_dir) == root_before  # old gen live
+    state = index_dir + "/state"
+    assert not [d for d in os.listdir(state) if d.startswith(".tx-")]
+    mid = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert mid == before
     SA.compact_postings(spark, index_dir)
-    assert not os.path.exists(posts + ".old")
     final = sorted(
         map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
     )
     assert final == before
+
+
+def test_retrain_racing_drain_retries_and_loses_nothing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r9 #5, direction 1: a DRAIN batch commits while a retrain
+    is mid-flight. The retrain's generation publish must fail its epoch
+    CAS (ConcurrentWriteError internally), retry against the fresh
+    state, and the published generation must contain the interleaved
+    batch's vectors — enforcement by CAS, not convention."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators import similarity
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "race_idx")
+    s1 = str(tmp_path / "race_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "race_c1")
+    )
+
+    s2 = str(tmp_path / "race_s2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+    real_kmeans = SA.kmeans_lloyd_full
+    calls = {"n": 0}
+
+    def kmeans_with_interleaved_drain(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a second stream drains AFTER the retrain read its epoch
+            SA.ann_index_sink(
+                SA.read_vector_stream(spark, s2),
+                index_dir,
+                str(tmp_path / "race_c2"),
+            )
+        return real_kmeans(*a, **kw)
+
+    monkeypatch.setattr(SA, "kmeans_lloyd_full", kmeans_with_interleaved_drain)
+    v = SA.retrain_index(spark, index_dir)
+    monkeypatch.setattr(SA, "kmeans_lloyd_full", real_kmeans)
+
+    assert calls["n"] == 2  # first attempt lost the CAS and was retried
+    root = SA._index_root(spark, index_dir)
+    assert root == index_dir + f"/state/v={v}"
+    # the interleaved batch's vectors are IN the retrained generation
+    assert SA._live_postings(spark, index_dir).count() == emb.count()
+    # and search equals a fresh-trained batch IVF over ALL vectors
+    pred = F.col("vec_id") % 25 == 0
+    got = sorted(
+        map(
+            tuple,
+            SA.ivf_search_index(spark, index_dir, emb.where(pred), k=5, n_probe=2).collect(),
+        )
+    )
+    exp = sorted(map(tuple, similarity.ivf_topk(emb, pred, k=5, n_probe=2).collect()))
+    assert got and got == exp
+
+
+def test_drain_racing_retrain_redoes_batch_into_new_generation(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r9 #5, direction 2: a RETRAIN publishes while a drain
+    batch is mid-flight (segment written, epoch not yet claimed). The
+    drain's pointer-epoch CAS must fail, and the batch must redo its
+    work against the NEW generation — assigned by the new quantizer,
+    landing in the new postings — then commit its ledger exactly once."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "race2_idx")
+    s1 = str(tmp_path / "race2_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "race2_c1")
+    )
+    n_b1 = b1.count()
+
+    real_clear = xo.clear_segments
+    state = {"n": 0}
+
+    def clear_then_retrain(*a, **kw):
+        real_clear(*a, **kw)
+        state["n"] += 1
+        if state["n"] == 1:
+            # retrain lands between the drain's read and its commit
+            SA.retrain_index(spark, index_dir)
+
+    monkeypatch.setattr(xo, "clear_segments", clear_then_retrain)
+    s2 = str(tmp_path / "race2_s2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s2), index_dir, str(tmp_path / "race2_c2")
+    )
+    monkeypatch.setattr(xo, "clear_segments", real_clear)
+
+    assert state["n"] == 2  # the batch's work ran twice: lost CAS, redid
+    root = SA._index_root(spark, index_dir)
+    assert root != index_dir  # live root is the retrain generation
+    live = SA._live_postings(spark, index_dir)
+    assert live.count() == emb.count()
+    # the redone batch was assigned against the NEW quantizer
+    from les_etl_pipeline_spark.operators.clustering import _assign
+
+    cents = SA._load_centroids(spark, root + "/centroids")
+    exp_assign = {
+        r.vec_id: r.cluster
+        for r in _assign(SA._doubles(b2, "vec_id", "embedding"), cents).collect()
+    }
+    got = {
+        r.vec_id: r.cell
+        for r in live.where(F.col("vec_id").isin(list(exp_assign))).collect()
+    }
+    assert got == exp_assign
+    # ledger committed exactly once; a redrain is a no-op
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s2), index_dir, str(tmp_path / "race2_c2")
+    )
+    assert SA._live_postings(spark, index_dir).count() == emb.count()
+
+
+def test_vacuum_index_state_keeps_live_generation(spark, sf_dir, tmp_path):
+    """Epoch-log hygiene: vacuum drops superseded pointer epochs and
+    retired generations but never the live generation or epochs after
+    it; search is unaffected."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stream_dir = str(tmp_path / "vac_stream")
+    emb.coalesce(1).write.mode("append").parquet(stream_dir)
+    index_dir = str(tmp_path / "vac_idx")
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, stream_dir), index_dir, str(tmp_path / "vac_c1")
+    )
+    v = SA.retrain_index(spark, index_dir)
+    SA.delete_vectors(spark, index_dir, [3])  # pointer epoch after the gen
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    before = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    dropped = SA.vacuum_index_state(spark, index_dir)
+    assert dropped and all(d < v for d in dropped)
+    import os
+
+    assert os.path.isdir(index_dir + f"/state/v={v}")
+    after = sorted(
+        map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
+    )
+    assert after == before
 
 
 def test_streaming_ann_index_second_stream_into_existing_index(
