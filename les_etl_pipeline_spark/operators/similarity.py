@@ -868,6 +868,22 @@ def rh_lsh_topk(
     planes = rh_planes(d_in, n_bits, num_tables, seed)
     e = with_norm(df.select(id_col, vec_col), vec_col)
     # fail-loud on dimension mismatch, same contract as random_project
+    # (ADVICE r9): without this, a short/long vector null-pads through
+    # zip_with, every plane dot comes back null, all when() bits fall to
+    # 0, and the bad vector silently lands in bucket 0 of EVERY table
+    e = e.withColumn(
+        "vd",
+        F.when(F.size(F.col("vd")) == F.lit(d_in), F.col("vd")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"rh_lsh_topk: expected d_in={d_in} but vector has length "
+                    ),
+                    F.size(F.col("vd")).cast("string"),
+                )
+            )
+        ),
+    )
     tb = F.array(
         *[
             F.struct(

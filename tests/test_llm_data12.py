@@ -125,6 +125,19 @@ def test_random_projection_rejects_wrong_dimension(spark, sf_dir):
         similarity.random_project(emb, d_in=32, d_out=8).collect()
 
 
+def test_rh_lsh_topk_rejects_wrong_dimension(spark, sf_dir):
+    """Same fail-loud contract for the LSH tier (ADVICE r9): a
+    mismatched vector must raise, not silently hash to bucket 0 of
+    every table through zip_with null padding."""
+    import pytest
+
+    emb = table(spark, sf_dir, "embeddings").limit(8)
+    with pytest.raises(Exception, match="expected d_in=32"):
+        similarity.rh_lsh_topk(
+            emb, F.col("vec_id") >= 0, k=3, d_in=32, n_bits=4, num_tables=2
+        ).collect()
+
+
 def test_mmr_rerank_large_k_stays_linear_and_correct(spark, sf_dir):
     """k=12 greedy unrolling: each step is checkpointed, so later steps
     read materialized one-row-per-query tables instead of re-inlining the
