@@ -28,6 +28,7 @@ part of the §2.12/LLM-data gap surface.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
 #: default CMS geometry — width*depth cells bound the absolute error at
@@ -474,6 +475,130 @@ def kll_merge(*sketches: DataFrame, capacity: int = 4096) -> DataFrame:
     return base.join(F.broadcast(lstar)).where(
         F.col("u")
         < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key: Column, k: int = 128
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch per group: the
+    k smallest DISTINCT 60-bit md5 coins of ``key``. The theta-sketch
+    family's workhorse — ``k`` values summarize any number of distinct
+    keys, shards merge exactly (union + re-bottom-k), and set-operation
+    estimates (union / intersection / Jaccard across groups) fall out of
+    the same structure, which COUNT(DISTINCT)-style exact plans cannot
+    give without a full distinct join. Deterministic md5 coins (same
+    family as the KLL/CMS tiers), so DuckDB replays the sketch and every
+    estimate bit-exactly. Plan: distinct on (group, coin) — ONE shuffle
+    whose payload is group + 8 bytes — then a per-group bottom-k window.
+    Returns (group..., h)."""
+    w = _W.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(*group_cols, _kll_coin(key).alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(k))
+        .drop("_rn")
+    )
+
+
+def kmv_merge(sketches_df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Merge KMV sketches (rows from any number of shard sketches,
+    unioned): distinct coins, re-bottom-k per group. Exactly equals the
+    sketch built over the combined input — bottom-k of a union is the
+    bottom-k of the unioned bottom-k's."""
+    w = _W.partitionBy(*group_cols).orderBy("h")
+    return (
+        sketches_df.select(*group_cols, "h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(k))
+        .drop("_rn")
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Distinct-count estimate per group: EXACT when the group holds
+    fewer than k distinct coins (the sketch IS the distinct set), else
+    the classic KMV estimator (k-1) / normalized k-th minimum — relative
+    standard error ~ 1/sqrt(k-2). Returns (group..., n_distinct_est)."""
+    scale = float((k - 1) * (1 << KLL_COIN_BITS))
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_c"), F.max("h").alias("_hk")
+    )
+    est = F.when(F.col("_c") < F.lit(k), F.col("_c").cast("double")).otherwise(
+        F.lit(scale) / F.col("_hk").cast("double")
+    )
+    from ..functions.rounding import hround
+
+    return agg.select(*group_cols, hround(est, 2).alias("n_distinct_est"))
+
+
+def kmv_pairwise_overlap(
+    sketch: DataFrame, group_col: str, pairs: DataFrame, k: int
+) -> DataFrame:
+    """Set-operation estimates for group PAIRS from their KMV sketches —
+    the cross-source overlap report (how much of corpus A is also in B)
+    that would otherwise need an exact distinct join per pair:
+
+    - bottom-k of the pair's UNION sketch gives the union threshold;
+    - Jaccard = fraction of that bottom-k present in BOTH sides (the
+      standard KMV/theta intersection estimator);
+    - union estimate as in ``kmv_distinct_estimate`` (exact under k);
+      intersection = Jaccard x union.
+
+    ``pairs`` (src_a, src_b) is a driver-literal spine over the group
+    DOMAIN (bounded corpus metadata — the same doctrine as the JSD
+    source-pair spine), so every join here is a broadcast equi-join on
+    the pair key: no nested-loop shape, sketch rows shuffle at most
+    |pairs|/|groups| times. Returns (src_a, src_b, union_est,
+    jaccard_est, inter_est) — all deterministic double math, oracle-
+    replayable."""
+    from ..functions.rounding import hround
+
+    sk_a = F.broadcast(pairs).join(
+        sketch.withColumnRenamed(group_col, "src_a"), "src_a"
+    ).select("src_a", "src_b", "h", F.lit("a").alias("side"))
+    sk_b = F.broadcast(pairs).join(
+        sketch.withColumnRenamed(group_col, "src_b"), "src_b"
+    ).select("src_a", "src_b", "h", F.lit("b").alias("side"))
+    u = sk_a.unionByName(sk_b)
+    w = _W.partitionBy("src_a", "src_b").orderBy("h")
+    bk = (
+        u.select("src_a", "src_b", "h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(k))
+        .drop("_rn")
+    )
+    stats = bk.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("_cu"), F.max("h").alias("_hk")
+    )
+    shared = (
+        u.groupBy("src_a", "src_b", "h")
+        .agg(F.countDistinct("side").alias("_ns"))
+        .where(F.col("_ns") == 2)
+        .select("src_a", "src_b", "h")
+    )
+    sc = bk.join(shared, ["src_a", "src_b", "h"]).groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("_cs")
+    )
+    scale = float((k - 1) * (1 << KLL_COIN_BITS))
+    out = stats.join(sc, ["src_a", "src_b"], "left")
+    ue = F.when(F.col("_cu") < F.lit(k), F.col("_cu").cast("double")).otherwise(
+        F.lit(scale) / F.col("_hk").cast("double")
+    )
+    ju = F.coalesce(F.col("_cs"), F.lit(0)).cast("double") / F.col("_cu").cast(
+        "double"
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        hround(ue, 2).alias("union_est"),
+        hround(ju, 4).alias("jaccard_est"),
+        hround(ju * ue, 2).alias("inter_est"),
     )
 
 

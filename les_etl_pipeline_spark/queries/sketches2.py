@@ -138,6 +138,104 @@ def _kll_oracle() -> str:
     """
 
 
+KMV_K = 128
+
+
+def _kmv_oracle() -> str:
+    """Relational replay of the KMV source-overlap report: 3-gram
+    shingles (the llm_data3 lead-window shape), 60-bit md5 coins,
+    per-source bottom-k, pair spine from the distinct source domain,
+    union bottom-k, and the three estimates with identical double math
+    (hround = floor(x*10^d + 0.5)/10^d)."""
+    b = sketches.KLL_COIN_BITS
+    scale = float((KMV_K - 1) * (1 << b))
+
+    def hr(expr: str, d: int) -> str:
+        m = 10.0 ** d
+        return f"(floor(({expr}) * {m!r} + 0.5) / {m!r})"
+
+    return f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT source,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), hs AS MATERIALIZED (
+      SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM sh
+    ), sk AS MATERIALIZED (
+      SELECT source, h FROM hs
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {KMV_K}
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM hs) a
+      JOIN (SELECT DISTINCT source FROM hs) b ON a.source < b.source
+    ), u AS MATERIALIZED (
+      SELECT p.src_a, p.src_b, s.h, 'a' AS side
+      FROM pairs p JOIN sk s ON s.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, s.h, 'b' AS side
+      FROM pairs p JOIN sk s ON s.source = p.src_b
+    ), bk AS MATERIALIZED (
+      SELECT src_a, src_b, h FROM (SELECT DISTINCT src_a, src_b, h FROM u)
+      QUALIFY row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) <= {KMV_K}
+    ), stats AS (
+      SELECT src_a, src_b, count(*) AS cu, max(h) AS hk
+      FROM bk GROUP BY 1, 2
+    ), shared AS (
+      SELECT src_a, src_b, h FROM u
+      GROUP BY 1, 2, 3 HAVING count(DISTINCT side) = 2
+    ), sc AS (
+      SELECT b.src_a, b.src_b, count(*) AS cs
+      FROM bk b JOIN shared s
+        ON s.src_a = b.src_a AND s.src_b = b.src_b AND s.h = b.h
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT st.src_a, st.src_b,
+             CASE WHEN st.cu < {KMV_K} THEN CAST(st.cu AS DOUBLE)
+                  ELSE {scale!r} / CAST(st.hk AS DOUBLE) END AS ue,
+             CAST(coalesce(sc.cs, 0) AS DOUBLE) / CAST(st.cu AS DOUBLE) AS ju
+      FROM stats st LEFT JOIN sc ON sc.src_a = st.src_a AND sc.src_b = st.src_b
+    )
+    SELECT src_a, src_b,
+           {hr('ue', 2)} AS union_est,
+           {hr('ju', 4)} AS jaccard_est,
+           {hr('ju * ue', 2)} AS inter_est
+    FROM est
+    """
+
+
+@register("sketch_kmv_source_overlap", oracle=_kmv_oracle())
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap from KMV (bottom-k) sketches: per
+    source, the 128 smallest md5 coins of its 3-gram shingles; per
+    source pair, union / Jaccard / intersection distinct estimates —
+    the 100 TB way to answer 'how much of corpus A is inside corpus B'
+    for every pair without an exact distinct join per pair. The pair
+    spine is the bounded source domain (driver-literal, broadcast
+    equi-joins only — same doctrine as the JSD source-pair spine)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(_dedup.shingles("text", 3)).alias("sh")
+    )
+    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K)
+    srcs = sorted(r.source for r in sh.select("source").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
+        "src_a string, src_b string",
+    )
+    return sketches.kmv_pairwise_overlap(sk, "source", pairs, k=KMV_K)
+
+
 @register("sketch_kll_quantiles", oracle=_kll_oracle())
 def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass range-free rank-quantile sketch over extended price: the

@@ -155,6 +155,103 @@ def test_kll_rank_error_bounded(spark, sf_dir):
         )
 
 
+# -- KMV bottom-k distinct sketch ---------------------------------------------
+def _source_shingles(spark, sf_dir):
+    from les_etl_pipeline_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "source", F.explode(dedup.shingles("text", 3)).alias("sh")
+    )
+
+
+def test_kmv_distinct_estimate_bounds(spark, sf_dir):
+    """KMV estimates per source within ~3.4 sigma of the 1/sqrt(k-2)
+    relative standard error (measured max 0.21 / mean 0.066 at sf0.01,
+    k=128; deterministic md5 coins so this is a replay, not a flake)."""
+    sh = _source_shingles(spark, sf_dir)
+    k = 128
+    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=k)
+    est = {
+        r.source: r.n_distinct_est
+        for r in sketches.kmv_distinct_estimate(sk, ["source"], k).collect()
+    }
+    exact = {
+        r.source: r.n
+        for r in sh.groupBy("source")
+        .agg(F.countDistinct("sh").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    rels = [abs(est[s] - exact[s]) / exact[s] for s in exact]
+    assert max(rels) <= 0.30, max(rels)
+    assert sum(rels) / len(rels) <= 0.12, sum(rels) / len(rels)
+
+
+def test_kmv_exact_under_k(spark):
+    """Groups holding fewer than k distinct keys are counted EXACTLY —
+    the sketch degenerates to the distinct set itself."""
+    df = spark.createDataFrame(
+        [(g, f"{g}:{i % (10 * (g + 1))}") for g in range(3) for i in range(200)],
+        "g int, key string",
+    )
+    sk = sketches.kmv_sketch(df, ["g"], F.col("key"), k=128)
+    est = {
+        r.g: r.n_distinct_est
+        for r in sketches.kmv_distinct_estimate(sk, ["g"], 128).collect()
+    }
+    assert est == {0: 10.0, 1: 20.0, 2: 30.0}
+
+
+def test_kmv_merge_equals_rebuild(spark, sf_dir):
+    """Bottom-k of a union == bottom-k of the unioned bottom-k's: shard
+    sketches merge to the single-build sketch bit-for-bit."""
+    sh = _source_shingles(spark, sf_dir)
+    k = 64
+    a = sh.where(F.crc32("sh") % 2 == 0)
+    b = sh.where(F.crc32("sh") % 2 == 1)
+    merged = sketches.kmv_merge(
+        sketches.kmv_sketch(a, ["source"], F.col("sh"), k=k).unionByName(
+            sketches.kmv_sketch(b, ["source"], F.col("sh"), k=k)
+        ),
+        ["source"],
+        k,
+    )
+    single = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=k)
+    assert {(r.source, r.h) for r in merged.collect()} == {
+        (r.source, r.h) for r in single.collect()
+    }
+
+
+def test_kmv_pairwise_jaccard_tracks_exact(spark, sf_dir):
+    """Pairwise Jaccard estimates from the union bottom-k track the
+    exact shingle-set Jaccard (measured max err 0.035 at sf0.01, k=128)."""
+    import itertools
+
+    sh = _source_shingles(spark, sf_dir)
+    k = 128
+    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=k)
+    srcs = sorted(r.source for r in sh.select("source").distinct().collect())[:6]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
+        "src_a string, src_b string",
+    )
+    ov = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in sketches.kmv_pairwise_overlap(sk, "source", pairs, k=k).collect()
+    }
+    sets = {
+        s: {r.sh for r in sh.where(F.col("source") == s).select("sh").distinct().collect()}
+        for s in srcs
+    }
+    errs = []
+    for a, b in itertools.combinations(srcs, 2):
+        tj = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        errs.append(abs(ov[(a, b)] - tj))
+    assert max(errs) <= 0.08, max(errs)
+    assert sum(errs) / len(errs) <= 0.03, sum(errs) / len(errs)
+
+
 def test_kll_small_input_is_lossless(spark):
     """Inputs within capacity never compact: l*=0, every row survives,
     quantiles are EXACT order statistics."""

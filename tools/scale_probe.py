@@ -109,6 +109,13 @@ def main() -> None:
         "sketch_heavy_hitters_exact",
         "sketch_histogram_quantiles",
         "dedup_jaccard_prefix_filter",
+        # round-10: the KLL-family rank sketch — one scan computing 61
+        # conditional counts + a <= capacity survivor filter, so the
+        # slope should track scan cost like the other bounded-state
+        # sketches — and the KMV overlap report, whose per-pair work is
+        # bounded by k so the slope should track the shingle scan
+        "sketch_kll_quantiles",
+        "sketch_kmv_source_overlap",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
