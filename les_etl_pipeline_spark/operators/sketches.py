@@ -478,6 +478,78 @@ def kll_merge(*sketches: DataFrame, capacity: int = 4096) -> DataFrame:
     )
 
 
+def kll_build_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    key: Column,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Per-group KLL-family rank sketch — ``kll_build`` generalized to a
+    grouping (per-domain / per-language quantiles, the realistic shape
+    of a training-data pipeline's length/quality distributions). Same
+    per-item md5 coins; l* is chosen PER GROUP (each group's survivor
+    budget is ``capacity``), so a hot group compacts deeper while a
+    small group stays lossless. Plan: one grouped aggregate computing
+    the 61 conditional counts (shuffle keyed on the group — partial
+    aggregation map-side), a <= 61-row-per-group level table, then an
+    equi-join survivor filter; no broadcast of anything data-sized, no
+    unpartitioned window anywhere. Returns (group..., v, u, lstar)."""
+    base = df.where(F.col(value).isNotNull()).select(
+        *group_cols, F.col(value).cast("double").alias("v"), _kll_coin(key).alias("u")
+    )
+    cnts = base.groupBy(*group_cols).agg(
+        *[
+            F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
+                f"c{lv}"
+            )
+            for lv in range(KLL_COIN_BITS + 1)
+        ]
+    )
+    lstar = (
+        cnts.select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(lv).alias("l"), F.col(f"c{lv}").alias("c"))
+                        for lv in range(KLL_COIN_BITS + 1)
+                    ]
+                )
+            ).alias("lc"),
+        )
+        .where(F.col("lc.c") <= F.lit(capacity))
+        .groupBy(*group_cols)
+        .agg(F.min("lc.l").alias("lstar"))
+    )
+    return base.join(lstar, group_cols).where(
+        F.col("u")
+        < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
+    )
+
+
+def kll_quantiles_grouped(
+    sketch: DataFrame, group_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """Per-group quantiles from a grouped rank sketch: sample order
+    statistics at ceil(p * m_group) within each group. All windows are
+    PARTITIONED by the group. Returns (group..., p, q)."""
+    m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("m"))
+    w = _W.partitionBy(*group_cols).orderBy("v", "u")
+    ranked = sketch.withColumn("rn", F.row_number().over(w)).join(m, group_cols)
+    return (
+        ranked.select(
+            *group_cols,
+            F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+            "rn",
+            "m",
+            "v",
+        )
+        .where(F.col("rn") == F.ceil(F.col("p") * F.col("m")).cast("long"))
+        .select(*group_cols, "p", F.col("v").alias("q"))
+    )
+
+
 def kmv_sketch(
     df: DataFrame, group_cols: list[str], key: Column, k: int = 128
 ) -> DataFrame:

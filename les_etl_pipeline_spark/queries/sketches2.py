@@ -138,6 +138,69 @@ def _kll_oracle() -> str:
     """
 
 
+KLLG_CAPACITY = 1024
+KLLG_PROBS = [0.25, 0.5, 0.9]
+
+
+def _kllg_oracle() -> str:
+    """Per-group replay of the grouped KLL-family sketch: identical coin
+    / l* / order-statistic math, every stage keyed by l_returnflag."""
+    b = sketches.KLL_COIN_BITS
+    probs_rows = ",\n      ".join(
+        f"(CAST({float(p)!r} AS DOUBLE))" for p in KLLG_PROBS
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), cnts AS (
+      SELECT g, ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY g, ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT g, min(l) AS lstar FROM cnts WHERE c <= {KLLG_CAPACITY} GROUP BY g
+    ), sk AS MATERIALIZED (
+      SELECT base.g, v, u FROM base JOIN lstar ON lstar.g = base.g
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
+    ), ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
+             count(*) OVER (PARTITION BY g) AS m
+      FROM sk
+    )
+    SELECT ranked.g, t.p, ranked.v AS q
+    FROM ranked JOIN (VALUES {probs_rows}) t(p)
+      ON ranked.rn = CAST(ceil(t.p * ranked.m) AS BIGINT)
+    """
+
+
+@register("sketch_kll_quantiles_by_group", oracle=_kllg_oracle())
+def sketch_kll_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank quantiles from the grouped KLL-family sketch —
+    l* chosen per l_returnflag group, every window partitioned by the
+    group, equi-join survivor filter (no broadcasts of data, no
+    unpartitioned windows): the per-domain quantile shape a 100 TB
+    curation pipeline runs over length/quality columns."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sk = sketches.kll_build_grouped(
+        li.withColumn("g", F.col("l_returnflag")),
+        ["g"],
+        "l_extendedprice",
+        key,
+        capacity=KLLG_CAPACITY,
+    )
+    return sketches.kll_quantiles_grouped(sk, ["g"], KLLG_PROBS)
+
+
 KMV_K = 128
 
 

@@ -155,6 +155,40 @@ def test_kll_rank_error_bounded(spark, sf_dir):
         )
 
 
+def test_kll_grouped_matches_ungrouped_per_group(spark, sf_dir):
+    """The grouped sketch restricted to one group == the ungrouped
+    sketch built on that group's rows alone (l* is chosen per group),
+    and grouped quantiles equal per-group ungrouped quantiles."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap, probs = 512, [0.25, 0.5]
+    grouped = sketches.kll_build_grouped(
+        li.withColumn("g", F.col("l_returnflag")), ["g"], "l_extendedprice",
+        key, capacity=cap,
+    )
+    gq = {
+        (r.g, r.p): r.q
+        for r in sketches.kll_quantiles_grouped(grouped, ["g"], probs).collect()
+    }
+    flags = [r.g for r in grouped.select("g").distinct().collect()]
+    assert len(flags) >= 2
+    for flag in flags:
+        solo = sketches.kll_build(
+            li.where(F.col("l_returnflag") == flag), "l_extendedprice", key,
+            capacity=cap,
+        )
+        assert {(r.v, r.u) for r in solo.collect()} == {
+            (r.v, r.u)
+            for r in grouped.where(F.col("g") == flag).collect()
+        }
+        sq = {r.p: r.q for r in sketches.kll_quantiles(solo, probs).collect()}
+        for p in probs:
+            assert gq[(flag, p)] == sq[p]
+
+
 # -- KMV bottom-k distinct sketch ---------------------------------------------
 def _source_shingles(spark, sf_dir):
     from les_etl_pipeline_spark.operators import dedup
