@@ -1,0 +1,168 @@
+"""Streaming sketch materialized view: a foreachBatch sink that folds
+each micro-batch into persisted MERGEABLE sketches — the KLL-family rank
+sketch (quantiles of a metric) and the KMV bottom-k sketch (distinct
+keys seen) from ``operators/sketches.py``.
+
+Why this exists: a 100 TB ingest wants always-current quantiles and
+distinct counts over EVERYTHING ingested so far, without a history
+rescan per batch and without unbounded streaming-aggregation state.
+Both r10 sketches were built canonical (per-item md5 coins — a pure
+function of the input multiset), which buys the streaming tier two
+properties position-parity sketches cannot offer:
+
+- **Streamed == batch, bit-for-bit.** merge(state, batch) over any batch
+  boundary sequence equals the single build over the union, so the MV's
+  state is EXACTLY the sketch a batch job would compute over all
+  ingested rows — pinned by test, not approximately-equal.
+- **Content idempotence.** Folding the same rows twice is a no-op
+  (coins are deterministic per row key; the distinct-union merge
+  collapses replays), so even a replay the ledger cannot see — a NEW
+  checkpoint draining already-folded files — cannot corrupt the state.
+
+Exactly-once is simpler here than the index sinks' segment ledger: the
+state (kll rows + kmv rows + a per-checkpoint high-water-mark manifest)
+is published as ONE atomic ``SnapshotStore`` version per batch with
+``expected_version`` CAS, so the ledger commits atomically WITH the
+data — there is no window between them to crash in. A replayed batch id
+is skipped by the manifest; a crash before the claim left no trace and
+the replay simply redoes the fold.
+
+Per-batch cost: one scan of the batch (coin projection + bounded
+aggregates), a merge over <= capacity + batch-survivor rows, one tiny
+state write. The KMV bottom-k uses orderBy().limit(k)
+(TakeOrderedAndProject — distributed top-k, never a single-task global
+sort or an unpartitioned window).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import sketches
+from . import _exactly_once as xo
+
+KLL_STATE_SCHEMA = "v double, u bigint"
+KMV_STATE_SCHEMA = "h bigint"
+_MANIFEST = "_MANIFEST.json"
+
+
+def _store(spark, state_dir: str):
+    from ..sinks.snapshot_store import SnapshotStore
+
+    return SnapshotStore(spark, state_dir)
+
+
+def _read_state(spark, store) -> tuple[DataFrame, DataFrame, dict]:
+    cur = store.current_version()
+    if cur is None:
+        return (
+            spark.createDataFrame([], KLL_STATE_SCHEMA),
+            spark.createDataFrame([], KMV_STATE_SCHEMA),
+            {},
+        )
+    path = store.version_path(cur)
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    kll = spark.read.schema(KLL_STATE_SCHEMA).parquet(os.path.join(path, "kll"))
+    kmv = spark.read.schema(KMV_STATE_SCHEMA).parquet(os.path.join(path, "kmv"))
+    return kll, kmv, manifest
+
+
+def _kmv_bottom_k(coins: DataFrame, k: int) -> DataFrame:
+    """Global (ungrouped) bottom-k of distinct coins via sort-limit —
+    TakeOrderedAndProject, the distributed top-k plan."""
+    return coins.distinct().orderBy("h").limit(k)
+
+
+def sketch_mv_sink(
+    stream_df: DataFrame,
+    value_col: str,
+    key,
+    state_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+    kmv_k: int = 128,
+    max_attempts: int = 10,
+):
+    """Drain ``stream_df`` (availableNow) into the sketch MV under
+    ``state_dir``. ``key`` is the unique-per-row deterministic Column
+    the coins derive from (globally unique across batches — the same
+    contract as ``kll_build``; it is what makes replays collapse).
+    Returns the finished query."""
+    from ..sinks.snapshot_store import EXPECT_EMPTY, ConcurrentWriteError
+
+    spark = stream_df.sparkSession
+    ckpt = xo.ckpt_key(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = _store(spark, state_dir)
+        batch_kll = sketches.kll_build(
+            batch_df, value_col, key, capacity=capacity
+        ).select("v", "u")
+        batch_kmv = _kmv_bottom_k(
+            batch_df.select(sketches._kll_coin(key).alias("h")), kmv_k
+        )
+        for _ in range(max_attempts):
+            cur = store.current_version()
+            prev_kll, prev_kmv, manifest = _read_state(spark, store)
+            if manifest.get(ckpt, -1) >= batch_id:
+                return  # replayed batch: already folded, atomically
+            # distinct-union merges: exact (coins are unique per row)
+            # and content-idempotent (a replay contributes no new rows)
+            new_kll = sketches.kll_merge(
+                prev_kll.unionByName(batch_kll).distinct(), capacity=capacity
+            ).select("v", "u")
+            new_kmv = _kmv_bottom_k(prev_kmv.unionByName(batch_kmv), kmv_k)
+            new_manifest = dict(manifest)
+            new_manifest[ckpt] = batch_id
+
+            def build(staging: str, kll=new_kll, kmv=new_kmv, m=new_manifest):
+                kll.write.parquet(os.path.join(staging, "kll"))
+                kmv.write.parquet(os.path.join(staging, "kmv"))
+                with open(os.path.join(staging, _MANIFEST), "w") as f:
+                    json.dump(m, f)
+
+            try:
+                store.publish_dir(
+                    build,
+                    expected_version=EXPECT_EMPTY if cur is None else cur,
+                )
+                return
+            except ConcurrentWriteError:
+                continue  # another stream folded its batch first; re-read
+        raise ConcurrentWriteError(
+            f"sketch MV {state_dir}: lost {max_attempts} straight CAS races"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_mv_quantiles(spark, state_dir: str, probs: list[float]) -> DataFrame:
+    """(p, q) quantile estimates over everything ingested so far."""
+    kll, _, _ = _read_state(spark, _store(spark, state_dir))
+    return sketches.kll_quantiles(kll, probs)
+
+
+def read_mv_distinct(spark, state_dir: str, kmv_k: int = 128) -> DataFrame:
+    """1-row distinct-count estimate over everything ingested so far
+    (exact while fewer than k distinct keys have been seen)."""
+    _, kmv, _ = _read_state(spark, _store(spark, state_dir))
+    scale = float((kmv_k - 1) * (1 << sketches.KLL_COIN_BITS))
+    agg = kmv.agg(F.count(F.lit(1)).alias("_c"), F.max("h").alias("_hk"))
+    from ..functions.rounding import hround
+
+    est = F.when(F.col("_c") < F.lit(kmv_k), F.col("_c").cast("double")).otherwise(
+        F.lit(scale) / F.col("_hk").cast("double")
+    )
+    return agg.select(hround(est, 2).alias("n_distinct_est"))

@@ -1,0 +1,138 @@
+"""Streaming sketch materialized view: streamed state == batch-built
+sketch bit-for-bit, atomic ledger-with-state commits, content
+idempotence across replays the ledger cannot see."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.catalog import table
+from les_etl_pipeline_spark.operators import sketches
+from les_etl_pipeline_spark.streaming import sketch_mv as MV
+
+CAP, K = 1024, 64
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema("doc_id bigint, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _drain(spark, stream_dir, state_dir, ckpt_dir):
+    MV.sketch_mv_sink(
+        _stream(spark, stream_dir),
+        "n_chars",
+        F.col("doc_id").cast("string"),
+        state_dir,
+        ckpt_dir,
+        capacity=CAP,
+        kmv_k=K,
+    )
+
+
+@pytest.fixture()
+def mv(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stream_dir = str(tmp_path / "mv_stream")
+    for b in range(3):
+        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        time.sleep(1.05)
+    state_dir = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+    _drain(spark, stream_dir, state_dir, ckpt)
+    return docs, stream_dir, state_dir, ckpt
+
+
+def test_streamed_sketch_equals_batch_build(spark, mv):
+    """THE canonical-mergeability payoff: after a 3-batch drain the MV's
+    KLL and KMV states are BIT-IDENTICAL to single batch builds over all
+    ingested rows — not approximately, set-equal on the raw rows."""
+    docs, _, state_dir, _ = mv
+    key = F.col("doc_id").cast("string")
+    kll_state, kmv_state, manifest = MV._read_state(spark, MV._store(spark, state_dir))
+    exp_kll = sketches.kll_build(docs, "n_chars", key, capacity=CAP)
+    assert {(r.v, r.u) for r in kll_state.collect()} == {
+        (r.v, r.u) for r in exp_kll.collect()
+    }
+    exp_kmv = MV._kmv_bottom_k(
+        docs.select(sketches._kll_coin(key).alias("h")), K
+    )
+    assert {r.h for r in kmv_state.collect()} == {r.h for r in exp_kmv.collect()}
+    assert list(manifest.values()) == [2]  # three batches, HWM = 2
+    # derived reads agree with the batch-side sketch queries
+    got_q = {r.p: r.q for r in MV.read_mv_quantiles(spark, state_dir, [0.5]).collect()}
+    exp_q = {r.p: r.q for r in sketches.kll_quantiles(exp_kll, [0.5]).collect()}
+    assert got_q == exp_q
+    est = MV.read_mv_distinct(spark, state_dir, K).collect()[0].n_distinct_est
+    n = docs.count()
+    assert abs(est - n) / n <= 0.5  # k=64: coarse but sane
+
+
+def test_replay_same_checkpoint_is_noop(spark, mv):
+    """A redrain of the consumed stream advances nothing: the manifest
+    HWM skips every batch before any state write."""
+    _, stream_dir, state_dir, ckpt = mv
+    store = MV._store(spark, state_dir)
+    v_before = store.current_version()
+    _drain(spark, stream_dir, state_dir, ckpt)
+    assert store.current_version() == v_before
+
+
+def test_replay_new_checkpoint_is_content_idempotent(spark, mv):
+    """A NEW stream draining the SAME files (batch ids restart at 0 — a
+    replay the per-checkpoint ledger cannot see) folds again but changes
+    NOTHING: deterministic coins + distinct-union merges collapse it."""
+    _, stream_dir, state_dir, _ = mv
+    kll_before, kmv_before, _ = MV._read_state(spark, MV._store(spark, state_dir))
+    rows_before = {(r.v, r.u) for r in kll_before.collect()}
+    kmv_rows_before = {r.h for r in kmv_before.collect()}
+    _drain(spark, stream_dir, state_dir, state_dir + "_ckpt2")
+    kll_after, kmv_after, manifest = MV._read_state(spark, MV._store(spark, state_dir))
+    assert {(r.v, r.u) for r in kll_after.collect()} == rows_before
+    assert {r.h for r in kmv_after.collect()} == kmv_rows_before
+    assert len(manifest) == 2  # both streams' HWMs tracked
+
+
+def test_crash_before_claim_replays_clean(spark, sf_dir, tmp_path, monkeypatch):
+    """The commit is the atomic state publish: a crash BEFORE the claim
+    leaves no trace (ledger and data are one object), and the restarted
+    stream refolds to exactly the clean-run state."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stream_dir = str(tmp_path / "crash_stream")
+    docs.coalesce(1).write.mode("append").parquet(stream_dir)
+    state_dir = str(tmp_path / "crash_state")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    from les_etl_pipeline_spark.sinks.snapshot_store import SnapshotStore
+
+    real = SnapshotStore.publish_dir
+    state = {"n": 0}
+
+    def boom(self, *a, **kw):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("injected crash before claim")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotStore, "publish_dir", boom)
+    with pytest.raises(Exception, match="injected crash"):
+        _drain(spark, stream_dir, state_dir, ckpt)
+    store = MV._store(spark, state_dir)
+    assert store.current_version() is None  # no trace
+    _drain(spark, stream_dir, state_dir, ckpt)  # restart refolds
+    monkeypatch.setattr(SnapshotStore, "publish_dir", real)
+    key = F.col("doc_id").cast("string")
+    kll_state, _, manifest = MV._read_state(spark, store)
+    exp = sketches.kll_build(docs, "n_chars", key, capacity=CAP)
+    assert {(r.v, r.u) for r in kll_state.collect()} == {
+        (r.v, r.u) for r in exp.collect()
+    }
+    assert list(manifest.values()) == [0]
