@@ -54,10 +54,13 @@ new batch). Two maintenance jobs serialize the same way
 (``ConcurrentWriteError`` to the loser). Compaction no longer swaps the
 postings dir in place — the in-place swap had an unclosable window
 against a concurrent drain — it publishes a new generation like retrain
-does. The ONE remaining single-writer requirement is the bootstrap
-(first-ever batch training the quantizer at the flat root): two streams
-bootstrapping one EMPTY index concurrently still race on the shared
-centroid table; every post-bootstrap operation is CAS-safe.
+does. Even the BOOTSTRAP is arbitrated: the first-ever batch trains the
+quantizer and publishes centroids + its posting segment as generation
+v0 with an EXPECT_EMPTY first-commit CAS, so of N streams racing to
+initialize an empty index exactly one quantizer wins and the losers
+redo their batch as ordinary assign-and-append against it — no shared
+mutable flat state anywhere (the flat layout remains supported
+read-only for pre-r10 indexes).
 
 The ledger (stream identity) stays at ``index_dir/_ledger`` — it tracks
 the STREAM's progress, which is generation-independent.
@@ -232,12 +235,73 @@ def ann_index_sink(
     spark = stream_df.sparkSession
     key = xo.ckpt_key(checkpoint_dir)
 
+    def _segment_rows(e: DataFrame, cents: dict, batch_id: int) -> DataFrame:
+        assigned = _assign(e, cents)
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return assigned.select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cell"),
+            "v",
+            nrm.alias("nrm"),
+            F.lit(batch_id).cast("bigint").alias("batch"),
+        )
+
+    def _bootstrap(e: DataFrame, batch_id: int) -> bool:
+        """First-ever batch: train the quantizer and publish centroids +
+        this batch's posting segment as generation v0 with an
+        EXPECT_EMPTY CAS — so even the bootstrap is arbitrated, closing
+        the last single-writer window: of N concurrent first-writers
+        exactly one's quantizer becomes the index, and the losers redo
+        their batch as ordinary assign-and-append against it. Returns
+        False if another writer claimed the store first (caller falls
+        through to the normal transaction)."""
+        from ..sinks.snapshot_store import EXPECT_EMPTY, ConcurrentWriteError
+
+        _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
+        mean_d2 = _assign(e, cents).agg(F.avg("d")).collect()[0][0]
+
+        def build(staging: str) -> None:
+            cpath = os.path.join(staging, "centroids")
+            spark.createDataFrame(
+                [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
+            ).write.parquet(cpath)
+            _write_stats(cpath, mean_d2)
+            xo.mark_complete(cpath)
+            _segment_rows(e, cents, batch_id).write.parquet(
+                xo.segment(os.path.join(staging, "postings"), key, batch_id)
+            )
+
+        try:
+            _state_store(spark, index_dir).publish_dir(
+                build, expected_version=EXPECT_EMPTY
+            )
+            return True
+        except ConcurrentWriteError:
+            return False
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # exactly-once: per-checkpoint HWM ledger (a new stream's batch 0
         # into an existing index is real work, not a replay)
         if xo.committed(index_dir, key, batch_id):
             return
         e = _doubles(batch_df, id_col, vec_col)
+        store = _state_store(spark, index_dir)
+        # bootstrap: no epoch yet and no legacy flat quantizer — train
+        # and publish generation v0 atomically (CAS-arbitrated)
+        if store.current_version() is None and not xo.is_complete(
+            os.path.join(index_dir, "centroids")
+        ):
+            if _bootstrap(e, batch_id):
+                xo.commit(index_dir, key, batch_id)
+                return
+            # lost the first-commit race: fall through and append against
+            # whatever generation the winner published
 
         def work(root: str) -> None:
             # the txn resolves the live generation PER ATTEMPT: a retrain
@@ -248,39 +312,8 @@ def ann_index_sink(
             # repair a legacy crashed in-place swap before touching postings
             xo.recover_swap(postings_path)
             xo.clear_segments([postings_path], key, batch_id)
-            # a write-complete marker gates the bootstrap: a crash mid-
-            # centroid-write leaves no marker, and the replay retrains
-            # (deterministic Lloyd on the same batch => identical
-            # centroids) and overwrites; bare exists() would trust a torn
-            # write. Bootstrap is the one step still under a single-
-            # writer requirement (module docstring).
-            if not xo.is_complete(centroids_path):
-                _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
-                spark.createDataFrame(
-                    [(c, v) for c, v in sorted(cents.items())], CENTROIDS_SCHEMA
-                ).write.mode("overwrite").parquet(centroids_path)
-                _write_stats(
-                    centroids_path,
-                    _assign(e, cents).agg(F.avg("d")).collect()[0][0],
-                )
-                xo.mark_complete(centroids_path)
-            else:
-                cents = _load_centroids(spark, centroids_path)
-            assigned = _assign(e, cents)
-            nrm = F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("v"), lambda x: x * x),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-            )
-            assigned.select(
-                "vec_id",
-                F.col("cluster").cast("int").alias("cell"),
-                "v",
-                nrm.alias("nrm"),
-                F.lit(batch_id).cast("bigint").alias("batch"),
-            ).write.mode("overwrite").parquet(
+            cents = _load_centroids(spark, centroids_path)
+            _segment_rows(e, cents, batch_id).write.mode("overwrite").parquet(
                 xo.segment(postings_path, key, batch_id)
             )
 

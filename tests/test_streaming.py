@@ -483,12 +483,13 @@ def test_streaming_ann_index_incremental_assign_and_ledger(spark, sf_dir, tmp_pa
     _, cents1 = kmeans_lloyd_full(
         SA._doubles(b1, "vec_id", "embedding"), k=8, iters=2, vec_col="v"
     )
-    got_cents = SA._load_centroids(spark, index_dir + "/centroids")
+    root = SA._index_root(spark, index_dir)  # bootstrap = generation v0
+    got_cents = SA._load_centroids(spark, root + "/centroids")
     assert got_cents == {c: list(v) for c, v in cents1.items()}
 
     from les_etl_pipeline_spark.streaming import _exactly_once as xo
 
-    posts = xo.read_table(spark, index_dir + "/postings", SA.POSTINGS_SCHEMA)
+    posts = xo.read_table(spark, root + "/postings", SA.POSTINGS_SCHEMA)
     got = {r.vec_id: (r.cell, r.batch) for r in posts.collect()}
     exp_assign = {
         r.vec_id: r.cluster
@@ -865,7 +866,7 @@ def test_compaction_swap_crash_recovery(spark, sf_dir, tmp_path):
     before = sorted(
         map(tuple, SA.ivf_search_index(spark, index_dir, queries, k=5, n_probe=2).collect())
     )
-    posts = index_dir + "/postings"
+    posts = SA._index_root(spark, index_dir) + "/postings"
 
     # (a) legacy swap crash: table absent, staging complete
     SA._live_postings(spark, index_dir).repartition(4, "cell").write.parquet(
@@ -1034,6 +1035,53 @@ def test_drain_racing_retrain_redoes_batch_into_new_generation(
         SA.read_vector_stream(spark, s2), index_dir, str(tmp_path / "race2_c2")
     )
     assert SA._live_postings(spark, index_dir).count() == emb.count()
+
+
+def test_concurrent_bootstrap_one_quantizer_wins(spark, sf_dir, tmp_path):
+    """Two streams bootstrapping one EMPTY index concurrently (the last
+    single-writer window, closed in r10): the EXPECT_EMPTY generation
+    CAS lets exactly one trained quantizer become the index; the loser
+    redoes its batch as assign-and-append against it. Invariants: both
+    batches fully ingested, one complete centroid table, and every
+    posting's cell equals the winning quantizer's assignment."""
+    import threading
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.clustering import _assign
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "boot_idx")
+    streams = []
+    for tag, df in (("1", b1), ("2", b2)):
+        s = str(tmp_path / f"boot_s{tag}")
+        df.coalesce(1).write.mode("append").parquet(s)
+        streams.append((s, str(tmp_path / f"boot_c{tag}")))
+    errors = []
+
+    def drain(s, c):
+        try:
+            SA.ann_index_sink(SA.read_vector_stream(spark, s), index_dir, c)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=drain, args=sc) for sc in streams]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors
+    live = SA._live_postings(spark, index_dir)
+    assert live.count() == emb.count()  # nothing lost to the race
+    root = SA._index_root(spark, index_dir)
+    cents = SA._load_centroids(spark, root + "/centroids")
+    assert len(cents) == 8  # exactly one complete quantizer
+    exp = {
+        r.vec_id: r.cluster
+        for r in _assign(SA._doubles(emb, "vec_id", "embedding"), cents).collect()
+    }
+    got = {r.vec_id: r.cell for r in live.collect()}
+    assert got == exp  # every posting assigned by the WINNING quantizer
 
 
 def test_vacuum_index_state_keeps_live_generation(spark, sf_dir, tmp_path):
