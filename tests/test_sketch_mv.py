@@ -24,7 +24,7 @@ def _stream(spark, path):
     )
 
 
-def _drain(spark, stream_dir, state_dir, ckpt_dir):
+def _drain(spark, stream_dir, state_dir, ckpt_dir, **kw):
     MV.sketch_mv_sink(
         _stream(spark, stream_dir),
         "n_chars",
@@ -33,6 +33,7 @@ def _drain(spark, stream_dir, state_dir, ckpt_dir):
         ckpt_dir,
         capacity=CAP,
         kmv_k=K,
+        **kw,
     )
 
 
@@ -99,6 +100,30 @@ def test_replay_new_checkpoint_is_content_idempotent(spark, mv):
     assert {(r.v, r.u) for r in kll_after.collect()} == rows_before
     assert {r.h for r in kmv_after.collect()} == kmv_rows_before
     assert len(manifest) == 2  # both streams' HWMs tracked
+
+
+def test_vacuum_bounds_state_versions(spark, sf_dir, tmp_path):
+    """One version lands per folded batch; the sink's vacuum keeps only
+    the trailing N, and the surviving state reads identically."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stream_dir = str(tmp_path / "vac_stream")
+    for b in range(3):
+        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        time.sleep(1.05)
+    state_dir = str(tmp_path / "vac_state")
+    _drain(spark, stream_dir, state_dir, str(tmp_path / "vac_ckpt"),
+           vacuum_keep_last=1)
+    store = MV._store(spark, state_dir)
+    assert store._versions_on_disk() == [2]  # only the latest survives
+    kll_state, _, _ = MV._read_state(spark, store)
+    exp = sketches.kll_build(
+        docs, "n_chars", F.col("doc_id").cast("string"), capacity=CAP
+    )
+    assert {(r.v, r.u) for r in kll_state.collect()} == {
+        (r.v, r.u) for r in exp.collect()
+    }
 
 
 def test_crash_before_claim_replays_clean(spark, sf_dir, tmp_path, monkeypatch):

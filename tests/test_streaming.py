@@ -1084,6 +1084,85 @@ def test_concurrent_bootstrap_one_quantizer_wins(spark, sf_dir, tmp_path):
     assert got == exp  # every posting assigned by the WINNING quantizer
 
 
+def test_epoch_txn_chaos_concurrent_drains_delete_compact(
+    spark, sf_dir, tmp_path
+):
+    """Chaos pin for the epoch log: after a bootstrap drain, run a
+    second drain stream, a tombstone delete, and a compaction ALL
+    CONCURRENTLY. Every writer commits through the CAS (losers retry),
+    so regardless of interleaving the end state must satisfy: live set
+    == everything ingested minus the deleted ids, no duplicate vec_ids,
+    and every live posting's cell equals the bootstrap quantizer's
+    assignment (neither drains nor compaction move vectors between
+    cells)."""
+    import threading
+
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.clustering import _assign
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "chaos_idx")
+    s1 = str(tmp_path / "chaos_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "chaos_c1")
+    )
+    cents = SA._load_centroids(
+        spark, SA._index_root(spark, index_dir) + "/centroids"
+    )
+    s2 = str(tmp_path / "chaos_s2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+    dead = [r.vec_id for r in b1.select("vec_id").limit(4).collect()]
+    errors = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [
+        threading.Thread(
+            target=run,
+            args=(
+                lambda: SA.ann_index_sink(
+                    SA.read_vector_stream(spark, s2),
+                    index_dir,
+                    str(tmp_path / "chaos_c2"),
+                ),
+            ),
+        ),
+        threading.Thread(
+            target=run, args=(lambda: SA.delete_vectors(spark, index_dir, dead),)
+        ),
+        threading.Thread(
+            target=run, args=(lambda: SA.compact_postings(spark, index_dir),)
+        ),
+    ]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors
+    # a final compaction folds any tombstones that postdate the racing one
+    SA.compact_postings(spark, index_dir)
+    live = SA._live_postings(spark, index_dir)
+    rows = live.collect()
+    got_ids = sorted(r.vec_id for r in rows)
+    exp_ids = sorted(
+        r.vec_id for r in emb.select("vec_id").collect() if r.vec_id not in dead
+    )
+    assert got_ids == exp_ids  # nothing lost, nothing resurrected
+    assert len(got_ids) == len(set(got_ids))  # no duplicates
+    exp_assign = {
+        r.vec_id: r.cluster
+        for r in _assign(SA._doubles(emb, "vec_id", "embedding"), cents).collect()
+    }
+    for r in rows:
+        assert r.cell == exp_assign[r.vec_id]
+
+
 def test_vacuum_index_state_keeps_live_generation(spark, sf_dir, tmp_path):
     """Epoch-log hygiene: vacuum drops superseded pointer epochs and
     retired generations but never the live generation or epochs after
