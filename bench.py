@@ -71,6 +71,12 @@ EXTENDED = [
     # visible in the round artifact
     "similarity_ivf_pq_topk",
     "similarity_mmr_rerank_ivf",
+    # round-10 sketch tier heavies: the KLL rank sketch (one scan, 61
+    # conditional counts) and the KMV source-overlap report (190 pairs
+    # from bottom-k sketches) — benched at sf0.1 so their scan-bound
+    # slopes (0.40 / 0.42 in SCALING.md) stay visible per round
+    "sketch_kll_quantiles",
+    "sketch_kmv_source_overlap",
 ]
 # deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic
 # corpus has a CLOSED 31-token vocabulary at every sf, so the exact
