@@ -370,8 +370,8 @@ def _kll_coin(key: Column) -> Column:
 def kll_build(
     df: DataFrame, value: str, key: Column, capacity: int = 4096
 ) -> DataFrame:
-    """One-pass, range-free, exactly-mergeable rank sketch — the
-    canonical (order-independent) member of the KLL compactor family
+    """Range-free, exactly-mergeable rank sketch — the canonical
+    (order-independent) member of the KLL compactor family
     (VERDICT r9 #3).
 
     A KLL compactor repeatedly halves an overfull buffer, doubling the
@@ -393,8 +393,11 @@ def kll_build(
     error is O(N * sqrt(ln(1/d) / capacity)) w.h.p. (a Bernoulli-sample
     bound) instead of position-parity KLL's O(N / capacity); both are
     RANK-error, value-distribution-free bounds. Unlike
-    ``histogram_build`` this needs no min/max pre-scan (one pass), no
-    fixed range, and no outlier can stretch its resolution.
+    ``histogram_build`` this needs no min/max pre-scan, no fixed range,
+    and no outlier can stretch its resolution. Scan count is the same
+    as the histogram's: the relational form reads the base twice (the
+    61-count aggregate, then the survivor filter) — the honest claim is
+    range-free, not single-scan.
 
     Plan shape: one scan computing 61 conditional counts (a single
     1-row aggregate), a <=61-row level table picking l*, then the
@@ -440,26 +443,41 @@ def kll_build(
 
 
 def kll_merge(*sketches: DataFrame, capacity: int = 4096) -> DataFrame:
-    """Merge sketches built with the same capacity: union the survivor
-    rows, recompute l* over the union (per-level survivor counts are
-    computable from any level-l'<=l sample and ADD across shards), and
-    re-filter. Exactly equals the single-build sketch of the combined
-    input — pinned by test, the property that lets 10^5 scan partitions
-    each ship <= capacity rows up a merge tree."""
+    """Merge sketches built with the same capacity (disjoint shards —
+    counts add; for possibly-overlapping shards dedup on (v, u) with
+    max(lstar) first, as the streaming MV does): union the survivor
+    rows, recompute l* over the union, re-filter. Exactly equals the
+    single-build sketch of the combined input — pinned by test on
+    ASYMMETRIC shards, the property that lets 10^5 scan partitions each
+    ship <= capacity rows up a merge tree.
+
+    The l* search is FLOORED at max(shard lstar): a level-l' survivor
+    sample can compute exact per-level counts only at levels l >= l'
+    (below its own l' the shard dropped exactly the rows that would
+    count), so survivor-derived counts UNDERCOUNT there and an
+    unrestricted min{l : c_l <= capacity} could land below the true
+    single-build l*, keeping shards' rows at mixed sampling rates (a
+    small fresh shard's full-rate rows would swamp a deeply-compacted
+    big shard's tail — VERDICT r10 #1). At every l >= max(shard lstar)
+    the counts are exact, and the true l* is always >= that floor
+    (at l = floor-1 the deepest shard alone exceeded capacity), so the
+    restricted search recovers the single-build l* exactly."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    base = out.select("v", "u")
+    base = out.select("v", "u", "lstar")
     cnts = base.agg(
+        F.max("lstar").alias("lmax"),
         *[
             F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
                 f"c{lv}"
             )
             for lv in range(KLL_COIN_BITS + 1)
-        ]
+        ],
     )
     lstar = (
         cnts.select(
+            "lmax",
             F.explode(
                 F.array(
                     *[
@@ -467,12 +485,12 @@ def kll_merge(*sketches: DataFrame, capacity: int = 4096) -> DataFrame:
                         for lv in range(KLL_COIN_BITS + 1)
                     ]
                 )
-            ).alias("lc")
+            ).alias("lc"),
         )
-        .where(F.col("lc.c") <= F.lit(capacity))
+        .where((F.col("lc.c") <= F.lit(capacity)) & (F.col("lc.l") >= F.col("lmax")))
         .agg(F.min("lc.l").alias("lstar"))
     )
-    return base.join(F.broadcast(lstar)).where(
+    return base.select("v", "u").join(F.broadcast(lstar)).where(
         F.col("u")
         < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
     )
@@ -547,6 +565,54 @@ def kll_quantiles_grouped(
         )
         .where(F.col("rn") == F.ceil(F.col("p") * F.col("m")).cast("long"))
         .select(*group_cols, "p", F.col("v").alias("q"))
+    )
+
+
+def kll_merge_grouped(
+    sketches_df: DataFrame, group_cols: list[str], capacity: int = 4096
+) -> DataFrame:
+    """Per-group merge of grouped rank sketches (rows from any number of
+    ``kll_build_grouped`` shard outputs, unioned; disjoint shards —
+    dedup on (group, v, u) with max(lstar) first if replays are
+    possible). Same level-floor rule as ``kll_merge``, applied PER
+    GROUP: each group's merged l* search starts at that group's
+    max(shard lstar), where survivor-derived counts are exact — so a
+    hot group that compacted deeply in one shard is never re-ranked at
+    a fresh small shard's shallow rate. Exactly equals
+    ``kll_build_grouped`` over the combined input, pinned on skewed
+    group shapes. Plan: one grouped aggregate (61 counts + lmax), a
+    <= 61-row-per-group level table, an equi-join survivor filter — no
+    data-sized broadcast, no unpartitioned window."""
+    base = sketches_df.select(*group_cols, "v", "u", "lstar")
+    cnts = base.groupBy(*group_cols).agg(
+        F.max("lstar").alias("lmax"),
+        *[
+            F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
+                f"c{lv}"
+            )
+            for lv in range(KLL_COIN_BITS + 1)
+        ],
+    )
+    lstar = (
+        cnts.select(
+            *group_cols,
+            "lmax",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(lv).alias("l"), F.col(f"c{lv}").alias("c"))
+                        for lv in range(KLL_COIN_BITS + 1)
+                    ]
+                )
+            ).alias("lc"),
+        )
+        .where((F.col("lc.c") <= F.lit(capacity)) & (F.col("lc.l") >= F.col("lmax")))
+        .groupBy(*group_cols)
+        .agg(F.min("lc.l").alias("lstar"))
+    )
+    return base.select(*group_cols, "v", "u").join(lstar, group_cols).where(
+        F.col("u")
+        < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
     )
 
 

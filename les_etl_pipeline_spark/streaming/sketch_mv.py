@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from ..operators import sketches
 from . import _exactly_once as xo
 
-KLL_STATE_SCHEMA = "v double, u bigint"
+#: lstar rides on every state row: the fold's merge needs the state's
+#: compaction depth to floor the merged l* (a level-l' sample computes
+#: exact per-level counts only at l >= l' — see ``sketches.kll_merge``).
+#: Without it a small micro-batch folding into compacted history kept
+#: its rows at a shallower sampling rate (VERDICT r10 #1).
+KLL_STATE_SCHEMA = "v double, u bigint, lstar int"
 KMV_STATE_SCHEMA = "h bigint"
 _MANIFEST = "_MANIFEST.json"
 
@@ -110,7 +115,7 @@ def sketch_mv_sink(
         store = _store(spark, state_dir)
         batch_kll = sketches.kll_build(
             batch_df, value_col, key, capacity=capacity
-        ).select("v", "u")
+        ).select("v", "u", "lstar")
         batch_kmv = _kmv_bottom_k(
             batch_df.select(sketches._kll_coin(key).alias("h")), kmv_k
         )
@@ -119,11 +124,16 @@ def sketch_mv_sink(
             prev_kll, prev_kmv, manifest = _read_state(spark, store)
             if manifest.get(ckpt, -1) >= batch_id:
                 return  # replayed batch: already folded, atomically
-            # distinct-union merges: exact (coins are unique per row)
-            # and content-idempotent (a replay contributes no new rows)
-            new_kll = sketches.kll_merge(
-                prev_kll.unionByName(batch_kll).distinct(), capacity=capacity
-            ).select("v", "u")
+            # dedup-union merge: exact (coins are unique per row) and
+            # content-idempotent — a replayed row contributes no new
+            # (v, u) pair, and max(lstar) keeps the DEEPEST compaction
+            # depth a duplicate was seen at, so the merge floor stays
+            # valid even when a new-checkpoint replay re-folds rows the
+            # state already compacted
+            folded = prev_kll.unionByName(batch_kll).groupBy("v", "u").agg(
+                F.max("lstar").alias("lstar")
+            )
+            new_kll = sketches.kll_merge(folded, capacity=capacity)
             new_kmv = _kmv_bottom_k(prev_kmv.unionByName(batch_kmv), kmv_k)
             new_manifest = dict(manifest)
             new_manifest[ckpt] = batch_id

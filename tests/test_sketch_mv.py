@@ -13,7 +13,10 @@ from les_etl_pipeline_spark.catalog import table
 from les_etl_pipeline_spark.operators import sketches
 from les_etl_pipeline_spark.streaming import sketch_mv as MV
 
-CAP, K = 1024, 64
+# CAP=64 forces the big first batch (~450 of 500 docs) to COMPACT, so
+# the fold exercises the asymmetric-merge shape (small batch into deep
+# state) that masked VERDICT r10 #1 when every batch was an equal third
+CAP, K = 64, 64
 
 
 def _stream(spark, path):
@@ -37,14 +40,22 @@ def _drain(spark, stream_dir, state_dir, ckpt_dir, **kw):
     )
 
 
+def _splits():
+    """Deliberately SKEWED batch splits (~90% / ~9% / ~1% of doc_ids):
+    after batch 0 the state is compacted (lstar >= 1), so batches 1 and
+    2 fold small shallow sketches into deep history — the exact shape
+    that produced a mixed-rate sample before the kll_merge level
+    floor. (Lazy: Columns need a live SparkContext.)"""
+    m = F.col("doc_id") % 100
+    return [m < 90, (m >= 90) & (m < 99), m == 99]
+
+
 @pytest.fixture()
 def mv(spark, sf_dir, tmp_path):
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     stream_dir = str(tmp_path / "mv_stream")
-    for b in range(3):
-        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-            "append"
-        ).parquet(stream_dir)
+    for pred in _splits():
+        docs.where(pred).coalesce(1).write.mode("append").parquet(stream_dir)
         time.sleep(1.05)
     state_dir = str(tmp_path / "mv_state")
     ckpt = str(tmp_path / "mv_ckpt")
@@ -60,17 +71,22 @@ def test_streamed_sketch_equals_batch_build(spark, mv):
     key = F.col("doc_id").cast("string")
     kll_state, kmv_state, manifest = MV._read_state(spark, MV._store(spark, state_dir))
     exp_kll = sketches.kll_build(docs, "n_chars", key, capacity=CAP)
-    assert {(r.v, r.u) for r in kll_state.collect()} == {
-        (r.v, r.u) for r in exp_kll.collect()
+    # the fixture's skewed batches really did compact the state — the
+    # regression shape, not the equal-thirds one that masked r10 #1
+    assert kll_state.select(F.max("lstar")).collect()[0][0] >= 1
+    assert {(r.v, r.u, r.lstar) for r in kll_state.collect()} == {
+        (r.v, r.u, r.lstar) for r in exp_kll.collect()
     }
     exp_kmv = MV._kmv_bottom_k(
         docs.select(sketches._kll_coin(key).alias("h")), K
     )
     assert {r.h for r in kmv_state.collect()} == {r.h for r in exp_kmv.collect()}
     assert list(manifest.values()) == [2]  # three batches, HWM = 2
-    # derived reads agree with the batch-side sketch queries
-    got_q = {r.p: r.q for r in MV.read_mv_quantiles(spark, state_dir, [0.5]).collect()}
-    exp_q = {r.p: r.q for r in sketches.kll_quantiles(exp_kll, [0.5]).collect()}
+    # derived reads agree with the batch-side sketch queries — p90 pins
+    # the TAIL, where the pre-fix mixed-rate sample showed its bias
+    probs = [0.5, 0.9]
+    got_q = {r.p: r.q for r in MV.read_mv_quantiles(spark, state_dir, probs).collect()}
+    exp_q = {r.p: r.q for r in sketches.kll_quantiles(exp_kll, probs).collect()}
     assert got_q == exp_q
     est = MV.read_mv_distinct(spark, state_dir, K).collect()[0].n_distinct_est
     n = docs.count()
@@ -107,10 +123,8 @@ def test_vacuum_bounds_state_versions(spark, sf_dir, tmp_path):
     the trailing N, and the surviving state reads identically."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     stream_dir = str(tmp_path / "vac_stream")
-    for b in range(3):
-        docs.where(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
-            "append"
-        ).parquet(stream_dir)
+    for pred in _splits():
+        docs.where(pred).coalesce(1).write.mode("append").parquet(stream_dir)
         time.sleep(1.05)
     state_dir = str(tmp_path / "vac_state")
     _drain(spark, stream_dir, state_dir, str(tmp_path / "vac_ckpt"),

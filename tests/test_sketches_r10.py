@@ -5,6 +5,7 @@ exactly mergeable, rank-error bounded)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from les_etl_pipeline_spark.catalog import table
@@ -129,6 +130,89 @@ def test_kll_merge_equals_single_build(spark, sf_dir):
     single = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
     assert {(r.v, r.u) for r in merged.collect()} == {
         (r.v, r.u) for r in single.collect()
+    }
+
+
+def test_kll_merge_asymmetric_shards(spark, sf_dir):
+    """VERDICT r10 #1 regression: merging a deeply-compacted big shard
+    with a tiny shallow shard (the streaming MV's steady-state shape)
+    must still be bit-identical to the single build. Before the level
+    floor, the merged l* landed below the big shard's l* and the tiny
+    shard's full-rate rows swamped the sample (repro: p99 moved from
+    ~20k to ~1M)."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 256
+    big = li.where(F.col("l_orderkey") % 100 != 0)    # ~5940 rows, deep l*
+    tiny = li.where(F.col("l_orderkey") % 100 == 0)   # ~60 rows, l*=0
+    sk_big = sketches.kll_build(big, "l_extendedprice", key, capacity=cap)
+    sk_tiny = sketches.kll_build(tiny, "l_extendedprice", key, capacity=cap)
+    lstars = {
+        df.select(F.max("lstar")).collect()[0][0] for df in (sk_big, sk_tiny)
+    }
+    assert len(lstars) == 2 and max(lstars) >= 3  # genuinely asymmetric depths
+    merged = sketches.kll_merge(sk_big, sk_tiny, capacity=cap)
+    single = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    assert {(r.v, r.u, r.lstar) for r in merged.collect()} == {
+        (r.v, r.u, r.lstar) for r in single.collect()
+    }
+
+
+@pytest.mark.parametrize("mod", [2, 10, 50])
+def test_kll_merge_ratio_sweep(spark, sf_dir, mod):
+    """Merge == single build across shard-size ratios from 1:1 to ~49:1
+    (property sweep; the equal-halves-only pin masked the r10 bug)."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 512
+    a = li.where(F.col("l_orderkey") % mod != 0)
+    b = li.where(F.col("l_orderkey") % mod == 0)
+    merged = sketches.kll_merge(
+        sketches.kll_build(a, "l_extendedprice", key, capacity=cap),
+        sketches.kll_build(b, "l_extendedprice", key, capacity=cap),
+        capacity=cap,
+    )
+    single = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    assert {(r.v, r.u) for r in merged.collect()} == {
+        (r.v, r.u) for r in single.collect()
+    }
+
+
+def test_kll_merge_grouped_asymmetric(spark, sf_dir):
+    """Per-group merge with the level floor applied PER GROUP: skewed
+    shard split (one shard holds ~99% of every group) merges to exactly
+    the grouped single build — each group's floor is its own
+    max(shard lstar), so a hot group's depth never leaks into (or gets
+    diluted by) a small group's."""
+    li = table(spark, sf_dir, "lineitem").withColumn("g", F.col("l_returnflag"))
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 128
+    big = li.where(F.col("l_orderkey") % 100 != 0)
+    tiny = li.where(F.col("l_orderkey") % 100 == 0)
+    merged = sketches.kll_merge_grouped(
+        sketches.kll_build_grouped(big, ["g"], "l_extendedprice", key, capacity=cap)
+        .unionByName(
+            sketches.kll_build_grouped(
+                tiny, ["g"], "l_extendedprice", key, capacity=cap
+            )
+        ),
+        ["g"],
+        capacity=cap,
+    )
+    single = sketches.kll_build_grouped(
+        li, ["g"], "l_extendedprice", key, capacity=cap
+    )
+    assert {(r.g, r.v, r.u, r.lstar) for r in merged.collect()} == {
+        (r.g, r.v, r.u, r.lstar) for r in single.collect()
     }
 
 
