@@ -102,15 +102,21 @@ KLL_CAPACITY = 4096
 KLL_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
-def _kll_oracle() -> str:
+def _kll_oracle(capacity: int = KLL_CAPACITY, probs: list[float] | None = None) -> str:
     """Relational replay of the canonical KLL-family compactor
     (operators/sketches.py kll_build/kll_quantiles): per-item 60-bit md5
     coins, l* = min level whose survivor count fits capacity, survivor
     filter, then sample order statistics at ceil(p*m). Every stage is
     order-independent arithmetic, so DuckDB reproduces the sketch
-    bit-exactly."""
+    bit-exactly. The SAME single-build replay is the oracle for the
+    shard-merge query: merge == single build is the sketch's defining
+    property, so a merge defect (the r10 level-floor bug class) is a
+    hash mismatch here, not a silent bias."""
     b = sketches.KLL_COIN_BITS
-    probs_rows = ",\n      ".join(f"(CAST({float(p)!r} AS DOUBLE))" for p in KLL_PROBS)
+    KLL_CAP = capacity
+    probs_rows = ",\n      ".join(
+        f"(CAST({float(p)!r} AS DOUBLE))" for p in (probs or KLL_PROBS)
+    )
     return f"""
     WITH base AS MATERIALIZED (
       SELECT CAST(l_extendedprice AS DOUBLE) AS v,
@@ -123,7 +129,7 @@ def _kll_oracle() -> str:
       FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
       GROUP BY ls.l
     ), lstar AS MATERIALIZED (
-      SELECT min(l) AS lstar FROM cnts WHERE c <= {KLL_CAPACITY}
+      SELECT min(l) AS lstar FROM cnts WHERE c <= {KLL_CAP}
     ), sk AS MATERIALIZED (
       SELECT v, u FROM base, lstar
       WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
@@ -316,3 +322,42 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = sketches.kll_build(li, "l_extendedprice", key, capacity=KLL_CAPACITY)
     return sketches.kll_quantiles(sk, KLL_PROBS)
+
+
+KLLM_CAPACITY = 512
+KLLM_PROBS = [0.1, 0.5, 0.9, 0.99]
+
+
+@register("sketch_kll_merge_fold", oracle=_kll_oracle(KLLM_CAPACITY, KLLM_PROBS))
+def sketch_kll_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE path under the oracle gate (VERDICT r10 #7): three
+    deliberately asymmetric shards (~90% / ~9% / ~1% of order keys —
+    the streaming MV's 'small micro-batch folds into compacted history'
+    steady state) are sketched independently and LEFT-FOLDED through
+    ``kll_merge``, exactly as ``sketch_mv_sink`` folds batches. The
+    oracle is the single-build replay over the whole table: merge ==
+    single build is the sketch's defining property, so the r10
+    mixed-rate-sample bug class can never land silently again — it
+    would hash-mismatch here (p99 moved ~50x in the r10 repro).
+    Capacity {KLLM_CAPACITY} compacts the big shard several levels
+    deeper than the 1% shard at every graded sf."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    m = F.col("l_orderkey") % 100
+    shards = [li.where(m < 90), li.where((m >= 90) & (m < 99)), li.where(m == 99)]
+    folded = sketches.kll_build(
+        shards[0], "l_extendedprice", key, capacity=KLLM_CAPACITY
+    )
+    for shard in shards[1:]:
+        folded = sketches.kll_merge(
+            folded,
+            sketches.kll_build(shard, "l_extendedprice", key, capacity=KLLM_CAPACITY),
+            capacity=KLLM_CAPACITY,
+        )
+    return sketches.kll_quantiles(folded, KLLM_PROBS)
