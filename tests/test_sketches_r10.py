@@ -370,6 +370,48 @@ def test_kmv_pairwise_jaccard_tracks_exact(spark, sf_dir):
     assert sum(errs) / len(errs) <= 0.03, sum(errs) / len(errs)
 
 
+def test_kmv_bottom_k_is_two_phase_in_plan(spark, sf_dir):
+    """VERDICT r10 perf: no per-group window may rank the RAW distinct
+    coin stream (single task per hot group). The plan must show the
+    window consuming MapInPandas partials — each partition pre-folds to
+    <= k rows per group, so the window input is metadata-scale."""
+    sh = _source_shingles(spark, sf_dir)
+    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=32)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # tree prints parents first: the window must sit ABOVE the partial
+    # stage, i.e. rank partials, not the raw coin stream below them
+    assert 0 <= plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_kmv_two_phase_equals_naive_window(spark, sf_dir):
+    """The two-phase bottom-k is EXACT: identical rows to the naive
+    single-window rank, with tiny Arrow batches forcing the partial
+    stage through its multi-batch fold-and-reprune path."""
+    from pyspark.sql import Window as W
+
+    sh = _source_shingles(spark, sf_dir)
+    k = 64
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "50")
+        got = {
+            (r.source, r.h)
+            for r in sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=k).collect()
+        }
+    finally:
+        spark.conf.set(conf, old)
+    naive = (
+        sh.select("source", sketches._kll_coin(F.col("sh")).alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(W.partitionBy("source").orderBy("h")))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    assert got == {(r.source, r.h) for r in naive.collect()}
+
+
 def test_kll_small_input_is_lossless(spark):
     """Inputs within capacity never compact: l*=0, every row survives,
     quantiles are EXACT order statistics."""
