@@ -117,10 +117,18 @@ def read_table(spark, table_path: str, schema: str):
     )
 
 
-def read_committed(spark, index_dir: str, table_path: str, schema: str):
+def read_committed(spark, index_dir: str, table_path: str, schema: str,
+                   hwms: dict[str, int] | None = None):
     """Read only LEDGER-COMMITTED content of a table root: top-level data
     files (compaction/retrain rewrites) plus segment dirs whose batch id
     is within their stream's committed high-water mark.
+
+    ``hwms``: pass a pre-taken ``_hwms`` snapshot to pin EXACTLY which
+    commits this read sees — maintenance takes the snapshot once, reads
+    with it, and after winning its generation CAS copies forward any
+    segment committed PAST the snapshot (``ann_index._fold_missed_
+    commits``); sharing the snapshot is what makes "in the fold" and
+    "to be copied" a partition instead of a race.
 
     This is the non-destructive counterpart of
     ``drop_uncommitted_segments``: a maintenance reader (retrain /
@@ -131,7 +139,8 @@ def read_committed(spark, index_dir: str, table_path: str, schema: str):
     first; the loser redoes its work against the fresh state. Nothing is
     deleted, so a drain that commits after this read keeps its segment
     either way."""
-    hwms = _hwms(index_dir)
+    if hwms is None:
+        hwms = _hwms(index_dir)
     paths: list[str] = []
     if os.path.isdir(table_path):
         for name in sorted(os.listdir(table_path)):

@@ -148,7 +148,9 @@ def _expected(ev):
     return EXPECT_EMPTY if ev is None else ev
 
 
-def _epoch_txn(spark, index_dir: str, work, max_attempts: int = 10) -> str:
+def _epoch_txn(
+    spark, index_dir: str, work, max_attempts: int = 10, before_publish=None
+) -> str:
     """Optimistic index transaction: run ``work(root)`` against the
     current generation, then commit by publishing a pointer epoch with
     ``expected_version`` = the epoch that was read. If ANY other writer
@@ -158,7 +160,18 @@ def _epoch_txn(spark, index_dir: str, work, max_attempts: int = 10) -> str:
     per attempt (per-(checkpoint,batch) overwrite segments are; a
     tombstone append may duplicate rows across attempts, which the
     distinct anti-join and compaction fold absorb). Returns the root the
-    committed attempt ran against."""
+    committed attempt ran against.
+
+    ``before_publish`` (idempotent, run after each attempt's ``work``
+    but BEFORE the pointer CAS) is where the drain advances its stream
+    ledger HWM (ADVICE r10 medium): committing the ledger first means
+    any maintenance generation that read committed postings BEFORE this
+    batch either sees the segment (ledger already advanced) or published
+    before our pointer CAS — failing it, so the retry redoes the work
+    into the surviving generation. Publishing the pointer first left a
+    window where a retrain adopted the new epoch as its expected_version
+    while its committed read had excluded the just-written segment —
+    permanent vector loss with no crash required."""
     from ..sinks.snapshot_store import ConcurrentWriteError
 
     store = _state_store(spark, index_dir)
@@ -168,6 +181,8 @@ def _epoch_txn(spark, index_dir: str, work, max_attempts: int = 10) -> str:
             _generation_path(store, ev, index_dir) if ev is not None else index_dir
         )
         work(root)
+        if before_publish is not None:
+            before_publish()
         gen = _generation_id(store, root, index_dir)
 
         def pointer(staging: str, gen=gen) -> None:
@@ -317,8 +332,18 @@ def ann_index_sink(
                 xo.segment(postings_path, key, batch_id)
             )
 
-        _epoch_txn(spark, index_dir, work)
-        xo.commit(index_dir, key, batch_id)
+        # the ledger HWM advances INSIDE the txn, after the segment write
+        # and before the pointer CAS — see _epoch_txn's before_publish
+        # contract (ADVICE r10 medium). A crash between the HWM advance
+        # and the pointer publish is benign: the segment is on disk in
+        # the generation the (now-committed) ledger makes visible, and
+        # the pointer bump was only arbitration.
+        _epoch_txn(
+            spark,
+            index_dir,
+            work,
+            before_publish=lambda: xo.commit(index_dir, key, batch_id),
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(process)
@@ -424,14 +449,17 @@ def delete_vectors(spark, index_dir: str, vec_ids, batch_id: int = 0) -> None:
     _epoch_txn(spark, index_dir, work)
 
 
-def _live_postings_at(spark, index_dir: str, root: str) -> DataFrame:
+def _live_postings_at(spark, index_dir: str, root: str,
+                      hwms: dict[str, int] | None = None) -> DataFrame:
     """Committed postings of ONE generation minus its tombstones (one
     broadcast-able anti-join — the tombstone set is small between
     compactions by construction). Only ledger-committed segments are
     read (xo.read_committed), so maintenance can run while a drain is
-    mid-batch without seeing half-written rows."""
+    mid-batch without seeing half-written rows. ``hwms`` pins the
+    snapshot for maintenance readers (see ``_fold_missed_commits``)."""
     postings = xo.read_committed(
-        spark, index_dir, os.path.join(root, "postings"), POSTINGS_SCHEMA
+        spark, index_dir, os.path.join(root, "postings"), POSTINGS_SCHEMA,
+        hwms=hwms,
     )
     tomb_path = os.path.join(root, "tombstones")
     if not os.path.exists(tomb_path):
@@ -444,6 +472,55 @@ def _live_postings_at(spark, index_dir: str, root: str) -> DataFrame:
 
 def _live_postings(spark, index_dir: str) -> DataFrame:
     return _live_postings_at(spark, index_dir, _index_root(spark, index_dir))
+
+
+def _fold_missed_commits(
+    spark, index_dir: str, old_root: str, new_root: str,
+    hwms_at_read: dict[str, int],
+) -> list[str]:
+    """Close the residual drain/maintenance race (ADVICE r10 medium,
+    second half): a maintenance generation is built from a committed-
+    postings read, but a drain can advance its ledger HWM between that
+    read and the generation's winning CAS — with the drain's pointer
+    bump still pending (it now commits the ledger BEFORE the pointer
+    CAS), the maintenance publish succeeds while its postings lack a
+    batch the ledger says is committed. The drain's own CAS retry
+    rewrites the segment into this generation; this fold is the
+    belt-and-braces for the drain CRASHING inside that retry window:
+    after winning its CAS, maintenance re-reads the ledger and copies
+    any segment committed past its read snapshot from the root it read
+    into the new generation (segment dirs are per-(checkpoint, batch)
+    and content-deterministic, so the fold racing the drain's own
+    rewrite of the same segment produces identical rows; existing
+    destinations are skipped). Vectors are RE-ASSIGNED against the new
+    generation's centroids on the way over — after a retrain the old
+    cell ids are stale and a raw copy would bucket the rows where no
+    probe looks; for a compaction (centroids copied verbatim) the
+    deterministic reassignment reproduces the old cells exactly.
+    Returns the folded segment names."""
+    old_post = os.path.join(old_root, "postings")
+    new_post = os.path.join(new_root, "postings")
+    cents = None
+    folded: list[str] = []
+    for key, hi in xo._hwms(index_dir).items():
+        for b in range(hwms_at_read.get(key, -1) + 1, hi + 1):
+            src = xo.segment(old_post, key, b)
+            dst = xo.segment(new_post, key, b)
+            if not os.path.isdir(src) or os.path.exists(dst):
+                continue
+            if cents is None:
+                cents = _load_centroids(spark, os.path.join(new_root, "centroids"))
+            rows = spark.read.schema(POSTINGS_SCHEMA).parquet(src)
+            (
+                _assign(rows.select("vec_id", "v"), cents)
+                .select("vec_id", F.col("cluster").cast("int").alias("cell"), "v")
+                .join(rows.select("vec_id", "nrm", "batch"), "vec_id")
+                .select("vec_id", "cell", "v", "nrm", "batch")
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            folded.append(os.path.basename(dst))
+    return folded
 
 
 def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int:
@@ -478,7 +555,10 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
         # repair a LEGACY crashed in-place swap (pre-r10 layout) before
         # reading — recover_swap is a no-op on generation-published dirs
         xo.recover_swap(os.path.join(root, "postings"))
-        live = _live_postings_at(spark, index_dir, root).localCheckpoint()
+        hwms_at_read = xo._hwms(index_dir)
+        live = _live_postings_at(
+            spark, index_dir, root, hwms=hwms_at_read
+        ).localCheckpoint()
         n = live.count()
 
         def build(staging: str, root=root, live=live) -> None:
@@ -494,7 +574,7 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
             )
 
         try:
-            store.publish_dir(
+            ver = store.publish_dir(
                 build,
                 audit=lambda staging: spark.read.schema(POSTINGS_SCHEMA)
                 .option("recursiveFileLookup", "true")
@@ -502,6 +582,11 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
                 .count()
                 == n,
                 expected_version=_expected(ev),
+            )
+            # post-CAS ledger re-check: copy forward any drain segment
+            # committed between our pinned read and the winning publish
+            _fold_missed_commits(
+                spark, index_dir, root, store.version_path(ver), hwms_at_read
             )
             return n
         except ConcurrentWriteError:
@@ -564,7 +649,10 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
             _generation_path(store, ev, index_dir) if ev is not None else index_dir
         )
         xo.recover_swap(os.path.join(root, "postings"))  # legacy crash debris
-        live = _live_postings_at(spark, index_dir, root).localCheckpoint()
+        hwms_at_read = xo._hwms(index_dir)
+        live = _live_postings_at(
+            spark, index_dir, root, hwms=hwms_at_read
+        ).localCheckpoint()
         n_live = live.count()
         _, cents = kmeans_lloyd_full(
             live.select("vec_id", "v"), k=n_cells, iters=iters, vec_col="v"
@@ -594,7 +682,7 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
             )
 
         try:
-            return store.publish_dir(
+            ver = store.publish_dir(
                 build,
                 audit=lambda staging: spark.read.schema(POSTINGS_SCHEMA)
                 .option("recursiveFileLookup", "true")
@@ -603,6 +691,12 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
                 == n_live,
                 expected_version=_expected(ev),
             )
+            # post-CAS ledger re-check (same as compact_postings): a
+            # drain that committed after our pinned read keeps its rows
+            _fold_missed_commits(
+                spark, index_dir, root, store.version_path(ver), hwms_at_read
+            )
+            return ver
         except ConcurrentWriteError:
             continue
     raise ConcurrentWriteError(

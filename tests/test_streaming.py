@@ -1037,6 +1037,93 @@ def test_drain_racing_retrain_redoes_batch_into_new_generation(
     assert SA._live_postings(spark, index_dir).count() == emb.count()
 
 
+def test_drain_crash_after_ledger_commit_is_rescued_by_maintenance_fold(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r10 medium, the residual crash window: a retrain pins its
+    committed read BEFORE a drain batch commits its ledger, the drain
+    then CRASHES between its ledger commit and its pointer publish, and
+    the retrain's generation publish wins the CAS (the epoch never
+    moved). The ledger says the batch is committed — no replay will
+    ever redo it — so the retrain's post-CAS ledger re-check
+    (_fold_missed_commits) must copy the segment forward, reassigned
+    under the NEW quantizer, or the vectors are lost forever. Also pins
+    the drain-side ordering fix itself: the ledger HWM now advances
+    BEFORE the pointer publish, which is what makes the crashed batch's
+    segment ledger-visible at all."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.operators.clustering import _assign
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "fold_idx")
+    s1 = str(tmp_path / "fold_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "fold_c1")
+    )
+    s2 = str(tmp_path / "fold_s2")
+    c2 = str(tmp_path / "fold_c2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+
+    real_txn = SA._epoch_txn
+
+    def txn_crashing_before_pointer(spark_, index_dir_, work,
+                                    max_attempts=10, before_publish=None):
+        # replicate the txn up to (and including) the ledger commit,
+        # then die where the pointer CAS would have run
+        work(SA._index_root(spark_, index_dir_))
+        if before_publish is not None:
+            before_publish()
+        raise RuntimeError("injected crash before pointer publish")
+
+    real_kmeans = SA.kmeans_lloyd_full
+    calls = {"n": 0}
+
+    def kmeans_with_crashing_drain(*a, **kw):
+        # runs AFTER the retrain pinned its hwms snapshot + committed
+        # read, BEFORE its publish — the exact ADVICE interleaving
+        calls["n"] += 1
+        if calls["n"] == 1:
+            monkeypatch.setattr(SA, "_epoch_txn", txn_crashing_before_pointer)
+            with pytest.raises(Exception, match="injected crash"):
+                SA.ann_index_sink(SA.read_vector_stream(spark, s2), index_dir, c2)
+            monkeypatch.setattr(SA, "_epoch_txn", real_txn)
+        return real_kmeans(*a, **kw)
+
+    monkeypatch.setattr(SA, "kmeans_lloyd_full", kmeans_with_crashing_drain)
+    v = SA.retrain_index(spark, index_dir)
+    monkeypatch.setattr(SA, "kmeans_lloyd_full", real_kmeans)
+
+    assert calls["n"] == 1  # retrain won its CAS first try (epoch never moved)
+    # the ledger marks b2's batch committed, so a redrain is a no-op —
+    # only the fold can have saved it...
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+
+    assert xo.committed(index_dir, xo.ckpt_key(c2), 0)
+    root = SA._index_root(spark, index_dir)
+    assert root == index_dir + f"/state/v={v}"
+    # ...and it did: every vector of both batches is live in the new
+    # generation, with the crashed batch re-assigned under the NEW
+    # quantizer (a raw copy would have kept stale cells)
+    live = SA._live_postings(spark, index_dir)
+    assert live.count() == emb.count()
+    cents = SA._load_centroids(spark, root + "/centroids")
+    exp_assign = {
+        r.vec_id: r.cluster
+        for r in _assign(SA._doubles(b2, "vec_id", "embedding"), cents).collect()
+    }
+    got = {
+        r.vec_id: r.cell
+        for r in live.where(F.col("vec_id").isin(list(exp_assign))).collect()
+    }
+    assert got == exp_assign
+    SA.ann_index_sink(SA.read_vector_stream(spark, s2), index_dir, c2)  # no-op
+    assert SA._live_postings(spark, index_dir).count() == emb.count()
+
+
 def test_concurrent_bootstrap_one_quantizer_wins(spark, sf_dir, tmp_path):
     """Two streams bootstrapping one EMPTY index concurrently (the last
     single-writer window, closed in r10): the EXPECT_EMPTY generation
