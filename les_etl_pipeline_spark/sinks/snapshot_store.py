@@ -127,8 +127,9 @@ class SnapshotStore:
         return sorted(out)
 
     def _marker_versions(self) -> list[int]:
-        """Versions claimed via the marker protocol. A marker IS a
-        commit, whether or not the data layout has landed yet."""
+        """ALL marker-claimed slots by name, readable or not — the set
+        that matters for slot allocation and vacuum (a claimed slot is
+        never reused, even if its marker is torn legacy debris)."""
         out = []
         for name in os.listdir(self.root):
             if name.startswith(MARKER_PREFIX):
@@ -138,6 +139,29 @@ class SnapshotStore:
                     continue
         return sorted(out)
 
+    def _committed_marker_versions(self) -> list[int]:
+        """Marker slots that are genuinely COMMITTED: the marker body is
+        readable (it names the staging dir) or the data dir already
+        exists. A torn marker — legacy non-atomic claim crashed between
+        exclusive-create and body write — claims its slot but commits
+        nothing (ADVICE r10 low: counting it made current_version()
+        point at permanently unreadable data, hiding older good
+        versions). The current claim is link-atomic, so new markers can
+        never be torn; this filter is for stores written by the older
+        revision."""
+        out = []
+        for v in self._marker_versions():
+            if os.path.isdir(os.path.join(self.root, f"v={v}")):
+                out.append(v)
+                continue
+            try:
+                with open(os.path.join(self.root, f"{MARKER_PREFIX}{v}")) as f:
+                    json.load(f)["staging"]
+                out.append(v)
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
     def current_version(self) -> int | None:
         """Highest committed version: max over marker-committed slots,
         ``_COMMITTED``-stamped dirs, and the pointer (which covers dirs
@@ -145,7 +169,7 @@ class SnapshotStore:
         Monotone under any writer race because claimed slots are
         immutable."""
         cands = self._versions_on_disk(committed_only=True)
-        cands += self._marker_versions()
+        cands += self._committed_marker_versions()
         ptr = self._pointer_version()
         if ptr is not None:
             cands = cands + [ptr]
@@ -221,19 +245,36 @@ class SnapshotStore:
         """Object-store-safe commit point: exclusive-create of the
         ``commit-v=<nxt>`` marker (naming the staging dir) IS the
         commit; the data move to ``v=<nxt>`` is layout only and
-        self-healing (``_finalize``)."""
+        self-healing (``_finalize``).
+
+        The claim is ATOMIC WITH ITS BODY (ADVICE r10 low): the JSON is
+        written and fsynced to a dot-prefixed temp file first, then
+        hard-linked to the marker name — link fails with EEXIST exactly
+        like O_CREAT|O_EXCL, but the marker is complete the instant it
+        exists, so no crash can leave a claimed-but-unreadable commit.
+        (Object stores: the analogue is an if-none-match PUT, which also
+        carries its body atomically.)"""
         if not os.path.isdir(staging):
             raise FileNotFoundError(
                 f"staging dir {staging} vanished before commit (swept by a "
                 "concurrent vacuum? raise vacuum's tx_grace_seconds)"
             )
         marker = os.path.join(self.root, f"{MARKER_PREFIX}{nxt}")
+        fd, tmp = tempfile.mkstemp(prefix="._marker.", dir=self.root)
         try:
-            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            json.dump({"staging": os.path.basename(staging)}, f)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"staging": os.path.basename(staging)}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, marker)
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         self._finalize(nxt)
         return True
 
@@ -365,6 +406,23 @@ class SnapshotStore:
     def read(self, version: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self.version_path(version))
 
+    @staticmethod
+    def _tree_mtime(path: str) -> float:
+        """Newest mtime anywhere under ``path`` (inclusive) — the
+        liveness signal for the staging-sweep grace. Raises OSError only
+        if the root itself is gone; files vanishing mid-walk (the owner
+        finishing its publish) are skipped."""
+        newest = os.path.getmtime(path)
+        for dirpath, dirnames, filenames in os.walk(path):
+            for n in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, n))
+                    )
+                except OSError:
+                    continue
+        return newest
+
     def vacuum(self, keep_last: int = 2, tx_grace_seconds: float = 3600.0) -> list[int]:
         """Drop snapshot dirs older than the last ``keep_last`` published
         versions (never the current one), plus any dot-prefixed staging
@@ -373,21 +431,35 @@ class SnapshotStore:
         Staging sweep safety (the store supports CONCURRENT publishers):
         a ``.tx-*`` dir is removed only when (a) it is not referenced by
         a claimed-but-unfinalized commit marker — that data is committed,
-        so it is finalized into its version dir instead — and (b) its
-        mtime is older than ``tx_grace_seconds``, so an in-flight
-        publish's live staging is never destroyed mid-build/audit. Set
-        the grace to 0 only when no publisher can be running."""
+        so it is finalized into its version dir instead — and (b) the
+        NEWEST mtime anywhere in its tree is older than
+        ``tx_grace_seconds``. The tree-wide max matters (ADVICE r10
+        low): a directory's own mtime moves only when its direct
+        children change, so a long parquet build mutating nested part
+        files looks idle at the staging root — keying the grace off the
+        whole tree keeps a slower-than-grace build's live staging from
+        being swept mid-publish. Set the grace to 0 only when no
+        publisher can be running."""
         # heal first: committed-by-marker data must land before any sweep
         for v in self._marker_versions():
             self._finalize(v)
         pending = self._pending_staging_names()
         now = time.time()
         for name in os.listdir(self.root):
+            if name.startswith("._marker.") or name.startswith("._current."):
+                # tmp debris of a crashed atomic claim / pointer write
+                path = os.path.join(self.root, name)
+                try:
+                    if now - os.path.getmtime(path) >= tx_grace_seconds:
+                        os.remove(path)
+                except OSError:
+                    pass
+                continue
             if not name.startswith(".tx-") or name in pending:
                 continue
             path = os.path.join(self.root, name)
             try:
-                age = now - os.path.getmtime(path)
+                age = now - self._tree_mtime(path)
             except OSError:
                 continue  # vanished under us (owner finished its publish)
             if age >= tx_grace_seconds:

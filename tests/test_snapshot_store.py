@@ -200,6 +200,9 @@ def test_vacuum_sweeps_staging_debris(spark, store, tmp_path):
     store.vacuum()  # fresh dir: inside the grace window — must survive
     assert os.path.exists(debris)
     old = _time.time() - 7200
+    # the grace keys off the WHOLE tree's newest mtime (r11): a crashed
+    # publish's debris is only "aged" once every file in it has gone idle
+    os.utime(os.path.join(debris, "part-junk.parquet"), (old, old))
     os.utime(debris, (old, old))
     store.vacuum()  # aged past the 1h default grace — swept
     assert not os.path.exists(debris)
@@ -289,3 +292,106 @@ def test_marker_crash_before_layout_self_heals(spark, tmp_path):
     # and vacuum would have healed it too (idempotent)
     store.vacuum()
     assert store.read(1).count() == 9
+
+
+def test_torn_legacy_marker_does_not_hide_good_versions(spark, tmp_path):
+    """ADVICE r10 low: a legacy claim crashed between exclusive-create
+    and body write leaves an EMPTY marker. It claims its slot (never
+    reused) but is NOT a commit: current_version must keep serving the
+    newest readable version instead of pointing at permanently
+    unreachable data."""
+    store = SnapshotStore(spark, str(tmp_path / "tbl"), protocol="marker")
+    store.publish(spark.range(3))
+    # simulate the legacy torn claim at slot 1
+    open(os.path.join(store.root, "commit-v=1"), "w").close()
+    assert store.current_version() == 0  # torn claim is not a commit
+    assert store.read().count() == 3  # newest COMMITTED data readable
+    v = store.publish(spark.range(7))
+    assert v == 2  # the torn slot stays claimed, never reused
+    assert store.current_version() == 2
+    assert store.read().count() == 7
+    # once superseded, vacuum clears the torn debris
+    store.vacuum(keep_last=1)
+    assert not os.path.exists(os.path.join(store.root, "commit-v=1"))
+
+
+def test_marker_claim_atomic_and_tmp_debris_swept(spark, tmp_path):
+    """The marker claim is link-atomic: every marker that exists is
+    complete (readable JSON naming its staging), and a lost race leaves
+    no temp debris. Crash debris that does appear (kill -9 between
+    mkstemp and link) is dot-prefixed and vacuumed past the grace."""
+    import time as _time
+
+    store = SnapshotStore(spark, str(tmp_path / "tbl"), protocol="marker")
+    for i in range(3):
+        store.publish(spark.range(i + 1))
+    for name in os.listdir(store.root):
+        if name.startswith("commit-v="):
+            with open(os.path.join(store.root, name)) as f:
+                assert json.load(f)["staging"].startswith(".tx-")
+    assert not [n for n in os.listdir(store.root) if n.startswith("._marker.")]
+    debris = os.path.join(store.root, "._marker.crashed0")
+    with open(debris, "w") as f:
+        f.write('{"staging": ".tx-never"}')
+    store.vacuum()  # fresh: inside grace, survives
+    assert os.path.exists(debris)
+    old = _time.time() - 7200
+    os.utime(debris, (old, old))
+    store.vacuum()
+    assert not os.path.exists(debris)
+
+
+def test_vacuum_grace_boundary_never_sweeps_claimed_staging(spark, tmp_path):
+    """VERDICT r10 #6: a staging dir referenced by a claimed-but-
+    unfinalized marker holds COMMITTED data — even aged far past the
+    grace window, a concurrent vacuum must finalize it into its version
+    dir, never sweep it."""
+    import time as _time
+
+    store = SnapshotStore(spark, str(tmp_path / "tbl"), protocol="marker")
+    store.publish(spark.range(3))
+    crashed = SnapshotStore(spark, str(tmp_path / "tbl"), protocol="marker")
+    crashed._finalize = lambda v: True  # die right after the claim
+    crashed.publish(spark.range(9))
+    staging = [n for n in os.listdir(store.root) if n.startswith(".tx-")]
+    assert len(staging) == 1
+    # age the claimed staging (whole tree) way past the 1h grace
+    old = _time.time() - 7200
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(store.root, staging[0]), topdown=False
+    ):
+        for n in dirnames + filenames:
+            os.utime(os.path.join(dirpath, n), (old, old))
+        os.utime(dirpath, (old, old))
+    store.vacuum()
+    assert store.read(1).count() == 9  # finalized, not swept
+    assert os.path.isdir(os.path.join(store.root, "v=1"))
+
+
+def test_vacuum_keeps_staging_of_long_running_build(spark, store):
+    """ADVICE r10 low: a build that runs longer than the grace mutates
+    NESTED part files without touching the staging root (a directory's
+    mtime only tracks direct children). The sweep keys off the newest
+    mtime in the WHOLE tree, so a live slow build survives; only a
+    staging whose entire tree has gone idle past the grace is swept."""
+    import time as _time
+
+    store.publish(spark.range(2))
+    staging = os.path.join(store.root, ".tx-longbuild00")
+    nested = os.path.join(staging, "table", "part=0")
+    os.makedirs(nested)
+    with open(os.path.join(nested, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = _time.time() - 7200
+    # root and intermediate dirs look idle; one nested file is FRESH
+    os.utime(os.path.join(nested, "part-0.parquet"), (old, old))
+    os.utime(os.path.join(staging, "table"), (old, old))
+    os.utime(staging, (old, old))
+    with open(os.path.join(nested, "part-1.parquet"), "w") as f:
+        f.write("y")
+    os.utime(nested, (old, old))
+    store.vacuum()
+    assert os.path.exists(staging)  # live build survives
+    os.utime(os.path.join(nested, "part-1.parquet"), (old, old))
+    store.vacuum()
+    assert not os.path.exists(staging)  # fully idle past grace: swept
