@@ -76,6 +76,7 @@ EXTENDED = [
     # from bottom-k sketches) — benched at sf0.1 so their scan-bound
     # slopes (0.40 / 0.42 in SCALING.md) stay visible per round
     "sketch_kll_quantiles",
+    "sketch_kll_merge_fold",
     "sketch_kmv_source_overlap",
 ]
 # deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic

@@ -551,7 +551,12 @@ def kll_quantiles_grouped(
 ) -> DataFrame:
     """Per-group quantiles from a grouped rank sketch: sample order
     statistics at ceil(p * m_group) within each group. All windows are
-    PARTITIONED by the group. Returns (group..., p, q)."""
+    PARTITIONED by the group, and each group's window task ranks at
+    most ``capacity`` survivor rows BY CONSTRUCTION (the build's l* is
+    chosen per group so its survivor count fits capacity) — the
+    plan-gate-style justification for why this per-group window never
+    becomes a hot-group straggler, unlike a window over raw data.
+    Returns (group..., p, q)."""
     m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("m"))
     w = _W.partitionBy(*group_cols).orderBy("v", "u")
     ranked = sketch.withColumn("rn", F.row_number().over(w)).join(m, group_cols)
