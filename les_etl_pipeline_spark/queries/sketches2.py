@@ -148,12 +148,18 @@ KLLG_CAPACITY = 1024
 KLLG_PROBS = [0.25, 0.5, 0.9]
 
 
-def _kllg_oracle() -> str:
+def _kllg_oracle(
+    capacity: int = KLLG_CAPACITY, probs: list[float] | None = None
+) -> str:
     """Per-group replay of the grouped KLL-family sketch: identical coin
-    / l* / order-statistic math, every stage keyed by l_returnflag."""
+    / l* / order-statistic math, every stage keyed by l_returnflag.
+    Doubles as the oracle for the grouped MERGE query — per-group merge
+    == per-group single build is the defining property, so a per-group
+    level-floor defect is a hash mismatch here."""
     b = sketches.KLL_COIN_BITS
+    KLLG_CAP = capacity
     probs_rows = ",\n      ".join(
-        f"(CAST({float(p)!r} AS DOUBLE))" for p in KLLG_PROBS
+        f"(CAST({float(p)!r} AS DOUBLE))" for p in (probs or KLLG_PROBS)
     )
     return f"""
     WITH base AS MATERIALIZED (
@@ -167,7 +173,7 @@ def _kllg_oracle() -> str:
       FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
       GROUP BY g, ls.l
     ), lstar AS MATERIALIZED (
-      SELECT g, min(l) AS lstar FROM cnts WHERE c <= {KLLG_CAPACITY} GROUP BY g
+      SELECT g, min(l) AS lstar FROM cnts WHERE c <= {KLLG_CAP} GROUP BY g
     ), sk AS MATERIALIZED (
       SELECT base.g, v, u FROM base JOIN lstar ON lstar.g = base.g
       WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
@@ -361,3 +367,103 @@ def sketch_kll_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             capacity=KLLM_CAPACITY,
         )
     return sketches.kll_quantiles(folded, KLLM_PROBS)
+
+
+KLLGM_CAPACITY = 256
+KLLGM_PROBS = [0.25, 0.5, 0.9]
+
+
+@register(
+    "sketch_kll_merge_fold_by_group",
+    oracle=_kllg_oracle(KLLGM_CAPACITY, KLLGM_PROBS),
+)
+def sketch_kll_merge_fold_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED merge path under the oracle gate (VERDICT r10 #4):
+    two asymmetric shards (~99% / ~1% of order keys) of per-returnflag
+    grouped sketches merged via ``kll_merge_grouped``, whose level
+    floor is applied PER GROUP (each group's merged l* search starts at
+    that group's own max shard depth). The oracle is the grouped
+    single-build replay — per-group merge == per-group single build."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").withColumn("g", F.col("l_returnflag"))
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    big = li.where(F.col("l_orderkey") % 100 != 0)
+    tiny = li.where(F.col("l_orderkey") % 100 == 0)
+    merged = sketches.kll_merge_grouped(
+        sketches.kll_build_grouped(
+            big, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
+        ).unionByName(
+            sketches.kll_build_grouped(
+                tiny, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
+            )
+        ),
+        ["g"],
+        capacity=KLLGM_CAPACITY,
+    )
+    return sketches.kll_quantiles_grouped(merged, ["g"], KLLGM_PROBS)
+
+
+def _kmv_distinct_oracle() -> str:
+    """Single-build replay of the per-source KMV distinct estimate —
+    the oracle for the MERGE query: bottom-k of a union is the bottom-k
+    of the unioned per-shard bottom-k's, so the merged sketch's
+    estimate equals the single build's bit-for-bit."""
+    b = sketches.KLL_COIN_BITS
+    scale = float((KMV_K - 1) * (1 << b))
+    return f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT source,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), hs AS MATERIALIZED (
+      SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM sh
+    ), sk AS MATERIALIZED (
+      SELECT source, h FROM hs
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {KMV_K}
+    ), agg AS (
+      SELECT source, count(*) AS c, max(h) AS hk FROM sk GROUP BY source
+    )
+    SELECT source,
+           (floor((CASE WHEN c < {KMV_K} THEN CAST(c AS DOUBLE)
+                        ELSE {scale!r} / CAST(hk AS DOUBLE) END)
+                  * 100.0 + 0.5) / 100.0) AS n_distinct_est
+    FROM agg
+    """
+
+
+@register("sketch_kmv_merge_fold", oracle=_kmv_distinct_oracle())
+def sketch_kmv_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV merge path (now two-phase bottom-k) under the oracle
+    gate: per-source sketches built on two hash-split shards of the
+    shingle stream, merged via ``kmv_merge``, then the per-source
+    distinct estimate. The oracle replays the SINGLE build — merge is
+    exact by the bottom-k union identity, so any defect in the
+    two-phase partial/exact split is a hash mismatch here."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("source", F.explode(_dedup.shingles("text", 3)).alias("sh"))
+    a = sh.where(F.crc32("sh") % 2 == 0)
+    b = sh.where(F.crc32("sh") % 2 == 1)
+    merged = sketches.kmv_merge(
+        sketches.kmv_sketch(a, ["source"], F.col("sh"), k=KMV_K).unionByName(
+            sketches.kmv_sketch(b, ["source"], F.col("sh"), k=KMV_K)
+        ),
+        ["source"],
+        KMV_K,
+    )
+    return sketches.kmv_distinct_estimate(merged, ["source"], KMV_K)

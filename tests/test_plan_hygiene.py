@@ -65,6 +65,9 @@ UNPART_WINDOW_ALLOWED = {
     "sketch_kll_quantiles": [
         ("v", "row_number over the <= capacity-row survivor sample")
     ],
+    "sketch_kll_merge_fold": [
+        ("v", "row_number over the <= capacity-row MERGED survivor sample")
+    ],
 }
 
 _WSD_START = "windowspecdefinition("
