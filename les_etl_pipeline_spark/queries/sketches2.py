@@ -357,15 +357,24 @@ def sketch_kll_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("l_orderkey") % 100
     shards = [li.where(m < 90), li.where((m >= 90) & (m < 99)), li.where(m == 99)]
+    # lazy localCheckpoint between fold stages: kll_merge references its
+    # input twice (count aggregate + survivor re-filter) and
+    # kll_quantiles references the fold twice, so an uncut lineage
+    # re-executes each shard's base scan up to 8x (the MMR/BPE
+    # unrolled-stage lesson). Each checkpointed frame is <= capacity
+    # rows; on a cluster this is a persisted staging table per fold step
+    # — exactly what the streaming MV's per-batch state write does.
     folded = sketches.kll_build(
         shards[0], "l_extendedprice", key, capacity=KLLM_CAPACITY
-    )
+    ).localCheckpoint(eager=False)
     for shard in shards[1:]:
         folded = sketches.kll_merge(
             folded,
-            sketches.kll_build(shard, "l_extendedprice", key, capacity=KLLM_CAPACITY),
+            sketches.kll_build(
+                shard, "l_extendedprice", key, capacity=KLLM_CAPACITY
+            ).localCheckpoint(eager=False),
             capacity=KLLM_CAPACITY,
-        )
+        ).localCheckpoint(eager=False)
     return sketches.kll_quantiles(folded, KLLM_PROBS)
 
 
@@ -394,17 +403,21 @@ def sketch_kll_merge_fold_by_group(spark: SparkSession, sf_dir: str) -> DataFram
     )
     big = li.where(F.col("l_orderkey") % 100 != 0)
     tiny = li.where(F.col("l_orderkey") % 100 == 0)
+    # lazy localCheckpoints cut the fold's lineage pyramid (see
+    # sketch_kll_merge_fold); every checkpointed frame is sketch-sized
     merged = sketches.kll_merge_grouped(
         sketches.kll_build_grouped(
             big, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
-        ).unionByName(
+        )
+        .localCheckpoint(eager=False)
+        .unionByName(
             sketches.kll_build_grouped(
                 tiny, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
-            )
+            ).localCheckpoint(eager=False)
         ),
         ["g"],
         capacity=KLLGM_CAPACITY,
-    )
+    ).localCheckpoint(eager=False)
     return sketches.kll_quantiles_grouped(merged, ["g"], KLLGM_PROBS)
 
 
