@@ -116,6 +116,13 @@ def main() -> None:
         # bounded by k so the slope should track the shingle scan
         "sketch_kll_quantiles",
         "sketch_kmv_source_overlap",
+        # round-11: the merge-fold paths — three asymmetric shard builds
+        # left-folded (KLL) and a two-shard two-phase KMV merge; each
+        # stage is bounded-state, so slopes should track scan cost like
+        # the single-build sketches they replay
+        "sketch_kll_merge_fold",
+        "sketch_kll_merge_fold_by_group",
+        "sketch_kmv_merge_fold",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
