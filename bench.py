@@ -231,7 +231,7 @@ def main() -> None:
         "value_extended": round(total_ext, 3),
         "note": (
             "value sums the r1-era 21-query headline set (comparable "
-            "to BENCH_r01); value_extended adds the 6 heavy operators "
+            "to BENCH_r01); value_extended adds the 11 heavy operators "
             "listed in bench.EXTENDED; sweep carries per-query medians "
             "for the FULL registry at sf0.01 with >1.5x movers vs the "
             "previous recorded sweep in sweep_movers"
