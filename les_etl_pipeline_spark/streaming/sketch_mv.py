@@ -32,6 +32,11 @@ aggregates), a merge over <= capacity + batch-survivor rows, one tiny
 state write. The KMV bottom-k uses orderBy().limit(k)
 (TakeOrderedAndProject — distributed top-k, never a single-task global
 sort or an unpartitioned window).
+
+``sketch_mv_sink_grouped`` (round 11) keys everything by group columns
+— per-source/per-language quantile and distinct monitoring — with the
+level-floored ``kll_merge_grouped`` fold and the two-phase grouped
+bottom-k; state is (capacity + k) x n_groups rows.
 """
 
 from __future__ import annotations
@@ -61,19 +66,24 @@ def _store(spark, state_dir: str):
     return SnapshotStore(spark, state_dir)
 
 
-def _read_state(spark, store) -> tuple[DataFrame, DataFrame, dict]:
+def _read_state(
+    spark,
+    store,
+    kll_schema: str = KLL_STATE_SCHEMA,
+    kmv_schema: str = KMV_STATE_SCHEMA,
+) -> tuple[DataFrame, DataFrame, dict]:
     cur = store.current_version()
     if cur is None:
         return (
-            spark.createDataFrame([], KLL_STATE_SCHEMA),
-            spark.createDataFrame([], KMV_STATE_SCHEMA),
+            spark.createDataFrame([], kll_schema),
+            spark.createDataFrame([], kmv_schema),
             {},
         )
     path = store.version_path(cur)
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
-    kll = spark.read.schema(KLL_STATE_SCHEMA).parquet(os.path.join(path, "kll"))
-    kmv = spark.read.schema(KMV_STATE_SCHEMA).parquet(os.path.join(path, "kmv"))
+    kll = spark.read.schema(kll_schema).parquet(os.path.join(path, "kll"))
+    kmv = spark.read.schema(kmv_schema).parquet(os.path.join(path, "kmv"))
     return kll, kmv, manifest
 
 
@@ -166,6 +176,130 @@ def sketch_mv_sink(
     )
     q.awaitTermination()
     return q
+
+
+def _grouped_schemas(group_schema: str) -> tuple[str, str]:
+    return (
+        f"{group_schema}, {KLL_STATE_SCHEMA}",
+        f"{group_schema}, {KMV_STATE_SCHEMA}",
+    )
+
+
+def sketch_mv_sink_grouped(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    group_schema: str,
+    value_col: str,
+    key,
+    state_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+    kmv_k: int = 128,
+    max_attempts: int = 10,
+    vacuum_keep_last: int | None = 8,
+):
+    """Per-group sketch MV — ``sketch_mv_sink`` with every sketch keyed
+    by ``group_cols`` (per-source / per-language length and distinct
+    monitoring, the realistic shape of a curation dashboard). Each
+    group gets its own KLL l* (``kll_build_grouped``) and its own
+    bottom-k (the two-phase ``_bottom_k_grouped`` — no task ever sorts
+    a hot group's coin set, even inside a batch), folds use the
+    level-floored ``kll_merge_grouped``, and state size is bounded by
+    (capacity + k) x n_groups rows. ``group_schema`` (e.g. ``"source
+    string"``) pins the persisted state's group column types — parquet
+    state must be schema-stable across batches. Same exactly-once
+    contract as the ungrouped sink: one atomic state+HWM publish per
+    batch, CAS-arbitrated, content-idempotent across replays."""
+    from ..sinks.snapshot_store import EXPECT_EMPTY, ConcurrentWriteError
+
+    spark = stream_df.sparkSession
+    ckpt = xo.ckpt_key(checkpoint_dir)
+    kll_schema, kmv_schema = _grouped_schemas(group_schema)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = _store(spark, state_dir)
+        batch_kll = sketches.kll_build_grouped(
+            batch_df, group_cols, value_col, key, capacity=capacity
+        ).select(*group_cols, "v", "u", "lstar")
+        batch_kmv = sketches._bottom_k_grouped(
+            batch_df.select(*group_cols, sketches._kll_coin(key).alias("h")),
+            group_cols,
+            kmv_k,
+        )
+        for _ in range(max_attempts):
+            cur = store.current_version()
+            prev_kll, prev_kmv, manifest = _read_state(
+                spark, store, kll_schema, kmv_schema
+            )
+            if manifest.get(ckpt, -1) >= batch_id:
+                return  # replayed batch: already folded, atomically
+            # per-group dedup-union fold: max(lstar) keeps each group's
+            # deepest observed compaction so the per-group level floor
+            # stays valid under ledger-invisible replays
+            folded = (
+                prev_kll.unionByName(batch_kll)
+                .groupBy(*group_cols, "v", "u")
+                .agg(F.max("lstar").alias("lstar"))
+            )
+            new_kll = sketches.kll_merge_grouped(
+                folded, group_cols, capacity=capacity
+            )
+            new_kmv = sketches.kmv_merge(
+                prev_kmv.unionByName(batch_kmv), group_cols, kmv_k
+            )
+            new_manifest = dict(manifest)
+            new_manifest[ckpt] = batch_id
+
+            def build(staging: str, kll=new_kll, kmv=new_kmv, m=new_manifest):
+                kll.write.parquet(os.path.join(staging, "kll"))
+                kmv.write.parquet(os.path.join(staging, "kmv"))
+                with open(os.path.join(staging, _MANIFEST), "w") as f:
+                    json.dump(m, f)
+
+            try:
+                store.publish_dir(
+                    build,
+                    expected_version=EXPECT_EMPTY if cur is None else cur,
+                )
+                if vacuum_keep_last is not None:
+                    store.vacuum(keep_last=vacuum_keep_last)
+                return
+            except ConcurrentWriteError:
+                continue  # another stream folded its batch first; re-read
+        raise ConcurrentWriteError(
+            f"sketch MV {state_dir}: lost {max_attempts} straight CAS races"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_mv_quantiles_grouped(
+    spark, state_dir: str, group_cols: list[str], group_schema: str,
+    probs: list[float],
+) -> DataFrame:
+    """(group..., p, q) per-group quantile estimates over everything
+    ingested so far; each group's window ranks <= capacity rows."""
+    kll_schema, kmv_schema = _grouped_schemas(group_schema)
+    kll, _, _ = _read_state(spark, _store(spark, state_dir), kll_schema, kmv_schema)
+    return sketches.kll_quantiles_grouped(kll, group_cols, probs)
+
+
+def read_mv_distinct_grouped(
+    spark, state_dir: str, group_cols: list[str], group_schema: str,
+    kmv_k: int = 128,
+) -> DataFrame:
+    """(group..., n_distinct_est) per group — exact while a group has
+    seen fewer than k distinct keys."""
+    kll_schema, kmv_schema = _grouped_schemas(group_schema)
+    _, kmv, _ = _read_state(spark, _store(spark, state_dir), kll_schema, kmv_schema)
+    return sketches.kmv_distinct_estimate(kmv, group_cols, kmv_k)
 
 
 def read_mv_quantiles(spark, state_dir: str, probs: list[float]) -> DataFrame:

@@ -175,3 +175,102 @@ def test_crash_before_claim_replays_clean(spark, sf_dir, tmp_path, monkeypatch):
         (r.v, r.u) for r in exp.collect()
     }
     assert list(manifest.values()) == [0]
+
+
+# -- grouped sketch MV (round 11) ---------------------------------------------
+# 20 sources x 25 docs at sf0.001: GCAP=8 forces every group's first
+# (90%) batch to compact ~2 levels; GK=16 < 25 so the bottom-k binds
+GCAP, GK = 8, 16
+
+
+def _gdrain(spark, stream_dir, state_dir, ckpt_dir, **kw):
+    MV.sketch_mv_sink_grouped(
+        spark.readStream.schema("doc_id bigint, source string, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir),
+        ["source"],
+        "source string",
+        "n_chars",
+        F.col("doc_id").cast("string"),
+        state_dir,
+        ckpt_dir,
+        capacity=GCAP,
+        kmv_k=GK,
+        **kw,
+    )
+
+
+@pytest.fixture()
+def gmv(spark, sf_dir, tmp_path):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    stream_dir = str(tmp_path / "gmv_stream")
+    for pred in _splits():  # skewed 90/9/1: state compacts before batch 1
+        docs.where(pred).coalesce(1).write.mode("append").parquet(stream_dir)
+        time.sleep(1.05)
+    state_dir = str(tmp_path / "gmv_state")
+    ckpt = str(tmp_path / "gmv_ckpt")
+    _gdrain(spark, stream_dir, state_dir, ckpt)
+    return docs, stream_dir, state_dir, ckpt
+
+
+def test_grouped_streamed_sketch_equals_batch_build(spark, gmv):
+    """Per-group streamed state == per-group single batch build,
+    bit-for-bit, after skewed batches that compact the big groups —
+    the grouped twin of the r11 level-floor regression shape."""
+    docs, _, state_dir, _ = gmv
+    key = F.col("doc_id").cast("string")
+    kll_schema, kmv_schema = MV._grouped_schemas("source string")
+    kll_state, kmv_state, manifest = MV._read_state(
+        spark, MV._store(spark, state_dir), kll_schema, kmv_schema
+    )
+    exp_kll = sketches.kll_build_grouped(docs, ["source"], "n_chars", key, capacity=GCAP)
+    assert kll_state.select(F.max("lstar")).collect()[0][0] >= 1  # really compacted
+    assert {(r.source, r.v, r.u, r.lstar) for r in kll_state.collect()} == {
+        (r.source, r.v, r.u, r.lstar) for r in exp_kll.collect()
+    }
+    exp_kmv = sketches._bottom_k_grouped(
+        docs.select("source", sketches._kll_coin(key).alias("h")), ["source"], GK
+    )
+    assert {(r.source, r.h) for r in kmv_state.collect()} == {
+        (r.source, r.h) for r in exp_kmv.collect()
+    }
+    assert list(manifest.values()) == [2]
+    # derived reads: per-group quantiles match the batch-side grouped
+    # sketch queries; distinct estimates are per group
+    probs = [0.5, 0.9]
+    got_q = {
+        (r.source, r.p): r.q
+        for r in MV.read_mv_quantiles_grouped(
+            spark, state_dir, ["source"], "source string", probs
+        ).collect()
+    }
+    exp_q = {
+        (r.source, r.p): r.q
+        for r in sketches.kll_quantiles_grouped(exp_kll, ["source"], probs).collect()
+    }
+    assert got_q == exp_q
+    est = {
+        r.source: r.n_distinct_est
+        for r in MV.read_mv_distinct_grouped(
+            spark, state_dir, ["source"], "source string", GK
+        ).collect()
+    }
+    n_src = docs.select("source").distinct().count()
+    assert len(est) == n_src and all(v > 0 for v in est.values())
+
+
+def test_grouped_mv_replay_is_content_idempotent(spark, gmv):
+    """A NEW checkpoint redraining the same files changes nothing:
+    per-group max(lstar) dedup keeps the level floor valid, so the
+    refold collapses bit-for-bit."""
+    _, stream_dir, state_dir, _ = gmv
+    kll_schema, kmv_schema = MV._grouped_schemas("source string")
+    store = MV._store(spark, state_dir)
+    before_kll, before_kmv, _ = MV._read_state(spark, store, kll_schema, kmv_schema)
+    rows = {(r.source, r.v, r.u, r.lstar) for r in before_kll.collect()}
+    kmv_rows = {(r.source, r.h) for r in before_kmv.collect()}
+    _gdrain(spark, stream_dir, state_dir, state_dir + "_ckpt2")
+    after_kll, after_kmv, manifest = MV._read_state(spark, store, kll_schema, kmv_schema)
+    assert {(r.source, r.v, r.u, r.lstar) for r in after_kll.collect()} == rows
+    assert {(r.source, r.h) for r in after_kmv.collect()} == kmv_rows
+    assert len(manifest) == 2
