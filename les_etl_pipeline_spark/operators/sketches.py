@@ -784,6 +784,43 @@ def kmv_pairwise_overlap(
     )
 
 
+def kll_cdf(sketch: DataFrame, values: list[float]) -> DataFrame:
+    """Rank/CDF estimates from the rank sketch — the INVERSE read of
+    ``kll_quantiles``: for each probe value v, the estimated fraction
+    of the input <= v is the fraction of the uniform survivor sample
+    <= v (same Bernoulli rank-error bound as the quantile direction).
+    One aggregate over the <= capacity survivor table: a conditional
+    count per probe value plus the total, no window at all. Returns
+    (v, cdf) with cdf rounded to 6dp (hround — deterministic double
+    math, oracle-replayable)."""
+    from ..functions.rounding import hround
+
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("_m"),
+        *[
+            F.sum((F.col("v") <= F.lit(float(x))).cast("long")).alias(f"_c{i}")
+            for i, x in enumerate(values)
+        ],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(x)).alias("v"),
+                        hround(
+                            F.col(f"_c{i}").cast("double")
+                            / F.col("_m").cast("double"),
+                            6,
+                        ).alias("cdf"),
+                    )
+                    for i, x in enumerate(values)
+                ]
+            )
+        ).alias("r")
+    ).select("r.v", "r.cdf")
+
+
 def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
     """Quantile estimates from the rank sketch: the survivor sample is a
     uniform (hash-Bernoulli) sample of the input, so q(p) is the sample

@@ -421,6 +421,60 @@ def sketch_kll_merge_fold_by_group(spark: SparkSession, sf_dir: str) -> DataFram
     return sketches.kll_quantiles_grouped(merged, ["g"], KLLGM_PROBS)
 
 
+KLLC_VALUES = [2000.0, 10000.0, 30000.0, 60000.0, 90000.0]
+
+
+def _kll_cdf_oracle() -> str:
+    """Replay of the rank sketch's CDF read: same coins -> l* ->
+    survivors as `_kll_oracle`, then one conditional fraction per probe
+    value (hround 6dp) — no window at all."""
+    b = sketches.KLL_COIN_BITS
+    vals = ",\n      ".join(f"(CAST({float(x)!r} AS DOUBLE))" for x in KLLC_VALUES)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), cnts AS (
+      SELECT ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT min(l) AS lstar FROM cnts WHERE c <= {KLL_CAPACITY}
+    ), sk AS MATERIALIZED (
+      SELECT v FROM base, lstar
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
+    )
+    SELECT t.v,
+           (floor((CAST(count(*) FILTER (WHERE sk.v <= t.v) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+            / 1000000.0) AS cdf
+    FROM sk CROSS JOIN (VALUES {vals}) t(v)
+    GROUP BY t.v
+    """
+
+
+@register("sketch_kll_cdf", oracle=_kll_cdf_oracle())
+def sketch_kll_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank sketch's INVERSE read: estimated CDF at fixed probe
+    values — 'what fraction of prices are under X' without a full sort
+    or a second sketch. One conditional-count aggregate over the
+    <= capacity survivor sample, no window (cheaper than the quantile
+    direction, same Bernoulli rank-error bound)."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=KLL_CAPACITY)
+    return sketches.kll_cdf(sk, KLLC_VALUES)
+
+
 def _kmv_distinct_oracle() -> str:
     """Single-build replay of the per-source KMV distinct estimate —
     the oracle for the MERGE query: bottom-k of a union is the bottom-k

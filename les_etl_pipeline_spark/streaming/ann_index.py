@@ -497,7 +497,15 @@ def _fold_missed_commits(
     cell ids are stale and a raw copy would bucket the rows where no
     probe looks; for a compaction (centroids copied verbatim) the
     deterministic reassignment reproduces the old cells exactly.
-    Returns the folded segment names."""
+    Returns the folded segment names.
+
+    Interaction with ``vacuum_index_state``: the fold reads the OLD
+    root, which a vacuum retires once the new generation is live — the
+    fold runs immediately after the winning publish in the same
+    maintenance call, so only a vacuum racing from ANOTHER process in
+    that instant could remove the source first; schedule vacuum as its
+    own maintenance slot (the module contract), not concurrently with
+    retrain/compaction."""
     old_post = os.path.join(old_root, "postings")
     new_post = os.path.join(new_root, "postings")
     cents = None

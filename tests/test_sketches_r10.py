@@ -422,3 +422,23 @@ def test_kll_small_input_is_lossless(spark):
     assert sk.select("lstar").distinct().collect()[0].lstar == 0
     got = {r.p: r.q for r in sketches.kll_quantiles(sk, [0.5, 0.25]).collect()}
     assert got[0.5] == 49.0 and got[0.25] == 24.0  # ceil(p*100)-th smallest
+
+
+def test_kll_cdf_tracks_exact(spark, sf_dir):
+    """CDF estimates land within the Bernoulli sample bound of the true
+    CDF: |cdf_est(v) - F(v)| <= 4 / sqrt(m) for every probe value."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap = 2048
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    m = sk.count()
+    n = li.count()
+    vals = [2000.0, 10000.0, 30000.0, 60000.0, 90000.0]
+    got = {r.v: r.cdf for r in sketches.kll_cdf(sk, vals).collect()}
+    col = F.col("l_extendedprice").cast("double")
+    for x in vals:
+        true_f = li.where(col <= F.lit(x)).count() / n
+        assert abs(got[x] - true_f) <= 4.0 / (m ** 0.5), (x, got[x], true_f, m)
