@@ -1124,6 +1124,69 @@ def test_drain_crash_after_ledger_commit_is_rescued_by_maintenance_fold(
     assert SA._live_postings(spark, index_dir).count() == emb.count()
 
 
+def test_drain_crash_during_compaction_is_rescued_by_fold(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same residual window as the retrain test, compaction direction:
+    compaction pins its committed read, a drain commits its ledger and
+    crashes before its pointer publish, compaction's generation wins
+    the CAS — the fold must carry the committed segment into the
+    compacted generation (centroids unchanged, so the deterministic
+    reassignment reproduces the original cells)."""
+    from les_etl_pipeline_spark.catalog import table
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import ann_index as SA
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    index_dir = str(tmp_path / "cfold_idx")
+    s1 = str(tmp_path / "cfold_s1")
+    b1.coalesce(1).write.mode("append").parquet(s1)
+    SA.ann_index_sink(
+        SA.read_vector_stream(spark, s1), index_dir, str(tmp_path / "cfold_c1")
+    )
+    s2 = str(tmp_path / "cfold_s2")
+    c2 = str(tmp_path / "cfold_c2")
+    b2.coalesce(1).write.mode("append").parquet(s2)
+
+    real_txn = SA._epoch_txn
+
+    def txn_crashing_before_pointer(spark_, index_dir_, work,
+                                    max_attempts=10, before_publish=None):
+        work(SA._index_root(spark_, index_dir_))
+        if before_publish is not None:
+            before_publish()
+        raise RuntimeError("injected crash before pointer publish")
+
+    # inject via the hwms snapshot hook: compaction pins its read, then
+    # the drain commits its ledger and dies pre-pointer
+    real_hwms = xo._hwms
+    state = {"n": 0}
+
+    def hwms_then_crashing_drain(index_dir_arg):
+        snap = real_hwms(index_dir_arg)
+        state["n"] += 1
+        if state["n"] == 1:
+            monkeypatch.setattr(SA, "_epoch_txn", txn_crashing_before_pointer)
+            with pytest.raises(Exception, match="injected crash"):
+                SA.ann_index_sink(SA.read_vector_stream(spark, s2), index_dir, c2)
+            monkeypatch.setattr(SA, "_epoch_txn", real_txn)
+        return snap
+
+    monkeypatch.setattr(xo, "_hwms", hwms_then_crashing_drain)
+    n = SA.compact_postings(spark, index_dir)
+    monkeypatch.setattr(xo, "_hwms", real_hwms)
+
+    assert n == b1.count()  # the compaction itself folded only committed b1
+    assert xo.committed(index_dir, xo.ckpt_key(c2), 0)
+    live = SA._live_postings(spark, index_dir)
+    assert live.count() == emb.count()  # fold rescued the crashed batch
+    # redrain is a no-op (ledger committed), nothing duplicates
+    SA.ann_index_sink(SA.read_vector_stream(spark, s2), index_dir, c2)
+    assert SA._live_postings(spark, index_dir).count() == emb.count()
+
+
 def test_concurrent_bootstrap_one_quantizer_wins(spark, sf_dir, tmp_path):
     """Two streams bootstrapping one EMPTY index concurrently (the last
     single-writer window, closed in r10): the EXPECT_EMPTY generation
