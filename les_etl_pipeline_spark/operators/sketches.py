@@ -821,6 +821,39 @@ def kll_cdf(sketch: DataFrame, values: list[float]) -> DataFrame:
     ).select("r.v", "r.cdf")
 
 
+def kll_percentile_map(
+    df: DataFrame, value: str, sketch: DataFrame, n_cuts: int = 100,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-row percentile normalization WITHOUT a global sort — the
+    curation primitive behind "keep documents above the 80th quality
+    percentile" at 100 TB. Takes ``n_cuts`` equi-probability cut points
+    from the rank sketch (order statistics of the <= capacity survivor
+    sample — a bounded driver fetch, the IVF seed-fetch doctrine),
+    embeds them as ONE sorted ``n_cuts``-double array literal, and
+    scores each row as (cut points <= value) / n_cuts via a single
+    ``F.aggregate`` over the literal — pure JVM expression, zero
+    shuffle, zero window, plan size constant in the data. Percentiles
+    are sketch-grade: each cut point carries the sketch's Bernoulli
+    rank-error bound. Appends ``out_col`` (6dp hround, deterministic
+    and oracle-replayable); null values map to null."""
+    from ..functions.rounding import hround
+
+    probs = [(j + 1) / n_cuts for j in range(n_cuts)]
+    cuts = sorted(r.q for r in kll_quantiles(sketch, probs).collect())
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(value).cast("double")
+    cnt = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: acc + F.when(x <= v, F.lit(1)).otherwise(F.lit(0)),
+    )
+    pct = F.when(
+        v.isNotNull(), hround(cnt.cast("double") / F.lit(float(n_cuts)), 6)
+    )
+    return df.withColumn(out_col, pct)
+
+
 def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
     """Quantile estimates from the rank sketch: the survivor sample is a
     uniform (hash-Bernoulli) sample of the input, so q(p) is the sample

@@ -475,6 +475,79 @@ def sketch_kll_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kll_cdf(sk, KLLC_VALUES)
 
 
+PCT_CUTS = 100
+PCT_CAPACITY = 2048
+
+
+def _pct_oracle() -> str:
+    """Replay of the sketch-broadcast percentile map: coins -> l* ->
+    survivors -> 100 equi-probability order-statistic cut points ->
+    per-row (cuts <= value)/100, 6dp hround. The cut-point derivation
+    is the `_kll_oracle` order-statistic stage; the scoring join is a
+    theta-join aggregated per row (bounded: 100 cuts per row)."""
+    b = sketches.KLL_COIN_BITS
+    probs_rows = ",\n      ".join(
+        f"(CAST({float((j + 1) / PCT_CUTS)!r} AS DOUBLE))" for j in range(PCT_CUTS)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), cnts AS (
+      SELECT ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT min(l) AS lstar FROM cnts WHERE c <= {PCT_CAPACITY}
+    ), sk AS MATERIALIZED (
+      SELECT v, u FROM base, lstar
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
+    ), ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, u) AS rn,
+             count(*) OVER () AS m
+      FROM sk
+    ), cuts AS MATERIALIZED (
+      SELECT ranked.v AS cut
+      FROM ranked JOIN (VALUES {probs_rows}) t(p)
+        ON ranked.rn = CAST(ceil(t.p * ranked.m) AS BIGINT)
+    )
+    SELECT b.l_orderkey, b.l_linenumber,
+           (floor((CAST((SELECT count(*) FROM cuts WHERE cut <= b.v) AS DOUBLE)
+                   / {float(PCT_CUTS)!r}) * 1000000.0 + 0.5) / 1000000.0) AS pct
+    FROM base b
+    """
+
+
+@register("sketch_percentile_normalize", oracle=_pct_oracle())
+def sketch_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row percentile normalization via the rank sketch as a
+    broadcast — 'tag every line item with its price percentile' with
+    ZERO shuffle on the data path: 100 equi-probability cut points from
+    the sketch become one array literal, each row scores itself with a
+    single F.aggregate expression (whole-stage codegen, no window, no
+    sort). The 100 TB shape for quality-score percentile gating, where
+    exact_ntile's global range exchange is unnecessary precision."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=PCT_CAPACITY)
+    return sketches.kll_percentile_map(
+        li.where(F.col("l_extendedprice").isNotNull()),
+        "l_extendedprice",
+        sk,
+        n_cuts=PCT_CUTS,
+    ).select("l_orderkey", "l_linenumber", "pct")
+
+
 def _kmv_distinct_oracle() -> str:
     """Single-build replay of the per-source KMV distinct estimate —
     the oracle for the MERGE query: bottom-k of a union is the bottom-k

@@ -442,3 +442,40 @@ def test_kll_cdf_tracks_exact(spark, sf_dir):
     for x in vals:
         true_f = li.where(col <= F.lit(x)).count() / n
         assert abs(got[x] - true_f) <= 4.0 / (m ** 0.5), (x, got[x], true_f, m)
+
+
+def test_kll_percentile_map_accuracy_and_plan(spark, sf_dir):
+    """The sketch-broadcast percentile map tracks the exact percent
+    rank within the sketch's rank-error bound, and its scoring plan is
+    SHUFFLE-FREE: no Exchange, no Window — one projected expression
+    over the scan (the cut points are an array literal)."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    cap, n_cuts = 2048, 100
+    sk = sketches.kll_build(li, "l_extendedprice", key, capacity=cap)
+    m = sk.count()
+    scored = sketches.kll_percentile_map(
+        li.where(F.col("l_extendedprice").isNotNull()), "l_extendedprice",
+        sk, n_cuts=n_cuts,
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    # exact percent_rank on the SAME frame (a self-join of two derived
+    # copies of li mis-resolves the window's order column — seen here:
+    # er came out inverted) — bound: cut-point rank error (4/sqrt(m))
+    # + grid resolution (1/n_cuts)
+    both = scored.withColumn(
+        "er", F.percent_rank().over(W.orderBy(F.col("l_extendedprice").cast("double")))
+    )
+    tol = 4.0 / (m ** 0.5) + 1.0 / n_cuts
+    worst = both.agg(F.max(F.abs(F.col("pct") - F.col("er")))).collect()[0][0]
+    assert worst <= tol, (worst, tol)
+    # nulls map to null, everything else lands in [1/n_cuts grid, 1]
+    row = spark.createDataFrame([(None,)], "l_extendedprice double")
+    got = sketches.kll_percentile_map(row, "l_extendedprice", sk).collect()[0]
+    assert got.pct is None
