@@ -854,6 +854,47 @@ def kll_percentile_map(
     return df.withColumn(out_col, pct)
 
 
+def kll_percentile_map_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    sketch: DataFrame,
+    n_cuts: int = 100,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-group percentile normalization — "top 20% per source /
+    language", the grouped twin of ``kll_percentile_map``. Each group's
+    ``n_cuts`` equi-probability cut points come from the GROUPED rank
+    sketch and travel as one (group..., cuts array<double>) row in a
+    BROADCAST table (n_groups x n_cuts doubles — corpus-metadata
+    scale); each row scores itself with a single ``F.aggregate`` over
+    its group's sorted array. One broadcast hash join, zero shuffle of
+    the data, zero window, no row multiplication (the cut table joins
+    as an array column, not 100 exploded rows)."""
+    from ..functions.rounding import hround
+
+    probs = [(j + 1) / n_cuts for j in range(n_cuts)]
+    cuts = (
+        kll_quantiles_grouped(sketch, group_cols, probs)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("q")).alias("_cuts"))
+    )
+    v = F.col(value).cast("double")
+    cnt = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, x: acc + F.when(x <= v, F.lit(1)).otherwise(F.lit(0)),
+    )
+    pct = F.when(
+        v.isNotNull(), hround(cnt.cast("double") / F.lit(float(n_cuts)), 6)
+    )
+    return (
+        df.join(F.broadcast(cuts), group_cols)
+        .withColumn(out_col, pct)
+        .drop("_cuts")
+    )
+
+
 def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
     """Quantile estimates from the rank sketch: the survivor sample is a
     uniform (hash-Bernoulli) sample of the input, so q(p) is the sample

@@ -548,6 +548,79 @@ def sketch_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "pct")
 
 
+GPCT_CUTS = 100
+GPCT_CAPACITY = 512
+
+
+def _gpct_oracle() -> str:
+    """Per-group replay of the grouped percentile map over document
+    lengths: grouped coins -> per-group l* -> per-group cut points ->
+    per-row (group's cuts <= value)/n, 6dp hround."""
+    b = sketches.KLL_COIN_BITS
+    probs_rows = ",\n      ".join(
+        f"(CAST({float((j + 1) / GPCT_CUTS)!r} AS DOUBLE))"
+        for j in range(GPCT_CUTS)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source AS g, CAST(n_chars AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM documents WHERE n_chars IS NOT NULL
+    ), cnts AS (
+      SELECT g, ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY g, ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT g, min(l) AS lstar FROM cnts WHERE c <= {GPCT_CAPACITY} GROUP BY g
+    ), sk AS MATERIALIZED (
+      SELECT base.g, v, u FROM base JOIN lstar ON lstar.g = base.g
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
+    ), ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
+             count(*) OVER (PARTITION BY g) AS m
+      FROM sk
+    ), cuts AS MATERIALIZED (
+      SELECT g, ranked.v AS cut
+      FROM ranked JOIN (VALUES {probs_rows}) t(p)
+        ON ranked.rn = CAST(ceil(t.p * ranked.m) AS BIGINT)
+    ), scored AS (
+      SELECT b2.doc_id, count(*) AS c
+      FROM base b2 JOIN cuts ON cuts.g = b2.g AND cuts.cut <= b2.v
+      GROUP BY b2.doc_id
+    )
+    SELECT b.doc_id, b.g AS source,
+           (floor((CAST(coalesce(s.c, 0) AS DOUBLE) / {float(GPCT_CUTS)!r})
+                  * 1000000.0 + 0.5) / 1000000.0) AS pct
+    FROM base b LEFT JOIN scored s ON s.doc_id = b.doc_id
+    """
+
+
+@register("sketch_percentile_normalize_by_group", oracle=_gpct_oracle())
+def sketch_percentile_normalize_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE length percentiles for every document — 'keep the top
+    20% longest per source' without any per-group sort of the data:
+    each source's 100 cut points ride one broadcast row as a sorted
+    array, rows score themselves with one F.aggregate. The grouped
+    quality-gating shape (per-language thresholds) at corpus scale."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    sk = sketches.kll_build_grouped(
+        docs, ["source"], "n_chars", F.col("doc_id").cast("string"),
+        capacity=GPCT_CAPACITY,
+    )
+    return sketches.kll_percentile_map_grouped(
+        docs.where(F.col("n_chars").isNotNull()),
+        ["source"],
+        "n_chars",
+        sk,
+        n_cuts=GPCT_CUTS,
+    ).select("doc_id", "source", "pct")
+
+
 def _kmv_distinct_oracle() -> str:
     """Single-build replay of the per-source KMV distinct estimate —
     the oracle for the MERGE query: bottom-k of a union is the bottom-k

@@ -479,3 +479,33 @@ def test_kll_percentile_map_accuracy_and_plan(spark, sf_dir):
     row = spark.createDataFrame([(None,)], "l_extendedprice double")
     got = sketches.kll_percentile_map(row, "l_extendedprice", sk).collect()[0]
     assert got.pct is None
+
+
+def test_kll_percentile_map_grouped_matches_per_group(spark, sf_dir):
+    """Grouped percentile map == the ungrouped map applied per group
+    (each group's own sketch/cut points), and its data-path plan has no
+    window and no data-sized exchange — one broadcast join of the
+    (group, cuts-array) table."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    cap, n_cuts = 512, 50
+    gsk = sketches.kll_build_grouped(docs, ["source"], "n_chars", key, capacity=cap)
+    scored = sketches.kll_percentile_map_grouped(
+        docs.where(F.col("n_chars").isNotNull()), ["source"], "n_chars",
+        gsk, n_cuts=n_cuts,
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r.doc_id, r.pct) for r in scored.select("doc_id", "pct").collect()}
+    exp = set()
+    for src in [r.source for r in docs.select("source").distinct().collect()]:
+        sub = docs.where(F.col("source") == src)
+        ssk = sketches.kll_build(sub, "n_chars", key, capacity=cap)
+        exp |= {
+            (r.doc_id, r.pct)
+            for r in sketches.kll_percentile_map(
+                sub.where(F.col("n_chars").isNotNull()), "n_chars", ssk,
+                n_cuts=n_cuts,
+            ).select("doc_id", "pct").collect()
+        }
+    assert got == exp
