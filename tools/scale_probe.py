@@ -123,6 +123,10 @@ def main() -> None:
         "sketch_kll_merge_fold",
         "sketch_kll_merge_fold_by_group",
         "sketch_kmv_merge_fold",
+        # round-11 percentile tier: scoring is a per-row expression over
+        # a literal/broadcast cut array — slopes should be pure scan cost
+        "sketch_percentile_normalize",
+        "sketch_percentile_normalize_by_group",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
