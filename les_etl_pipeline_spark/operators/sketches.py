@@ -841,6 +841,12 @@ def kll_percentile_map(
 
     probs = [(j + 1) / n_cuts for j in range(n_cuts)]
     cuts = sorted(r.q for r in kll_quantiles(sketch, probs).collect())
+    if not cuts:
+        # fail loud: an empty sketch would silently map every row to 0.0
+        raise ValueError(
+            "kll_percentile_map: sketch is empty (no non-null values) — "
+            "no percentile scale exists to score against"
+        )
     arr = F.array(*[F.lit(float(c)) for c in cuts])
     v = F.col(value).cast("double")
     cnt = F.aggregate(

@@ -132,104 +132,11 @@ def _unpartitioned_windows(plan: str) -> list[tuple[str, str]]:
 
 
 # --------------------------------------------------------------------------
-# Structural bounded-build recognition for BroadcastNestedLoopJoin
+# Structural bounded-build recognition for BroadcastNestedLoopJoin —
+# shared with tools/plan_audit.py (round 11: extracted so the standalone
+# linter cannot drift from this enforced gate)
 # --------------------------------------------------------------------------
-_TREE_PREFIX = re.compile(r"^((?::  |   |:- |\+- )*)(.*)$")
-_CODEGEN = re.compile(r"^\*\(\d+\)\s*")
-
-#: nodes that preserve (or reduce) the row bound of their single child
-_ROW_PRESERVING = (
-    "BroadcastExchange",
-    "Exchange",
-    "Project",
-    "Filter",
-    "ColumnarToRow",
-    "InputAdapter",
-    "WholeStageCodegen",
-    "AQEShuffleRead",
-    "Sort",
-    "Coalesce",
-    "ShuffleQueryStage",
-    "BroadcastQueryStage",
-    "AdaptiveSparkPlan",
-)
-_GLOBAL_AGG = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-
-
-def _parse_tree(plan: str) -> list[tuple[int, str]]:
-    """(depth, node text) per line of a physical-plan tree string."""
-    nodes = []
-    for ln in plan.splitlines():
-        m = _TREE_PREFIX.match(ln)
-        prefix, text = m.group(1), m.group(2).strip()
-        if not text:
-            continue
-        nodes.append((len(prefix) // 3, _CODEGEN.sub("", text)))
-    return nodes
-
-
-def _children(nodes: list[tuple[int, str]], i: int) -> list[int]:
-    d = nodes[i][0]
-    out = []
-    for j in range(i + 1, len(nodes)):
-        dj = nodes[j][0]
-        if dj <= d:
-            break
-        if dj == d + 1:
-            out.append(j)
-    return out
-
-
-def _is_bounded(nodes: list[tuple[int, str]], i: int) -> bool:
-    """True iff the subtree at ``i`` provably produces a BOUNDED number
-    of rows regardless of data scale:
-
-    - a global aggregate (``keys=[]``) emits exactly one row;
-    - a ``LocalTableScan`` is a driver-embedded literal table (it had to
-      fit on the driver to exist — k x d scalars, never data-scale);
-    - a nested-loop/cartesian product of bounded inputs is bounded;
-    - row-preserving wrappers (project/filter/exchange/sort/...) inherit
-      their child's bound.
-
-    Anything else (scans, shuffles of real data, reused exchanges the
-    text can't resolve) is NOT provably bounded and needs a named entry."""
-    _, text = nodes[i]
-    if text.startswith(_GLOBAL_AGG) and "keys=[]" in text:
-        return True
-    if text.startswith("LocalTableScan"):
-        return True
-    m = re.match(r"Range \((\d+), (\d+),", text)
-    if m and int(m.group(2)) - int(m.group(1)) <= 10_000:
-        return True  # literal range — driver-chosen constant cardinality
-    if text.startswith("Generate explode(["):
-        # literal-array explode (driver_literal_df): fan-out = the
-        # literal's length, child must itself be bounded
-        ch = _children(nodes, i)
-        return len(ch) == 1 and _is_bounded(nodes, ch[0])
-    if text.startswith(("BroadcastNestedLoopJoin", "CartesianProduct")):
-        ch = _children(nodes, i)
-        return len(ch) == 2 and all(_is_bounded(nodes, c) for c in ch)
-    if text.startswith(_ROW_PRESERVING):
-        ch = _children(nodes, i)
-        return len(ch) == 1 and _is_bounded(nodes, ch[0])
-    return False
-
-
-def _unbounded_bnljs(plan: str) -> list[str]:
-    """BNLJ nodes whose BUILD side is not provably bounded."""
-    nodes = _parse_tree(plan)
-    out = []
-    for i, (_, text) in enumerate(nodes):
-        if not text.startswith("BroadcastNestedLoopJoin"):
-            continue
-        ch = _children(nodes, i)
-        if len(ch) != 2:
-            out.append(text)
-            continue
-        build = ch[1] if "BuildRight" in text else ch[0]
-        if not _is_bounded(nodes, build):
-            out.append(text)
-    return out
+from les_etl_pipeline_spark.plans import unbounded_bnljs as _unbounded_bnljs  # noqa: E402
 
 
 def test_no_unjustified_nested_loops(all_plans):

@@ -29,6 +29,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from les_etl_pipeline_spark.plans import unbounded_bnljs  # noqa: E402
+
 SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 # quadratic by declared design (exact baselines for approximate scale
@@ -36,24 +38,46 @@ SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 # a 1-row (or n_cells-row) aggregate/centroid side plans as a BNLJ whose
 # "loop" runs once per row over a broadcast of O(1) rows — constant work,
 # not quadratic; Spark compiles SQL scalar subqueries the same way.
+# Round 11: the BNLJ rule now uses the SAME structural recognizer as
+# the enforced gate (tests/test_plan_hygiene.py, via
+# les_etl_pipeline_spark.plans.unbounded_bnljs): a BNLJ whose build
+# side is provably bounded (1-row global aggregate, driver-literal
+# table, constant Range, compositions) passes without bookkeeping.
+# Only genuinely data-derived or deliberately-quadratic builds need a
+# named entry here — keep this in sync with the gate's BNLJ_ALLOWED.
 ALLOW_NESTED_LOOP = {
     "join_cross",               # semantics are the cross product
-    "join_theta_quantity_vs_size",  # pure inequality join (tiny dim side)
-    "similarity_bruteforce_topk",   # exact ANN baseline (broadcast queries)
-    "similarity_threshold_pairs",   # exact pair baseline for LSH
+    "similarity_threshold_pairs",   # documented exact all-pairs baseline
+    "text_jsd_source_divergence",   # source-pair spine cross (corpus metadata)
+    "similarity_bruteforce_topk",   # broadcast of the predicate-bounded query set
+    "similarity_hard_negatives",    # broadcast of the predicate-bounded query set
+    "embedding_random_projection_topk",  # broadcast of the predicate-bounded query set
+    "events_hourly_gapfill",    # hourly spine x distinct event types
     "dedup_embedding_cosine",       # uses threshold_pairs as pair source
-    "agg_approx_count_distinct",
-    "stream_late_data_cutoff",  # 1-row watermark aggregate broadcast
-    "q22_dormant_accounts",     # 1-row avg-balance scalar broadcast
-    "similarity_ivf_topk",      # n_cells-row centroid table broadcast
-    "events_hourly_gapfill",    # spine x types cross: both time/type-domain-sized
 }
 
-# queries whose operator IS an Arrow/pandas boundary (documented in
-# SCALE.md §Python boundary); everything else must stay JVM-only
+# queries whose operator IS an Arrow/pandas boundary (vectorized
+# mapInPandas/ArrowEvalPython by design — the MG partial fold, the
+# two-phase KMV bottom-k partial, binary decode, the sanctioned
+# transliteration pandas UDF); everything else must stay JVM-only
 ALLOW_ARROW = {
     "scalar_transliterate",
     "multimodal_binary_features",
+    "multimodal_byte_chunks",
+    "multimodal_decode_stdlib",
+    "multimodal_image_near_dup",
+    "multimodal_audio_near_dup",
+    "multimodal_video_near_dup",
+    "sketch_heavy_hitters_exact",   # Misra-Gries per-partition fold
+    "sketch_kmv_source_overlap",    # two-phase bottom-k partial fold
+    "sketch_kmv_merge_fold",        # two-phase bottom-k partial fold
+}
+
+# queries whose operator IS a Python UDTF (a deliberate SURVEY §2.12
+# surface feature — lateral table functions execute as BatchEvalPython
+# by construction); everything else must stay off the row-at-a-time path
+ALLOW_BATCH_EVAL = {
+    "udtf_word_chunks",
 }
 
 # queries that genuinely consume (nearly) all lineitem columns
@@ -75,10 +99,15 @@ def audit_one(spark, name: str, fn) -> list[dict]:
         return [{"query": name, "rule": "build_error", "detail": str(e)[:200]}]
 
     if name not in ALLOW_NESTED_LOOP:
-        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
-            if bad in plan:
-                failures.append({"query": name, "rule": "nested_loop", "detail": bad})
-    if "BatchEvalPython" in plan:
+        if "CartesianProduct" in plan:
+            failures.append(
+                {"query": name, "rule": "nested_loop", "detail": "CartesianProduct"}
+            )
+        for node in unbounded_bnljs(plan):
+            failures.append(
+                {"query": name, "rule": "nested_loop", "detail": node[:120]}
+            )
+    if name not in ALLOW_BATCH_EVAL and "BatchEvalPython" in plan:
         failures.append({"query": name, "rule": "python_eval", "detail": "BatchEvalPython"})
     if name not in ALLOW_ARROW and (
         "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
