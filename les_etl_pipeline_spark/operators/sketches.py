@@ -821,6 +821,42 @@ def kll_cdf(sketch: DataFrame, values: list[float]) -> DataFrame:
     ).select("r.v", "r.cdf")
 
 
+def kll_cdf_grouped(
+    sketch: DataFrame, group_cols: list[str], values: list[float]
+) -> DataFrame:
+    """Per-group CDF estimates — ``kll_cdf`` keyed by the group: one
+    grouped aggregate over the <= capacity-per-group survivor table
+    (conditional count per probe value + the group total), no window.
+    Returns (group..., v, cdf)."""
+    from ..functions.rounding import hround
+
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_m"),
+        *[
+            F.sum((F.col("v") <= F.lit(float(x))).cast("long")).alias(f"_c{i}")
+            for i, x in enumerate(values)
+        ],
+    )
+    return agg.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(x)).alias("v"),
+                        hround(
+                            F.col(f"_c{i}").cast("double")
+                            / F.col("_m").cast("double"),
+                            6,
+                        ).alias("cdf"),
+                    )
+                    for i, x in enumerate(values)
+                ]
+            )
+        ).alias("r"),
+    ).select(*group_cols, "r.v", "r.cdf")
+
+
 def kll_percentile_map(
     df: DataFrame, value: str, sketch: DataFrame, n_cuts: int = 100,
     out_col: str = "pct",

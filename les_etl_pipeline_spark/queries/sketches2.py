@@ -548,6 +548,57 @@ def sketch_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "pct")
 
 
+KLLCG_VALUES = [200.0, 500.0, 900.0]
+KLLCG_CAPACITY = 512
+
+
+def _kll_cdf_grouped_oracle() -> str:
+    """Per-group replay of the grouped CDF read over document lengths:
+    grouped coins -> per-group l* -> per-group survivor fractions."""
+    b = sketches.KLL_COIN_BITS
+    vals = ",\n      ".join(f"(CAST({float(x)!r} AS DOUBLE))" for x in KLLCG_VALUES)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM documents WHERE n_chars IS NOT NULL
+    ), cnts AS (
+      SELECT g, ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY g, ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT g, min(l) AS lstar FROM cnts WHERE c <= {KLLCG_CAPACITY} GROUP BY g
+    ), sk AS MATERIALIZED (
+      SELECT base.g, v FROM base JOIN lstar ON lstar.g = base.g
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - lstar))
+    )
+    SELECT sk.g AS source, t.v,
+           (floor((CAST(count(*) FILTER (WHERE sk.v <= t.v) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+            / 1000000.0) AS cdf
+    FROM sk CROSS JOIN (VALUES {vals}) t(v)
+    GROUP BY sk.g, t.v
+    """
+
+
+@register("sketch_kll_cdf_by_group", oracle=_kll_cdf_grouped_oracle())
+def sketch_kll_cdf_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CDF at fixed length thresholds ('what share of each
+    source's documents are under 200/500/900 chars') — one grouped
+    conditional-count aggregate over the per-group survivor samples, no
+    window. Completes the grouped/ungrouped matrix across quantiles,
+    CDF, percentile-map, and merge."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    sk = sketches.kll_build_grouped(
+        docs, ["source"], "n_chars", F.col("doc_id").cast("string"),
+        capacity=KLLCG_CAPACITY,
+    )
+    return sketches.kll_cdf_grouped(sk, ["source"], KLLCG_VALUES)
+
+
 GPCT_CUTS = 100
 GPCT_CAPACITY = 512
 
