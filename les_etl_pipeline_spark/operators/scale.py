@@ -330,3 +330,65 @@ def exact_quantiles(
         v = F.col(f"_lo{j}") + frac * (F.col(f"_hi{j}") - F.col(f"_lo{j}"))
         rows.append(F.struct(F.lit(float(q)).alias("prob"), v.alias("value")))
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.prob", "r.value")
+
+
+def two_phase_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_spec: list[tuple[str, bool]],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group WITHOUT a per-group window over the raw
+    stream — the hot-group-straggler-free twin of
+    ``row_number().over(partitionBy(group))`` (the same fix the KMV
+    bottom-k got in VERDICT r10: a per-group window puts EVERY row of a
+    group into one task, so 3 grouping values over 100 TB means 3 tasks
+    sorting ~33 TB each).
+
+    ``order_spec``: [(col, ascending)] — must be a TOTAL order (carry a
+    unique tiebreaker) so top-k is a deterministic set and the two-phase
+    result equals the window form bit-for-bit.
+
+    Phase 1 (mapInPandas on raw scan partitions, NO upstream shuffle):
+    fold Arrow batches keeping each group's k best rows seen so far —
+    each partition emits <= k rows per group present, an absolute bound
+    independent of group size. Phase 2 (exact): per-group window over
+    the bounded partials only (<= k x partitions-touching-the-group rows
+    per group, metadata-scale). Exact by the merge identity: a row in
+    the true global top-k is in its own partition's top-k (fewer
+    competitors), so the union of partials contains the answer and the
+    final rank recovers it. Returns the input columns plus ``rn``."""
+    from collections.abc import Iterator
+
+    gcols = list(group_cols)
+    by = [c for c, _ in order_spec]
+    asc = [a for _, a in order_spec]
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            part = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                part.sort_values(by, ascending=asc, kind="mergesort")
+                .groupby(gcols, sort=False, dropna=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc[cols]
+
+    from pyspark.sql.window import Window
+
+    partials = df.mapInPandas(op, schema=out_schema)
+    w = Window.partitionBy(*gcols).orderBy(
+        *[F.col(c).asc() if a else F.col(c).desc() for c, a in order_spec]
+    )
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.lit(k))
+    )

@@ -1,0 +1,118 @@
+"""Skyline (Pareto-frontier) operator: the rows of a relation not
+strictly dominated on a (minimize, maximize) criterion pair — the
+classic multi-criteria OLAP operator (Borzsony/Kossmann/Stocker, ICDE
+2001) the relational surface otherwise lacks. "Best tradeoff" queries
+(cheapest part per size tier, highest-quality doc per length budget)
+are skylines.
+
+Semantics (2-D, nulls in either criterion excluded up front): row r is
+in the skyline iff NO row s in the same group has
+``s.mn <= r.mn AND s.mx >= r.mx AND (s.mn < r.mn OR s.mx > r.mx)``.
+Ties are KEPT: two rows with identical (mn, mx) dominate no one and
+both survive — so the operator is a filter, never a sampler, and the
+DuckDB ``NOT EXISTS`` oracle replays it bit-exactly.
+
+Scale shape (the reason this is not a self-join): a naive formulation
+is an all-pairs theta join — quadratic, forbidden by the plan gate. The
+implementation is the two-phase local-prune idiom this repo already
+uses for MG heavy hitters and KMV bottom-k:
+
+- Phase 1 (mapInPandas on raw scan partitions, NO upstream shuffle):
+  each partition emits its LOCAL skyline. Dominance within a partition
+  implies global dominance, so local pruning never drops a global
+  skyline row; for non-adversarial layouts a partition's skyline is
+  O(log n) expected rows (random 2-D points), and never more than its
+  distinct-mn count.
+- Phase 2 (exact, relational, over the bounded partials): group the
+  survivors per (group, mn) to their max mx, prev-max cumulate over mn
+  ascending (one row per distinct mn — metadata-scale), keep mn cells
+  whose max beats every strictly-cheaper cell, then semi-join the
+  partials back. Only strictly-dominated rows are ever dropped, and by
+  transitivity of strict dominance every globally-dominated row still
+  has a surviving dominator among the partials — so phase 2 returns the
+  EXACT global skyline, ties included.
+
+The only window is over the per-(group, mn) cell table: partitioned by
+the group when one is given; for the ungrouped form it is an
+unpartitioned window over the locally-pruned candidate cells — bounded,
+and allowlisted by name in the plan gate with that justification.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _local_skyline_pdf(pdf, gcols: list[str], mn: str, mx: str):
+    """Exact skyline of one pandas frame (vectorized; ties kept)."""
+    import numpy as np
+
+    key = gcols + [mn]
+    cellmax = pdf.groupby(key, sort=False, dropna=False)[mx].transform("max")
+    cand = pdf[pdf[mx] == cellmax]
+    cells = (
+        cand[key + [mx]]
+        .drop_duplicates(key)
+        .sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    cm = (
+        cells.groupby(gcols, sort=False, dropna=False)[mx].cummax()
+        if gcols
+        else cells[mx].cummax()
+    )
+    prev = cm.shift(1)
+    if gcols:
+        first = (cells[gcols] != cells[gcols].shift(1)).any(axis=1)
+        prev[first] = np.nan
+    keep_cells = cells[prev.isna() | (cells[mx] > prev)]
+    return cand.merge(keep_cells[key], on=key, how="inner")
+
+
+def skyline_2d(
+    df: DataFrame, minimize: str, maximize: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Two-phase exact 2-D skyline: rows of ``df`` (per group, if
+    ``group_cols``) not strictly dominated on (minimize ``minimize``,
+    maximize ``maximize``). Null criteria are excluded (SQL comparison
+    with NULL is never true, so the NOT EXISTS form would pass null rows
+    vacuously — the operator pins the useful semantics instead)."""
+    gcols = list(group_cols or [])
+    mn, mx = minimize, maximize
+    base = df.where(F.col(mn).isNotNull() & F.col(mx).isNotNull())
+    cols = base.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
+    )
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            part = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = _local_skyline_pdf(part, gcols, mn, mx)
+        if acc is not None and len(acc):
+            yield acc[cols]
+
+    partials = base.mapInPandas(op, schema=out_schema)
+
+    cells = partials.groupBy(*gcols, mn).agg(F.max(mx).alias("_mx"))
+    w = (
+        W.partitionBy(*gcols).orderBy(mn)
+        if gcols
+        else W.orderBy(mn)
+    ).rowsBetween(W.unboundedPreceding, -1)
+    keep = (
+        cells.withColumn("_prev", F.max("_mx").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_mx") > F.col("_prev")))
+        .select(*gcols, mn, "_mx")
+    )
+    return (
+        partials.join(keep, gcols + [mn])
+        .where(F.col(mx) == F.col("_mx"))
+        .select(*cols)
+    )

@@ -1,0 +1,242 @@
+"""Ninth relational pack: the skyline (Pareto-frontier) operator, the
+two-phase hot-group top-k, and an exact-moment closed-form two-feature
+OLS — round-11 additions that each pin a 100 TB posture claim with a
+bit-exact oracle.
+
+Plan notes:
+- the skylines never plan the naive all-pairs theta join (the DuckDB
+  oracle IS that quadratic NOT EXISTS form — the gate proves the
+  two-phase rewrite is semantics-preserving, the same pattern as
+  scale_salted_agg vs its plain-group-by oracle);
+- the two-phase top-k's only window ranks <= k-per-partition partials,
+  never raw rows (the KMV bottom-k lesson generalized to arbitrary
+  (order, k) specs);
+- the OLS accumulates EXACT integer moment sums (one map-side-combined
+  exchange), so the closed-form solve is bit-identical in any engine —
+  no FP-summation-order hazard at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.rounding import hround
+from ..operators import scale
+from ..operators.skyline import skyline_2d
+from .registry import register
+
+_SKYLINE_DOMINATED = """
+    EXISTS (
+        SELECT 1 FROM part s
+        WHERE {same_group}
+              s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+          AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size)
+    )
+"""
+
+
+@register(
+    "skyline_price_size",
+    oracle=f"""
+    SELECT p_partkey, p_brand,
+           (floor((p_retailprice) * 100.0 + 0.5) / 100.0) AS price, p_size
+    FROM part r
+    WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      AND NOT {_SKYLINE_DOMINATED.format(same_group="")}
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (minimize price, maximize size): the
+    parts for which no part is both cheaper-or-equal and
+    larger-or-equal with one strict. The oracle is the textbook
+    quadratic NOT EXISTS; the Spark plan is the two-phase local-prune
+    form (operators/skyline.py) — partition-local skylines via
+    mapInPandas on raw scan partitions, then an exact prev-max
+    cumulation over the bounded candidate cells. The hash match proves
+    the rewrite exact, ties included."""
+    out = skyline_2d(
+        table(spark, sf_dir, "part"), minimize="p_retailprice", maximize="p_size"
+    )
+    return out.select(
+        "p_partkey", "p_brand", hround("p_retailprice").alias("price"), "p_size"
+    )
+
+
+@register(
+    "skyline_price_size_by_brand",
+    oracle=f"""
+    SELECT p_brand, p_partkey,
+           (floor((p_retailprice) * 100.0 + 0.5) / 100.0) AS price, p_size
+    FROM part r
+    WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      AND NOT {_SKYLINE_DOMINATED.format(same_group="s.p_brand = r.p_brand AND")}
+    """,
+)
+def skyline_price_size_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skyline: the per-brand Pareto frontier on (min price,
+    max size). Phase 2's window is PARTITIONED by the group and ranks
+    only per-(brand, price) candidate cells from the locally-pruned
+    partials — bounded per group, never raw rows."""
+    out = skyline_2d(
+        table(spark, sf_dir, "part"),
+        minimize="p_retailprice",
+        maximize="p_size",
+        group_cols=["p_brand"],
+    )
+    return out.select(
+        "p_brand", "p_partkey", hround("p_retailprice").alias("price"), "p_size"
+    )
+
+
+@register(
+    "scale_topk_per_group_two_phase",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           (floor((l_extendedprice) * 100.0 + 0.5) / 100.0) AS price, rn
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS INT) AS rn
+        FROM lineitem
+    ) WHERE rn <= 5
+    """,
+)
+def scale_topk_per_group_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 lineitems per l_returnflag — THREE grouping values, the
+    shape where ``row_number().over(partitionBy(group))`` (the oracle's
+    plan) collapses 100 TB into 3 sort tasks. The two-phase operator
+    folds a per-partition top-5 per group on the raw scan partitions
+    (<= 15 rows out per partition) and ranks only those partials; the
+    oracle IS the single-window form, so the hash match proves the
+    rewrite exact."""
+    out = scale.two_phase_topk_per_group(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        group_cols=["l_returnflag"],
+        order_spec=[
+            ("l_extendedprice", False),
+            ("l_orderkey", True),
+            ("l_linenumber", True),
+        ],
+        k=5,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        hround("l_extendedprice").alias("price"),
+        "rn",
+    )
+
+
+@register(
+    "agg_ols_two_features",
+    oracle="""
+    WITH f AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS y,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS BIGINT) AS x1,
+               CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+                    AS BIGINT) AS x2
+        FROM documents
+    ), m AS (
+        SELECT source, count(*) AS n,
+               sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+               sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+               sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        FROM f GROUP BY source
+    ), c AS (
+        SELECT source, n,
+               CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+               CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+               CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+               CAST(n * s1y - s1 * sy AS DOUBLE) AS b1,
+               CAST(n * s2y - s2 * sy AS DOUBLE) AS b2,
+               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+               CAST(sy AS DOUBLE) AS dy
+        FROM m
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           (floor(((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12))
+                  * 1000000.0 + 0.5) / 1000000.0) AS beta_spaces,
+           (floor(((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12))
+                  * 1000000.0 + 0.5) / 1000000.0) AS beta_vowels,
+           (floor(((dy - ((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12)) * d1
+                       - ((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12)) * d2)
+                   / n) * 10000.0 + 0.5) / 10000.0) AS intercept
+    FROM c
+    WHERE a11 * a22 - a12 * a12 <> 0
+    """,
+)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form OLS per source: n_chars modeled on
+    space-count and vowel-count (normal equations via Cramer's rule).
+    The moment sums are EXACT BIGINT accumulations — order-independent,
+    so the double-precision solve is bit-identical in any engine (no
+    FP-summation-order hazard, unlike naive double sums). One map-side-
+    combined exchange on the group key; the solve is a per-group scalar
+    expression. At extreme scale the bigint moments would be promoted
+    to DECIMAL(38,0) — sum(x1*y) here is ~1e10 per 1e6-row group,
+    leaving ~1e8x headroom before int64 saturates. Singular groups
+    (zero determinant) are excluded, matching the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("y"),
+        (F.length("text") - F.length(F.expr("replace(text, ' ', '')")))
+        .cast("long")
+        .alias("x1"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", "")))
+        .cast("long")
+        .alias("x2"),
+    )
+    m = f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    c = m.select(
+        "source",
+        "n",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        .alias("a11"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2"))
+        .cast("double")
+        .alias("a12"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2"))
+        .cast("double")
+        .alias("a22"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy"))
+        .cast("double")
+        .alias("b1"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy"))
+        .cast("double")
+        .alias("b2"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("sy").cast("double").alias("dy"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta1 = (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det
+    beta2 = (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    icept = (F.col("dy") - beta1 * F.col("d1") - beta2 * F.col("d2")) / F.col("n")
+    return c.where(det != 0).select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        hround(beta1, 6).alias("beta_spaces"),
+        hround(beta2, 6).alias("beta_vowels"),
+        hround(icept, 4).alias("intercept"),
+    )

@@ -68,6 +68,14 @@ UNPART_WINDOW_ALLOWED = {
     "sketch_kll_merge_fold": [
         ("v", "row_number over the <= capacity-row MERGED survivor sample")
     ],
+    "skyline_price_size": [
+        (
+            "p_retailprice",
+            "prev-max cumulation over the per-price cells of the "
+            "partition-local skylines — locally-pruned candidates, "
+            "never raw rows",
+        )
+    ],
 }
 
 _WSD_START = "windowspecdefinition("

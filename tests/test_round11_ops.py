@@ -1,0 +1,157 @@
+"""Round-11 operators: the two-phase skyline (Pareto frontier) and the
+two-phase hot-group top-k. Both are local-prune rewrites whose oracles
+are the naive forms — these tests pin the parity on shapes the
+registered queries don't cover (ties, duplicates, nulls, adversarial
+partition layouts, hot groups) and the plan shapes that make them scale
+(mapInPandas partials, exactly one bounded window)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.catalog import table
+from les_etl_pipeline_spark.operators import scale
+from les_etl_pipeline_spark.operators.skyline import skyline_2d
+
+
+def _naive_skyline(rows, mn_i, mx_i, grp_i=None):
+    """Quadratic reference: r survives iff no s strictly dominates it."""
+    out = []
+    for r in rows:
+        if r[mn_i] is None or r[mx_i] is None:
+            continue
+        dominated = False
+        for s in rows:
+            if s[mn_i] is None or s[mx_i] is None:
+                continue
+            if grp_i is not None and s[grp_i] != r[grp_i]:
+                continue
+            if (
+                s[mn_i] <= r[mn_i]
+                and s[mx_i] >= r[mx_i]
+                and (s[mn_i] < r[mn_i] or s[mx_i] > r[mx_i])
+            ):
+                dominated = True
+                break
+        if not dominated:
+            out.append(r)
+    return sorted(out)
+
+
+# deterministic pseudo-random 2-D points with deliberate collisions:
+# duplicate (mn, mx) pairs (both must survive or both fall), equal-mn
+# ties (only the max-mx row survives), and a null in each criterion
+def _points():
+    rows = []
+    for i in range(400):
+        mn = float((i * 7919) % 97)  # many equal-mn collisions
+        mx = ((i * 104729) % 89) - 0.0
+        rows.append((i, f"g{i % 3}", mn, mx))
+    rows += [(1000, "g0", 3.0, 88.0), (1001, "g0", 3.0, 88.0)]  # dup pair
+    rows += [(1002, "g1", None, 5.0), (1003, "g2", 7.0, None)]  # nulls
+    return rows
+
+
+def test_skyline_matches_naive_with_ties_and_nulls(spark):
+    rows = _points()
+    df = spark.createDataFrame(
+        rows, "id long, g string, mn double, mx double"
+    ).repartition(7)
+    got = sorted(tuple(r) for r in skyline_2d(df, "mn", "mx").collect())
+    want = _naive_skyline(rows, 2, 3)
+    assert got == [tuple(r) for r in want]
+    # the duplicate pair survives or falls TOGETHER (skyline is a
+    # filter, not a sampler)
+    ids = {r[0] for r in got}
+    assert (1000 in ids) == (1001 in ids)
+
+
+def test_skyline_grouped_matches_naive(spark):
+    rows = _points()
+    df = spark.createDataFrame(
+        rows, "id long, g string, mn double, mx double"
+    ).repartition(5)
+    got = sorted(
+        tuple(r) for r in skyline_2d(df, "mn", "mx", group_cols=["g"]).collect()
+    )
+    want = _naive_skyline(rows, 2, 3, grp_i=1)
+    assert got == [tuple(r) for r in want]
+
+
+def test_skyline_adversarial_partition_layout(spark):
+    """Sorted-descending input: every partition's local skyline is large
+    (worst case for phase-1 pruning) — the result must still be exact."""
+    rows = [(i, float(1000 - i), float(1000 - i)) for i in range(300)]
+    # mn and mx move together: NOTHING dominates anything except exact
+    # re-checks — the full anti-chain IS the skyline
+    df = spark.createDataFrame(rows, "id long, mn double, mx double").repartition(4)
+    assert skyline_2d(df, "mn", "mx").count() == 300
+    # and the fully-dominated chain collapses to one row
+    rows2 = [(i, float(i), float(1000 - i)) for i in range(300)]
+    df2 = spark.createDataFrame(rows2, "id long, mn double, mx double").repartition(4)
+    got = skyline_2d(df2, "mn", "mx").collect()
+    assert len(got) == 1 and got[0].id == 0
+
+
+def test_skyline_plan_is_two_phase_not_all_pairs(spark, sf_dir):
+    """The scale claim, pinned: partition-local pruning via mapInPandas
+    feeds the cell window — and no nested-loop join anywhere (the naive
+    NOT EXISTS form would plan one)."""
+    plan = (
+        skyline_2d(table(spark, sf_dir, "part"), "p_retailprice", "p_size")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_phase_topk_equals_window_form(spark, sf_dir):
+    """Bit-parity with the single-window form on real data, including
+    the rn column."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    spec = [("l_extendedprice", False), ("l_orderkey", True), ("l_linenumber", True)]
+    got = scale.two_phase_topk_per_group(li, ["l_returnflag"], spec, k=7)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    want = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_two_phase_topk_hot_group_partials_bounded(spark):
+    """ONE grouping value over many partitions: each partition may emit
+    at most k rows, so the final window ranks <= k * n_partitions rows —
+    never the raw stream. Pinned by running phase 1 standalone."""
+    n_part, k = 8, 3
+    rows = [(i, "hot", float(i % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(
+        n_part
+    )
+    out = scale.two_phase_topk_per_group(
+        df, ["g"], [("v", False), ("id", True)], k=k
+    )
+    # parity against a driver-side reference
+    want = sorted(rows, key=lambda r: (-r[2], r[0]))[:k]
+    got = sorted(
+        (r.id, r.g, r.v) for r in out.collect()
+    )
+    assert got == sorted(want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # phase 1 really is the partial fold
+
+
+def test_two_phase_topk_ties_are_deterministic(spark):
+    """Equal scores: the unique tiebreaker decides membership, so
+    repeated runs and the window form agree exactly."""
+    rows = [(i, "g", 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(5)
+    got = scale.two_phase_topk_per_group(df, ["g"], [("v", False), ("id", True)], 4)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
