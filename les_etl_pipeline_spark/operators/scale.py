@@ -392,3 +392,45 @@ def two_phase_topk_per_group(
         partials.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= F.lit(k))
     )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT weighted lower quantiles — min{v : cumweight(v) >= p * W} —
+    with NO global sort and NO single-task window, over the same
+    carried-prefix-sum CDF as ``exact_quantiles`` but accumulating the
+    WEIGHT column instead of row counts (duration-weighted latency
+    percentiles, token-weighted doc-length cuts — the shapes where every
+    row does not count equally).
+
+    Weights are accumulated AS GIVEN: pass an integer-typed weight for
+    bit-stable cross-engine thresholds (integer sums are exact and
+    order-independent; double weights would make cum >= p*W flip at the
+    margin under different partition orders). Null values and null
+    weights are excluded. Returns (prob double, value double)."""
+    vg = (
+        df.where(F.col(col).isNotNull() & F.col(weight).isNotNull())
+        .groupBy(F.col(col).alias("p"))
+        .agg(F.sum(weight).alias("w"))
+    )
+    cdf = carried_cumsum(vg, "p", ["w"], num_partitions=num_partitions)
+    tot = cdf.agg(F.max("cum_w").alias("tw"))
+    aggs = []
+    for j, q in enumerate(probs):
+        thr = F.lit(float(q)) * F.col("tw").cast("double")
+        aggs.append(
+            F.min(F.when(F.col("cum_w").cast("double") >= thr, F.col("p"))).alias(
+                f"_q{j}"
+            )
+        )
+    one = cdf.crossJoin(F.broadcast(tot)).agg(*aggs)
+    rows = [
+        F.struct(F.lit(float(q)).alias("prob"), F.col(f"_q{j}").alias("value"))
+        for j, q in enumerate(probs)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.prob", "r.value")

@@ -240,3 +240,44 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(beta2, 6).alias("beta_vowels"),
         hround(icept, 4).alias("intercept"),
     )
+
+
+_WQ_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _wq_oracle() -> str:
+    probs = ", ".join(repr(p) for p in _WQ_PROBS)
+    return f"""
+    WITH vg AS (
+      SELECT l_extendedprice AS v, sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1
+    ), cdf AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM vg
+    ), tot AS (SELECT sum(w) AS tw FROM vg)
+    SELECT p.prob,
+           (floor((min(c.v)) * 100.0 + 0.5) / 100.0) AS value
+    FROM (SELECT CAST(unnest([{probs}]) AS DOUBLE) AS prob) p
+    CROSS JOIN tot t
+    JOIN cdf c ON CAST(c.cw AS DOUBLE) >= p.prob * CAST(t.tw AS DOUBLE)
+    GROUP BY p.prob
+    """
+
+
+@register("agg_weighted_quantiles_exact", oracle=_wq_oracle())
+def agg_weighted_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted price quantiles — min{{v : cumweight(v)
+    >= p*W}} — via the carried-prefix-sum CDF (scale.exact_weighted_
+    quantiles): range-partitioned per-partition running sums plus a
+    one-row-per-partition carried offset, so no global sort and no
+    single-task window ever sees the value grain. The weight is cast to
+    BIGINT before summing (exact, order-independent — the threshold
+    comparison is bit-stable across engines); the oracle is the naive
+    single-window cumulative form."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    out = scale.exact_weighted_quantiles(li, "v", "w", _WQ_PROBS)
+    return out.select("prob", hround("value").alias("value"))

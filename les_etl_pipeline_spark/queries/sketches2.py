@@ -731,3 +731,75 @@ def sketch_kmv_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         KMV_K,
     )
     return sketches.kmv_distinct_estimate(merged, ["source"], KMV_K)
+
+
+KMVS_K = 64
+
+
+def _kmv_sliding_oracle() -> str:
+    """Relational replay of the pane-merged sliding distinct: per-day
+    bottom-k sketches of user coins, a 7-day pane join, per-window
+    re-bottom-k, and the exact-under-k / (k-1)-normalized estimator."""
+    b = sketches.KLL_COIN_BITS
+    scale = float((KMVS_K - 1) * (1 << b))
+
+    return f"""
+    WITH hs AS MATERIALIZED (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+      WHERE user_id IS NOT NULL
+    ), sk AS MATERIALIZED (
+      SELECT day, h FROM hs
+      QUALIFY row_number() OVER (PARTITION BY day ORDER BY h) <= {KMVS_K}
+    ), panes AS (
+      SELECT d.day AS day7, s.h
+      FROM (SELECT DISTINCT day FROM hs) d
+      JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
+    ), merged AS (
+      SELECT day7, h FROM (SELECT DISTINCT day7, h FROM panes)
+      QUALIFY row_number() OVER (PARTITION BY day7 ORDER BY h) <= {KMVS_K}
+    ), stats AS (
+      SELECT day7, count(*) AS c, max(h) AS hk FROM merged GROUP BY day7
+    )
+    SELECT day7 AS day,
+           (floor((CASE WHEN c < {KMVS_K} THEN CAST(c AS DOUBLE)
+                        ELSE {scale!r} / CAST(hk AS DOUBLE) END)
+                  * 100.0 + 0.5) / 100.0) AS users_7d_est
+    FROM stats
+    """
+
+
+@register("sketch_kmv_sliding_distinct", oracle=_kmv_sliding_oracle())
+def sketch_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from PANE-MERGED KMV
+    sketches — the mergeable-sketch tier of the rolling non-additive
+    metric. ``events_sliding_distinct_users`` is the exact twin: it
+    slides day-grain USER SETS, whose width grows with true
+    cardinality. Here each day is sketched ONCE (two-phase bottom-k on
+    the raw scan, <= k coins out per day) and each window is the
+    ``kmv_merge`` of its 7 panes — per-window state is <= 7k coin rows
+    no matter how many users a day saw, and no raw event is ever read
+    twice. Exact below k per window, ~1/sqrt(k-2) rse above; the md5
+    coins make every estimate oracle-replayable (the HLL twin,
+    ``agg_hll_sketch_union``, is rows-only for exactly that reason)."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    daily = sketches.kmv_sketch(
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"),
+        ["day"],
+        F.col("user_id").cast("string"),
+        k=KMVS_K,
+    )
+    panes = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"), "h"
+    )
+    anchors = daily.select(F.col("day").alias("day7")).distinct()
+    merged = sketches.kmv_merge(
+        panes.join(anchors, "day7", "left_semi"), ["day7"], KMVS_K
+    )
+    est = sketches.kmv_distinct_estimate(merged, ["day7"], KMVS_K)
+    return est.select(
+        F.col("day7").alias("day"), F.col("n_distinct_est").alias("users_7d_est")
+    )

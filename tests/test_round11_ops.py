@@ -155,3 +155,67 @@ def test_two_phase_topk_ties_are_deterministic(spark):
     df = spark.createDataFrame(rows, "id long, g string, v double").repartition(5)
     got = scale.two_phase_topk_per_group(df, ["g"], [("v", False), ("id", True)], 4)
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+
+
+def test_exact_weighted_quantiles_matches_naive(spark):
+    """Weighted lower quantile vs a driver-side replay, including a
+    heavily-skewed weight (one value carrying half the mass) and
+    weight-1 degeneration to the unweighted lower quantile."""
+    rows = [(float(v), (v % 7) + 1) for v in range(1, 200)]
+    rows.append((42.0, 700))  # one value with huge weight
+    df = spark.createDataFrame(rows, "v double, w long").repartition(6)
+    probs = [0.1, 0.5, 0.9]
+    got = {
+        r.prob: r.value
+        for r in scale.exact_weighted_quantiles(df, "v", "w", probs).collect()
+    }
+    # driver replay
+    agg = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, 0) + w
+    tot = sum(agg.values())
+    cum, cdf = 0, []
+    for v in sorted(agg):
+        cum += agg[v]
+        cdf.append((v, cum))
+    for p in probs:
+        want = next(v for v, c in cdf if c >= p * tot)
+        assert got[p] == want, (p, got[p], want)
+    # the huge-weight value owns a wide quantile band
+    assert got[0.5] == 42.0
+
+
+def test_kmv_pane_merge_equals_direct_window_build(spark, sf_dir):
+    """The sliding-window sketch identity: merging a window's per-day
+    pane sketches equals sketching the window's raw rows directly —
+    bottom-k of a union is the bottom-k of the unioned bottom-k's, so
+    pane reuse is lossless (each day sketched once, never re-scanned)."""
+    from les_etl_pipeline_spark.operators import sketches
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+    )
+    k = 16
+    daily = sketches.kmv_sketch(ev, ["day"], F.col("uid"), k=k)
+    panes = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"), "h"
+    )
+    anchors = daily.select(F.col("day").alias("day7")).distinct()
+    merged = sketches.kmv_merge(
+        panes.join(anchors, "day7", "left_semi"), ["day7"], k
+    )
+    # direct build: each window's raw rows sketched from scratch
+    spine = ev.select("day").distinct().withColumnRenamed("day", "day7")
+    raw7 = ev.join(
+        spine,
+        (F.col("day") <= F.col("day7")) & (F.col("day") >= F.date_sub("day7", 6)),
+    )
+    direct = sketches.kmv_sketch(raw7, ["day7"], F.col("uid"), k=k)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
