@@ -803,3 +803,91 @@ def sketch_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         F.col("day7").alias("day"), F.col("n_distinct_est").alias("users_7d_est")
     )
+
+
+KLLS_CAPACITY = 256
+KLLS_PROBS = [0.5, 0.9, 0.99]
+
+
+def _kll_sliding_oracle() -> str:
+    """Per-window SINGLE-BUILD replay of the pane-merged sliding rank
+    sketch: the Spark side builds one sketch per day and kll-merges the
+    7 panes of each trailing window, while this oracle sketches each
+    window's raw rows from scratch — they can only hash-match because
+    merge == single build (the level-floored merge's defining property),
+    so the r10 mixed-rate bug class is driver-graded here in the exact
+    shape that produced it (a window mixes deep-compacted busy days
+    with shallow quiet days)."""
+    b = sketches.KLL_COIN_BITS
+    probs_rows = ",\n      ".join(
+        f"(CAST({float(p)!r} AS DOUBLE))" for p in KLLS_PROBS
+    )
+    return f"""
+    WITH ev AS MATERIALIZED (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(value AS DOUBLE) AS v,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS u
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ), wins AS (SELECT DISTINCT day AS day7 FROM ev
+    ), base AS MATERIALIZED (
+      SELECT w.day7, e.v, e.u
+      FROM wins w JOIN ev e ON e.day BETWEEN w.day7 - 6 AND w.day7
+    ), cnts AS (
+      SELECT day7, ls.l,
+             count(*) FILTER (WHERE u < (CAST(1 AS BIGINT) << ({b} - ls.l))) AS c
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, {b})) AS l) ls
+      GROUP BY day7, ls.l
+    ), lstar AS MATERIALIZED (
+      SELECT day7, min(l) AS lstar FROM cnts WHERE c <= {KLLS_CAPACITY} GROUP BY day7
+    ), sk AS MATERIALIZED (
+      SELECT b2.day7, v, u FROM base b2 JOIN lstar s ON b2.day7 = s.day7
+      WHERE u < (CAST(1 AS BIGINT) << ({b} - s.lstar))
+    ), ranked AS (
+      SELECT day7, v,
+             row_number() OVER (PARTITION BY day7 ORDER BY v, u) AS rn,
+             count(*) OVER (PARTITION BY day7) AS m
+      FROM sk
+    )
+    SELECT ranked.day7 AS day, t.p, ranked.v AS q
+    FROM ranked JOIN (VALUES {probs_rows}) t(p)
+      ON ranked.rn = CAST(ceil(t.p * ranked.m) AS BIGINT)
+    """
+
+
+@register("sketch_kll_sliding_quantiles", oracle=_kll_sliding_oracle())
+def sketch_kll_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day value quantiles per day from PANE-MERGED rank
+    sketches: each day is sketched ONCE (one grouped build over the raw
+    scan), and each window is the level-floored ``kll_merge_grouped`` of
+    its <= 7 pane sketches — per-window state is bounded by capacity +
+    pane survivors, and raw events are never re-scanned per window (the
+    naive form re-reads every event ~7x; the oracle does exactly that).
+    This is the sliding-window face of the merge fold: busy days
+    compact deeper than quiet days, so every window merge is the
+    asymmetric shape the r10 level-floor fix exists for."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "value",
+            "event_id",
+        )
+    )
+    daily = sketches.kll_build_grouped(
+        ev, ["day"], "value", F.col("event_id").cast("string"), capacity=KLLS_CAPACITY
+    )
+    panes = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"),
+        "v",
+        "u",
+        "lstar",
+    )
+    anchors = daily.select(F.col("day").alias("day7")).distinct()
+    merged = sketches.kll_merge_grouped(
+        panes.join(anchors, "day7", "left_semi"), ["day7"], capacity=KLLS_CAPACITY
+    )
+    out = sketches.kll_quantiles_grouped(merged, ["day7"], KLLS_PROBS)
+    return out.select(F.col("day7").alias("day"), "p", "q")
