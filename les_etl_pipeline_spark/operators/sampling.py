@@ -110,3 +110,31 @@ def stratified_hash_sample(
     for stratum, frac in fractions.items():
         keep = keep | ((s == F.lit(str(stratum))) & (b < F.lit(int(round(frac * buckets)))))
     return df.where(keep)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    group_cols: list[str],
+    k: int,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Per-group deterministic weighted reservoir: exactly k rows PER
+    GROUP (fewer iff the group is smaller), drawn without replacement
+    with probability increasing in weight — the fixed-quota stratified
+    counterpart of ``weighted_sample_topk`` (global k) and
+    ``stratified_hash_sample`` (per-stratum FRACTION, no quota). Same
+    Efraimidis-Spirakis keys (u^(1/w), u a deterministic md5 uniform),
+    ranked per group through ``scale.two_phase_topk_per_group`` — the
+    per-partition reservoir fold means no task ever sorts a whole
+    stratum, the usual failure mode of quota sampling over a corpus
+    where one source dominates. Adds ``sample_key`` and ``rn``."""
+    from .scale import two_phase_topk_per_group
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(key, buckets) + 1) / F.lit(float(buckets))  # (0, 1]
+    base = df.where(w > 0).withColumn("sample_key", F.pow(u, F.lit(1.0) / w))
+    return two_phase_topk_per_group(
+        base, group_cols, [("sample_key", False), (key, True)], k
+    )

@@ -535,3 +535,45 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(aggregate(qv, 0L, (a, b) -> a + b) AS BIGINT)").alias("q_sum"),
         hround(mse, 12).alias("mse_r"),
     ).orderBy("vec_id")
+
+
+@register(
+    "sample_weighted_per_group",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id, n_chars,
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000) + 1)
+               / 10000.0 AS u
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id, n_chars,
+             pow(u, 1.0 / n_chars) AS sk,
+             CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+             ) AS INT) AS rn
+      FROM t
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rn,
+           (floor(sk * 1000000.0 + 0.5) / 1000000.0) AS sample_key_r
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sample_weighted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota stratified weighted reservoir: 10 docs PER SOURCE,
+    drawn by deterministic Efraimidis-Spirakis keys (u^(1/w), u from
+    md5(doc_id), weight = n_chars) — the per-group counterpart of
+    sample_weighted_topk. Ranked via the two-phase hot-group top-k, so
+    one dominant source never lands its whole stratum in a single sort
+    task; the oracle is the single-window form."""
+    from ..operators.sampling import weighted_sample_per_group
+
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    out = weighted_sample_per_group(docs, "doc_id", "n_chars", ["source"], k=10)
+    return out.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "rn",
+        hround(F.col("sample_key"), 6).alias("sample_key_r"),
+    )
