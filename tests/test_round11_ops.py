@@ -219,3 +219,38 @@ def test_kmv_pane_merge_equals_direct_window_build(spark, sf_dir):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+def test_two_phase_folds_survive_tiny_arrow_batches(spark):
+    """Tiny Arrow batches force BOTH round-11 mapInPandas partial stages
+    (skyline local prune, top-k fold) through their multi-batch
+    fold-and-reprune path — a row in the answer must survive being
+    pruned against an incomplete accumulator and re-proven later."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    rows = _points()
+    df = spark.createDataFrame(
+        rows, "id long, g string, mn double, mx double"
+    ).repartition(3)
+    try:
+        spark.conf.set(conf, "17")
+        sky = sorted(tuple(r) for r in skyline_2d(df, "mn", "mx").collect())
+        topk = scale.two_phase_topk_per_group(
+            df.where(F.col("mn").isNotNull()),
+            ["g"],
+            [("mx", False), ("mn", True), ("id", True)],
+            k=5,
+        )
+        got_topk = sorted(map(tuple, topk.collect()))
+    finally:
+        spark.conf.set(conf, old)
+    assert sky == [tuple(r) for r in _naive_skyline(rows, 2, 3)]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g").orderBy(F.col("mx").desc(), "mn", "id")
+    want = (
+        df.where(F.col("mn").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    assert got_topk == sorted(map(tuple, want.collect()))
