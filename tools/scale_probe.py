@@ -127,6 +127,20 @@ def main() -> None:
         # a literal/broadcast cut array — slopes should be pure scan cost
         "sketch_percentile_normalize",
         "sketch_percentile_normalize_by_group",
+        # round-11 session 2: the two-phase local-prune rewrites (skyline
+        # and hot-group top-k fold partials on scan partitions — slope =
+        # scan cost), the carried-CDF weighted quantiles (value-grain
+        # CDF, same shape as the unweighted parallel quantiles), the
+        # exact-moment OLS (one grouped aggregate), and the pane-merged
+        # sliding sketches (per-day builds + bounded pane merges — the
+        # window count is the calendar, so slopes track the daily scan)
+        "skyline_price_size",
+        "skyline_price_size_by_brand",
+        "scale_topk_per_group_two_phase",
+        "agg_weighted_quantiles_exact",
+        "agg_ols_two_features",
+        "sketch_kmv_sliding_distinct",
+        "sketch_kll_sliding_quantiles",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
