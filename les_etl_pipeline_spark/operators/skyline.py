@@ -111,8 +111,16 @@ def skyline_2d(
         .where(F.col("_prev").isNull() | (F.col("_mx") > F.col("_prev")))
         .select(*gcols, mn, "_mx")
     )
+    # NULL-SAFE group equality: a NULL group key is a group like any
+    # other (GROUP BY semantics) — a plain on-list join would silently
+    # drop its rows here even though the aggregate above kept them.
+    # mn is non-null by the base filter, so plain equality is fine there.
+    p, k = partials.alias("p"), keep.alias("k")
+    cond = F.col(f"p.{mn}") == F.col(f"k.{mn}")
+    for c in gcols:
+        cond = cond & F.col(f"p.{c}").eqNullSafe(F.col(f"k.{c}"))
     return (
-        partials.join(keep, gcols + [mn])
-        .where(F.col(mx) == F.col("_mx"))
-        .select(*cols)
+        p.join(k, cond)
+        .where(F.col(f"p.{mx}") == F.col("k._mx"))
+        .select(*[F.col(f"p.{c}") for c in cols])
     )

@@ -254,3 +254,18 @@ def test_two_phase_folds_survive_tiny_arrow_batches(spark):
         .where(F.col("rn") <= 5)
     )
     assert got_topk == sorted(map(tuple, want.collect()))
+
+
+def test_skyline_null_group_is_a_group(spark):
+    """GROUP BY semantics for a NULL group key: its rows compete only
+    with each other and survive into the result — a null-unsafe phase-2
+    join would silently drop the whole group."""
+    rows = [
+        (1, None, 1.0, 5.0),
+        (2, None, 2.0, 9.0),  # not dominated by (1.0, 5.0)
+        (3, None, 3.0, 4.0),  # dominated by id=1 within the NULL group
+        (4, "g1", 9.0, 1.0),  # alone in g1 -> survives
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, mn double, mx double")
+    got = sorted(r.id for r in skyline_2d(df, "mn", "mx", group_cols=["g"]).collect())
+    assert got == [1, 2, 4]

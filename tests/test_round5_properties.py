@@ -99,3 +99,62 @@ def test_mixture_rate_bounds(budget):
     assert 0.0 <= rate <= 1.0
     bigger = min(1.0, (budget + 1000) / n_sources / src_tokens)
     assert bigger >= rate
+
+
+# -- round-11: the skyline local-prune kernel ---------------------------------
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # mn: tight range -> ties
+            st.integers(min_value=0, max_value=9),  # mx: tight range -> dups
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_local_skyline_kernel_matches_quadratic_reference(pts):
+    """`_local_skyline_pdf` (the mapInPandas phase-1 kernel) equals the
+    quadratic NOT-EXISTS reference on dense integer grids — the shape
+    that maximizes equal-mn ties and duplicate (mn, mx) pairs, where an
+    off-by-one in the prev-max shift or the per-cell max would silently
+    drop or keep the wrong rows. Checked grouped and ungrouped."""
+    import pandas as pd
+
+    from les_etl_pipeline_spark.operators.skyline import _local_skyline_pdf
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(len(pts)),
+            "mn": [float(p[0]) for p in pts],
+            "mx": [float(p[1]) for p in pts],
+            "g": [p[2] for p in pts],
+        }
+    )
+
+    def ref(rows, grouped):
+        keep = []
+        for r in rows:
+            dom = any(
+                (not grouped or s[3] == r[3])
+                and s[1] <= r[1]
+                and s[2] >= r[2]
+                and (s[1] < r[1] or s[2] > r[2])
+                for s in rows
+            )
+            if not dom:
+                keep.append(r)
+        return sorted(keep)
+
+    rows = list(pdf.itertuples(index=False, name=None))
+    got_u = sorted(
+        _local_skyline_pdf(pdf, [], "mn", "mx")[["id", "mn", "mx", "g"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got_u == ref(rows, grouped=False)
+    got_g = sorted(
+        _local_skyline_pdf(pdf, ["g"], "mn", "mx")[["id", "mn", "mx", "g"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got_g == ref(rows, grouped=True)
