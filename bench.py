@@ -78,6 +78,12 @@ EXTENDED = [
     "sketch_kll_quantiles",
     "sketch_kll_merge_fold",
     "sketch_kmv_source_overlap",
+    # round-11 session-2 heavies: the pane-merged sliding rank sketch
+    # (30 per-day builds + 30 level-floored window merges — the merge
+    # path exercised ~60x per run) and the carried-CDF weighted
+    # quantiles (value-grain CDF over ~600k distinct prices at sf0.1)
+    "sketch_kll_sliding_quantiles",
+    "agg_weighted_quantiles_exact",
 ]
 # deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic
 # corpus has a CLOSED 31-token vocabulary at every sf, so the exact
@@ -231,7 +237,7 @@ def main() -> None:
         "value_extended": round(total_ext, 3),
         "note": (
             "value sums the r1-era 21-query headline set (comparable "
-            "to BENCH_r01); value_extended adds the 11 heavy operators "
+            "to BENCH_r01); value_extended adds the 13 heavy operators "
             "listed in bench.EXTENDED; sweep carries per-query medians "
             "for the FULL registry at sf0.01 with >1.5x movers vs the "
             "previous recorded sweep in sweep_movers"
