@@ -496,6 +496,23 @@ def kll_merge(*sketches: DataFrame, capacity: int = 4096) -> DataFrame:
     )
 
 
+def _join_null_safe(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """Inner equi-join treating NULL keys as equal (GROUP BY semantics):
+    the grouped builds aggregate a NULL group key like any other group,
+    so the survivor/cut join back onto the rows must not silently drop
+    it — a plain on-list join would (NULL = NULL is NULL). Keeps left's
+    columns plus right's non-key columns; broadcast hints on ``right``
+    survive the aliasing."""
+    l, r = left.alias("_l"), right.alias("_r")
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+    keep = [F.col(f"_l.{c}") for c in left.columns] + [
+        F.col(f"_r.{c}") for c in right.columns if c not in on
+    ]
+    return l.join(r, cond).select(*keep)
+
+
 def kll_build_grouped(
     df: DataFrame,
     group_cols: list[str],
@@ -540,7 +557,7 @@ def kll_build_grouped(
         .groupBy(*group_cols)
         .agg(F.min("lc.l").alias("lstar"))
     )
-    return base.join(lstar, group_cols).where(
+    return _join_null_safe(base, lstar, group_cols).where(
         F.col("u")
         < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
     )
@@ -559,7 +576,9 @@ def kll_quantiles_grouped(
     Returns (group..., p, q)."""
     m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("m"))
     w = _W.partitionBy(*group_cols).orderBy("v", "u")
-    ranked = sketch.withColumn("rn", F.row_number().over(w)).join(m, group_cols)
+    ranked = _join_null_safe(
+        sketch.withColumn("rn", F.row_number().over(w)), m, group_cols
+    )
     return (
         ranked.select(
             *group_cols,
@@ -615,7 +634,9 @@ def kll_merge_grouped(
         .groupBy(*group_cols)
         .agg(F.min("lc.l").alias("lstar"))
     )
-    return base.select(*group_cols, "v", "u").join(lstar, group_cols).where(
+    return _join_null_safe(
+        base.select(*group_cols, "v", "u"), lstar, group_cols
+    ).where(
         F.col("u")
         < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
     )
@@ -931,7 +952,7 @@ def kll_percentile_map_grouped(
         v.isNotNull(), hround(cnt.cast("double") / F.lit(float(n_cuts)), 6)
     )
     return (
-        df.join(F.broadcast(cuts), group_cols)
+        _join_null_safe(df, F.broadcast(cuts), group_cols)
         .withColumn(out_col, pct)
         .drop("_cuts")
     )
@@ -955,4 +976,145 @@ def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
         )
         .where(F.col("rn") == F.ceil(F.col("p") * F.col("m")).cast("long"))
         .select("p", F.col("v").alias("q"))
+    )
+
+
+def mg_candidates_grouped(
+    df: DataFrame, group_cols: list[str], value: str, capacity: int = 2048
+) -> DataFrame:
+    """Per-(partition, group) Misra-Gries summaries, unioned — the
+    grouped twin of ``mg_candidates``: one bounded MG dict PER GROUP
+    inside each partition's fold, so any value whose count within group
+    g exceeds N_g/(capacity+1) survives in at least one partition's
+    group-g dict (the ungrouped survival bound, applied per group).
+    State is <= capacity rows per (partition, group present); NULL
+    values AND NULL group keys are excluded by contract (the fold's
+    dropna — callers wanting a null group must coalesce it to a
+    sentinel upstream; ``heavy_hitters_sliding`` filters null days
+    explicitly). Returns (group..., value, lb)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    gcols = list(group_cols)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in gcols] + [f"value {fields[value]}", "lb long"]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, dict] = {}
+        for pdf in batches:
+            vc = pdf.groupby(gcols + [value], dropna=True, sort=False).size()
+            for key, c in vc.items():
+                k = key if isinstance(key, tuple) else (key,)
+                gk, v = k[:-1], k[-1]
+                d = state.setdefault(gk, {})
+                d[v] = d.get(v, 0) + int(c)
+            for gk, d in state.items():
+                if len(d) > capacity:
+                    vals = sorted(d.values(), reverse=True)
+                    delta = vals[capacity]  # the (capacity+1)-th largest
+                    state[gk] = {k2: c2 - delta for k2, c2 in d.items() if c2 > delta}
+        rows = [gk + (v, int(c)) for gk, d in state.items() for v, c in d.items()]
+        if rows:
+            yield pd.DataFrame(rows, columns=gcols + ["value", "lb"])
+
+    return df.select(*gcols, value).mapInPandas(op, schema=out_schema)
+
+
+def mg_merge_grouped(
+    summaries: DataFrame, group_cols: list[str], capacity: int
+) -> DataFrame:
+    """Per-group MG merge: sum each (group, value)'s lower bounds, then
+    per group subtract the (capacity+1)-th largest summed bound and drop
+    the non-positive — ``mg_merge`` applied within every group, so each
+    group's summary is <= capacity rows REGARDLESS of partition count
+    while preserving the per-group survival bound. The ranking window is
+    PARTITIONED by the group and its input is the per-(partition, group)
+    candidate union — <= capacity x n_partitions rows per group by the
+    fold's bound, never raw data."""
+    from pyspark.sql.window import Window as W
+
+    gcols = list(group_cols)
+    merged = summaries.groupBy(*gcols, "value").agg(F.sum("lb").alias("lb"))
+    w = W.partitionBy(*gcols).orderBy(F.desc("lb"), "value")
+    top = merged.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= F.lit(capacity + 1)
+    )
+    stats = top.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"), F.min("lb").alias("_delta")
+    )
+    return (
+        _join_null_safe(top, stats, gcols)
+        .where((F.col("_n") <= F.lit(capacity)) | (F.col("lb") > F.col("_delta")))
+        .select(
+            *gcols,
+            "value",
+            (
+                F.col("lb")
+                - F.when(F.col("_n") > F.lit(capacity), F.col("_delta")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("lb"),
+        )
+    )
+
+
+def heavy_hitters_sliding(
+    df: DataFrame,
+    day_col: str,
+    value: str,
+    min_freq: int,
+    window_days: int = 7,
+    capacity: int = 2048,
+) -> DataFrame:
+    """EXACT heavy hitters per trailing window (one window per day
+    present), pane-shared: the raw stream is scanned ONCE no matter how
+    many windows each row falls into — the naive form re-reads every
+    row ``window_days`` times (the oracle does exactly that).
+
+    Three bounded stages:
+    1. per-day MG candidates (grouped fold + per-day merge, <= capacity
+       rows per day);
+    2. one exact counting scan of the stream restricted to the
+       broadcast candidate union (<= capacity x days rows) — per-day
+       true counts for every candidate;
+    3. pane join: each day's counts feed its ``window_days`` trailing
+       windows; window count = sum of pane counts (exact by
+       additivity), filtered at ``min_freq``.
+
+    COMPLETENESS needs min_freq > W/(capacity+1) for every window W
+    (size the capacity off the widest window): if count_w(v) >=
+    min_freq > sum_d N_d/(capacity+1), pigeonhole gives a day d with
+    count_d(v) > N_d/(capacity+1), so v survives day d's MG summary and
+    its exact counts for ALL days are in stage 2. PRECISION is
+    unconditional (counts are exact). NULL days/values are excluded by
+    contract. Returns (day, value, cnt) per window-anchor day."""
+    day = F.col(day_col)
+    base = df.where(day.isNotNull() & F.col(value).isNotNull()).select(
+        day.alias("day"), F.col(value).alias("value")
+    )
+    per_day = mg_merge_grouped(
+        mg_candidates_grouped(base, ["day"], "value", capacity), ["day"], capacity
+    )
+    cands = per_day.select("value").distinct()
+    daily_cnt = (
+        base.join(F.broadcast(cands), "value", "left_semi")
+        .groupBy("day", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    panes = daily_cnt.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+        ).alias("day"),
+        "value",
+        "cnt",
+    )
+    anchors = base.select("day").distinct()
+    return (
+        panes.join(anchors, "day", "left_semi")
+        .groupBy("day", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_freq))
     )

@@ -269,3 +269,96 @@ def test_skyline_null_group_is_a_group(spark):
     df = spark.createDataFrame(rows, "id long, g string, mn double, mx double")
     got = sorted(r.id for r in skyline_2d(df, "mn", "mx", group_cols=["g"]).collect())
     assert got == [1, 2, 4]
+
+
+def test_grouped_kll_null_group_is_a_group(spark):
+    """GROUP BY semantics through the whole grouped KLL family: a NULL
+    group key is aggregated like any other group, so the survivor / m /
+    cut joins back onto the rows must be null-safe — a plain on-list
+    join silently dropped the entire NULL group (the skyline had the
+    same bug class)."""
+    from les_etl_pipeline_spark.operators import sketches
+
+    rows = [(None if i % 3 == 0 else "g1", float(i), str(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, x double, k string")
+    sk = sketches.kll_build_grouped(df, ["g"], "x", F.col("k"), capacity=64)
+    groups = {r.g for r in sk.select("g").distinct().collect()}
+    assert groups == {None, "g1"}  # null group survives the build join
+    q = sketches.kll_quantiles_grouped(sk, ["g"], [0.5])
+    assert {r.g for r in q.collect()} == {None, "g1"}
+    merged = sketches.kll_merge_grouped(sk, ["g"], capacity=64)
+    assert {r.g for r in merged.select("g").distinct().collect()} == {None, "g1"}
+    pm = sketches.kll_percentile_map_grouped(df, ["g"], "x", sk, n_cuts=10)
+    assert pm.count() == 90  # every row scored, null group included
+
+
+def test_mg_grouped_bounds_and_survival(spark):
+    """Per-(partition, group) MG: each group's merged summary is <=
+    capacity rows, and every value whose within-group count exceeds
+    N_g/(capacity+1) survives — the ungrouped survival bound per group,
+    under a capacity small enough to force decrements."""
+    from les_etl_pipeline_spark.operators import sketches
+
+    cap = 8
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, "HEAVY")] * 60 + [(g, "WARM")] * 30
+        rows += [(g, f"tail-{g}-{i}") for i in range(150)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(6)
+    merged = sketches.mg_merge_grouped(
+        sketches.mg_candidates_grouped(df, ["g"], "v", capacity=cap), ["g"], cap
+    )
+    got = merged.collect()
+    per_group = {}
+    for r in got:
+        per_group.setdefault(r.g, []).append(r)
+    true = {(g, v): sum(1 for a, b in rows if (a, b) == (g, v)) for g, v in set(rows)}
+    n_g = 240
+    for g in ("a", "b"):
+        assert len(per_group[g]) <= cap
+        survivors = {r.value for r in per_group[g]}
+        for (gg, v), c in true.items():
+            if gg == g and c > n_g / (cap + 1):
+                assert v in survivors, (g, v, c)
+        for r in per_group[g]:
+            assert 0 < r.lb <= true[(g, r.value)]
+
+
+def test_heavy_hitters_sliding_matches_naive(spark):
+    """Exact parity with the naive per-window recount on a synthetic
+    stream with day-local heavies (globally light — the shape where
+    global MG candidates would miss them), under a small capacity that
+    forces per-day decrements. Completeness condition holds:
+    min_freq > W/(cap+1) for every window."""
+    import datetime
+
+    from les_etl_pipeline_spark.operators import sketches
+
+    d0 = datetime.date(2024, 3, 1)
+    rows = []
+    for di in range(10):
+        d = d0 + datetime.timedelta(days=di)
+        rows += [(d, f"burst-{di}")] * 40  # heavy on its day only
+        rows += [(d, f"noise-{di}-{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "day date, v string").repartition(5)
+    # widest window W <= 7 * 160 = 1120 rows; capacity sized so the
+    # completeness bound holds: W/(cap+1) = 1120/65 = 17.2 < min_freq
+    cap, min_freq = 64, 30
+    got = sorted(
+        map(
+            tuple,
+            sketches.heavy_hitters_sliding(
+                df, "day", "v", min_freq, window_days=7, capacity=cap
+            ).collect(),
+        )
+    )
+    # naive reference
+    days = sorted({r[0] for r in rows})
+    want = []
+    for d in days:
+        cnt: dict = {}
+        for rd, v in rows:
+            if d - datetime.timedelta(days=6) <= rd <= d:
+                cnt[v] = cnt.get(v, 0) + 1
+        want += [(d, v, c) for v, c in cnt.items() if c >= min_freq]
+    assert got == sorted(want)
