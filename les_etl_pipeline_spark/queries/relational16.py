@@ -181,10 +181,12 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the double-precision solve is bit-identical in any engine (no
     FP-summation-order hazard, unlike naive double sums). One map-side-
     combined exchange on the group key; the solve is a per-group scalar
-    expression. At extreme scale the bigint moments would be promoted
-    to DECIMAL(38,0) — sum(x1*y) here is ~1e10 per 1e6-row group,
-    leaving ~1e8x headroom before int64 saturates. Singular groups
-    (zero determinant) are excluded, matching the oracle."""
+    expression. The binding term for int64 range is the scaled
+    covariance n * s_xy (here ~1e13 at 1e6 rows per group, saturating
+    around ~1e8.5 rows per group for these feature magnitudes) — past
+    that, promote the moment sums to DECIMAL(38,0); under ANSI mode the
+    overflow fails loud, never silently wraps. Singular groups (zero
+    determinant) are excluded, matching the oracle."""
     docs = table(spark, sf_dir, "documents")
     f = docs.select(
         "source",

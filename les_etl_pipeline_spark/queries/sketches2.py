@@ -891,3 +891,43 @@ def sketch_kll_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sketches.kll_quantiles_grouped(merged, ["day7"], KLLS_PROBS)
     return out.select(F.col("day7").alias("day"), "p", "q")
+
+
+HHS_MIN_FREQ = 25
+HHS_CAPACITY = 2048
+
+
+@register(
+    "sketch_heavy_hitters_sliding",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL
+    )
+    SELECT d.day, e.user_id AS value, CAST(count(*) AS BIGINT) AS cnt
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE) BETWEEN d.day - 6 AND d.day
+    WHERE e.user_id IS NOT NULL
+    GROUP BY d.day, e.user_id
+    HAVING count(*) >= {HHS_MIN_FREQ}
+    """,
+)
+def sketch_heavy_hitters_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy users per trailing-7-day window, pane-shared: per-day
+    MG candidates (grouped fold + per-day merge, <= capacity rows per
+    day), ONE exact counting scan restricted to the broadcast candidate
+    union, then pane sums per window — the stream is read once while
+    the oracle's naive form re-reads every event 7x. Completeness holds
+    whenever min_freq={HHS_MIN_FREQ} > W/(capacity+1) per window
+    (pigeonhole over the panes' MG survival bounds: a window-heavy value
+    is day-heavy somewhere); output counts are exact regardless, so the
+    oracle is the plain window join GROUP BY ... HAVING."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    return sketches.heavy_hitters_sliding(
+        ev, "day", "user_id", HHS_MIN_FREQ, window_days=7, capacity=HHS_CAPACITY
+    )
