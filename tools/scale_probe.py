@@ -141,6 +141,11 @@ def main() -> None:
         "agg_ols_two_features",
         "sketch_kmv_sliding_distinct",
         "sketch_kll_sliding_quantiles",
+        # round-11 session-2 late additions (first slopes land with the
+        # next probe run): quota reservoir is two-phase-topk-shaped,
+        # sliding HH is one counting scan + bounded pane sums
+        "sample_weighted_per_group",
+        "sketch_heavy_hitters_sliding",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
