@@ -434,3 +434,61 @@ def exact_weighted_quantiles(
         for j, q in enumerate(probs)
     ]
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.prob", "r.value")
+
+
+def exact_weighted_quantiles_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    weight: str,
+    probs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT weighted lower quantiles PER GROUP — min{v : cumweight_g(v)
+    >= p * W_g} — with no per-group ordered window over the value grain
+    (the hot-group straggler: one group's whole distinct-value set in a
+    single sort task) and no global sort either.
+
+    Shape: ONE global carried prefix sum over (group, value) order
+    (range-partitioned — groups larger than a partition span several
+    tasks), then per-group cumulatives are recovered arithmetically:
+    cum_g = global_cum - offset_g, where offset_g (the global cum just
+    before the group's first row) is selected tie-free via a parallel
+    row-rank cumsum (min_by on the strictly-increasing rank, immune to
+    the cum_w ties that zero-weight values create). Thresholds join
+    back null-safely (a NULL group is a group) and each (group, prob)
+    answer is a conditional-min AGGREGATE, not a window. Integer-typed
+    weights keep every threshold comparison bit-stable across engines.
+    Returns (group..., prob double, value double)."""
+    from ..operators.sketches import _join_null_safe
+
+    gcols = list(group_cols)
+    vg = (
+        df.where(F.col(col).isNotNull() & F.col(weight).isNotNull())
+        .groupBy(*gcols, F.col(col).alias("_v"))
+        .agg(F.sum(weight).alias("w"))
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    cdf = carried_cumsum(vg, gcols + ["_v"], ["w", "_one"], num_partitions=num_partitions)
+    firsts = cdf.groupBy(*gcols).agg(
+        F.min_by(F.col("cum_w") - F.col("w"), F.col("cum__one")).alias("_off"),
+        F.max("cum_w").alias("_gmax"),
+    )
+    scored = _join_null_safe(cdf, firsts, gcols).select(
+        *gcols,
+        "_v",
+        (F.col("cum_w") - F.col("_off")).cast("double").alias("_cumg"),
+        (F.col("_gmax") - F.col("_off")).cast("double").alias("_wg"),
+    )
+    exploded = scored.select(
+        *gcols,
+        "_v",
+        "_cumg",
+        "_wg",
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("prob"),
+    )
+    return (
+        exploded.where(F.col("_cumg") >= F.col("prob") * F.col("_wg"))
+        .groupBy(*gcols, "prob")
+        .agg(F.min("_v").alias("value"))
+    )

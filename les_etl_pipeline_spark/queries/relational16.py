@@ -283,3 +283,50 @@ def agg_weighted_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scale.exact_weighted_quantiles(li, "v", "w", _WQ_PROBS)
     return out.select("prob", hround("value").alias("value"))
+
+
+_GWQ_PROBS = [0.25, 0.5, 0.9]
+
+
+def _gwq_oracle() -> str:
+    probs = ", ".join(repr(p) for p in _GWQ_PROBS)
+    return f"""
+    WITH vg AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2
+    ), cdf AS (
+      SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM vg
+    )
+    SELECT c.l_returnflag, p.prob,
+           (floor((min(c.v)) * 100.0 + 0.5) / 100.0) AS value
+    FROM (SELECT CAST(unnest([{probs}]) AS DOUBLE) AS prob) p
+    JOIN cdf c ON CAST(c.cw AS DOUBLE) >= p.prob * CAST(c.tw AS DOUBLE)
+    GROUP BY c.l_returnflag, p.prob
+    """
+
+
+@register("agg_weighted_quantiles_by_group", oracle=_gwq_oracle())
+def agg_weighted_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag quantity-weighted price quantiles, EXACT, with no
+    per-group ordered window over the value grain (the oracle's plan —
+    a cumulative window partitioned by the group — puts each group's
+    whole distinct-price set in one sort task; three flags over 100 TB
+    is three tasks). One global carried prefix sum in (group, value)
+    order recovers per-group cumulatives arithmetically via tie-free
+    per-group offsets; every (group, prob) answer is a conditional-min
+    aggregate. Integer weight sums keep thresholds bit-stable."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    out = scale.exact_weighted_quantiles_grouped(
+        li, ["l_returnflag"], "v", "w", _GWQ_PROBS
+    )
+    return out.select("l_returnflag", "prob", hround("value").alias("value"))

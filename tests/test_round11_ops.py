@@ -362,3 +362,44 @@ def test_heavy_hitters_sliding_matches_naive(spark):
                 cnt[v] = cnt.get(v, 0) + 1
         want += [(d, v, c) for v, c in cnt.items() if c >= min_freq]
     assert got == sorted(want)
+
+
+def test_grouped_weighted_quantiles_ties_zeros_null_group(spark):
+    """The tie-free offset selection: zero-weight values create cum_w
+    ties at group boundaries (the shape where a min_by on cum_w alone
+    picks the wrong first-row weight and shifts the whole group's CDF);
+    a NULL group key is a group. Verified against a driver replay."""
+    rows = [
+        # group "a": zero-weight value FIRST in value order, then ties
+        ("a", 1.0, 0),
+        ("a", 2.0, 3),
+        ("a", 3.0, 0),  # cum ties with v=2.0
+        ("a", 4.0, 7),
+        # NULL group with real mass
+        (None, 1.0, 4),
+        (None, 5.0, 4),
+        # group "b": single value
+        ("b", 9.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long").repartition(3)
+    probs = [0.5, 0.9]
+    got = {
+        (r.g, r.prob): r.value
+        for r in scale.exact_weighted_quantiles_grouped(
+            df, ["g"], "v", "w", probs
+        ).collect()
+    }
+    agg: dict = {}
+    for g, v, w in rows:
+        agg.setdefault(g, {})
+        agg[g][v] = agg[g].get(v, 0) + w
+    for g, vw in agg.items():
+        tot = sum(vw.values())
+        cum, cdf = 0, []
+        for v in sorted(vw):
+            cum += vw[v]
+            cdf.append((v, cum))
+        for p in probs:
+            want = next(v for v, c in cdf if c >= p * tot)
+            assert got[(g, p)] == want, (g, p, got[(g, p)], want)
+    assert (None, 0.5) in got  # the NULL group survived every join
