@@ -723,3 +723,75 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.abs("b.s"), 6).alias("cusum_stat"),
         F.col("n_days").cast("long").alias("n_days"),
     )
+
+
+@register(
+    "events_rolling_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS di,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT a.day,
+             count(*) AS n,
+             sum(p.di) AS sd, sum(p.di * p.di) AS sdd,
+             sum(p.c) AS sc, sum(p.di * p.c) AS sdc
+      FROM daily a JOIN daily p ON p.day BETWEEN a.day - 6 AND a.day
+      GROUP BY a.day
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_days,
+           (floor((CAST(n * sdc - sd * sc AS DOUBLE)
+                   / CAST(n * sdd - sd * sd AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0) AS slope
+    FROM win WHERE n * sdd - sd * sd <> 0
+    """,
+)
+def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day activity trend per day: the OLS slope of daily
+    event counts against the day index over each window — computed from
+    PANE-ADDITIVE integer regression moments (n, Σd, Σd², Σc, Σdc per
+    day, summed across each window's <= 7 panes), so there is no window
+    function anywhere and the daily table is scanned once. All moments
+    are exact BIGINTs, making the closed-form slope bit-identical in any
+    engine (the same no-FP-hazard doctrine as agg_ols_two_features);
+    the oracle is the naive 7x self-join. Windows with a single day
+    (zero variance) are excluded on both sides."""
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    daily = daily.select(
+        "day",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).cast("long").alias("di"),
+        "c",
+    )
+    panes = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"),
+        "di",
+        "c",
+    )
+    anchors = daily.select(F.col("day").alias("day7")).distinct()
+    win = (
+        panes.join(anchors, "day7", "left_semi")
+        .groupBy("day7")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("di").alias("sd"),
+            F.sum(F.col("di") * F.col("di")).alias("sdd"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("di") * F.col("c")).alias("sdc"),
+        )
+    )
+    det = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    slope = (F.col("n") * F.col("sdc") - F.col("sd") * F.col("sc")).cast(
+        "double"
+    ) / det.cast("double")
+    return win.where(det != 0).select(
+        F.col("day7").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        hround(slope, 6).alias("slope"),
+    )
