@@ -14,6 +14,10 @@ Plan notes:
 - the OLS accumulates EXACT integer moment sums (one map-side-combined
   exchange), so the closed-form solve is bit-identical in any engine —
   no FP-summation-order hazard at all.
+
+Reference parity: none (the reference has no skyline / top-k / weighted
+quantile / regression surface — SURVEY.md §2.12 gap families; scale and
+LLM-data operators from the build brief).
 """
 
 from __future__ import annotations
