@@ -349,6 +349,14 @@ def two_phase_topk_per_group(
     unique tiebreaker) so top-k is a deterministic set and the two-phase
     result equals the window form bit-for-bit.
 
+    Rows with a NULL in ANY order column are EXCLUDED (enforced here,
+    not assumed): Spark ranks nulls first under ASC while the pandas
+    fold's na_position puts them last, so a null-keyed row would be
+    pruned by phase 1 yet ranked first by the window form — the two
+    plans would disagree. Excluding them makes the contract explicit
+    and engine-independent; coalesce upstream to rank nulls
+    deliberately.
+
     Phase 1 (mapInPandas on raw scan partitions, NO upstream shuffle):
     fold Arrow batches keeping each group's k best rows seen so far —
     each partition emits <= k rows per group present, an absolute bound
@@ -363,6 +371,8 @@ def two_phase_topk_per_group(
     gcols = list(group_cols)
     by = [c for c, _ in order_spec]
     asc = [a for _, a in order_spec]
+    for c in by:
+        df = df.where(F.col(c).isNotNull())
     cols = df.columns
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields

@@ -668,7 +668,20 @@ def _bottom_k_grouped(coins: DataFrame, group_cols: list[str], k: int) -> DataFr
     import pandas as pd
 
     gcols = list(group_cols)
+    if not gcols:
+        raise ValueError(
+            "_bottom_k_grouped needs at least one group column — the "
+            "ungrouped bottom-k is orderBy().limit(k) "
+            "(TakeOrderedAndProject), see streaming/sketch_mv._kmv_bottom_k"
+        )
     cols = gcols + ["h"]
+    # NULL coins (a null key upstream) are EXCLUDED, enforced here: the
+    # pandas fold sorts NaN last (pruned) while the exact window ranks
+    # nulls FIRST under ASC, so a null coin surviving an under-full
+    # partition would outrank every real coin and inflate the count
+    # the estimator divides by — same engine-disagreement class as the
+    # two-phase top-k's null contract.
+    coins = coins.where(F.col("h").isNotNull())
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in coins.select(*cols).schema.fields

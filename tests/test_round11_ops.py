@@ -403,3 +403,29 @@ def test_grouped_weighted_quantiles_ties_zeros_null_group(spark):
             want = next(v for v, c in cdf if c >= p * tot)
             assert got[(g, p)] == want, (g, p, got[(g, p)], want)
     assert (None, 0.5) in got  # the NULL group survived every join
+
+
+def test_two_phase_topk_null_order_keys_excluded(spark):
+    """The null contract, enforced: Spark ranks NULLs first under ASC
+    while the pandas fold's na_position puts them last — a null-keyed
+    row would be pruned by phase 1 yet ranked first by the window form.
+    The operator excludes such rows explicitly, so both phases agree."""
+    rows = [(1, "g", None), (2, "g", 5.0), (3, "g", 1.0), (4, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(2)
+    got = scale.two_phase_topk_per_group(df, ["g"], [("v", True), ("id", True)], 3)
+    assert sorted((r.id, r.rn) for r in got.collect()) == [(2, 2), (3, 1)]
+
+
+def test_kmv_bottom_k_null_coins_excluded(spark):
+    """A null key produces a null coin; the sketch must never carry it
+    (it would outrank real coins under the window's ASC-nulls-first and
+    inflate the estimator's count)."""
+    from les_etl_pipeline_spark.operators import sketches
+
+    rows = [("g", None if i % 5 == 0 else f"k{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, k string").repartition(3)
+    sk = sketches.kmv_sketch(df, ["g"], F.col("k"), k=8)
+    got = sk.collect()
+    assert len(got) == 8 and all(r.h is not None for r in got)
+    with pytest.raises(ValueError, match="group column"):
+        sketches.kmv_sketch(df, [], F.col("k"), k=8)
