@@ -1131,3 +1131,33 @@ def heavy_hitters_sliding(
         .agg(F.sum("cnt").alias("cnt"))
         .where(F.col("cnt") >= F.lit(min_freq))
     )
+
+
+def heavy_hitters_exact_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    min_freq: int,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Per-group exact heavy hitters — ``heavy_hitters_exact`` with the
+    candidate bound applied PER GROUP: grouped MG fold + per-group merge
+    (<= capacity candidates per group regardless of partition count),
+    one exact counting scan restricted to the broadcast (group, value)
+    candidate pairs, HAVING over true counts. Completeness per group
+    whenever min_freq > N_g/(capacity+1); precision unconditional.
+    NULL groups/values are excluded by the grouped-fold contract.
+    Returns (group..., value, cnt)."""
+    gcols = list(group_cols)
+    cands = mg_merge_grouped(
+        mg_candidates_grouped(df, gcols, value, capacity), gcols, capacity
+    ).select(*gcols, "value")
+    base = df.select(*gcols, F.col(value).alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    return (
+        base.join(F.broadcast(cands), gcols + ["value"], "left_semi")
+        .groupBy(*gcols, "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_freq))
+    )

@@ -429,3 +429,28 @@ def test_kmv_bottom_k_null_coins_excluded(spark):
     assert len(got) == 8 and all(r.h is not None for r in got)
     with pytest.raises(ValueError, match="group column"):
         sketches.kmv_sketch(df, [], F.col("k"), k=8)
+
+
+def test_heavy_hitters_exact_grouped_matches_naive(spark):
+    """Grouped exact HH under a capacity that forces per-group MG
+    decrements: same rows as the plain grouped GROUP BY ... HAVING."""
+    from les_etl_pipeline_spark.operators import sketches
+
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, "HEAVY")] * 50 + [(g, f"WARM-{g}")] * 25
+        rows += [(g, f"tail-{g}-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(6)
+    # N_g = 275; bound 275/(cap+1) = 16.2 < min_freq 20
+    got = sorted(
+        map(
+            tuple,
+            sketches.heavy_hitters_exact_grouped(
+                df, ["g"], "v", min_freq=20, capacity=16
+            ).collect(),
+        )
+    )
+    want = sorted(
+        [("a", "HEAVY", 50), ("a", "WARM-a", 25), ("b", "HEAVY", 50), ("b", "WARM-b", 25)]
+    )
+    assert got == want
