@@ -795,3 +795,60 @@ def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         hround(slope, 6).alias("slope"),
     )
+
+
+@register(
+    "events_sliding_distinct_bitmap",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+      WHERE ts IS NOT NULL
+    )
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN events e
+      ON CAST(date_trunc('day', e.ts) AS DATE) BETWEEN d.day - 6 AND d.day
+    WHERE e.user_id IS NOT NULL
+    GROUP BY d.day
+    """,
+)
+def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, EXACT, from pane-merged
+    BITMAPS — the third point on the sliding-distinct spectrum:
+    `events_sliding_distinct_users` slides day-grain collect_set's
+    (exact, but set width grows with true cardinality),
+    `sketch_kmv_sliding_distinct` bounds state at k coins (approximate
+    above k); this plan keeps EXACTNESS with BOUNDED MERGEABLE state —
+    one <= 4 KB bitmap per (day, 32k-key bucket) built in a single scan
+    (map-side combinable), each window OR-merges its <= 7 panes per
+    bucket and sums bitmap_count. A hot day's keys spread across its
+    buckets, so no task ever holds a day's whole user set, and raw
+    events are never re-read per window. The bitmap bytes are
+    Spark-internal, but the OUTPUT is an exact count — so the oracle is
+    the plain 7x re-scan COUNT(DISTINCT)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    per_bucket = (
+        ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("bit"),
+        )
+        .groupBy("day", "bkt")
+        .agg(F.bitmap_construct_agg(F.col("bit")).alias("bm"))
+    )
+    panes = per_bucket.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"),
+        "bkt",
+        "bm",
+    )
+    anchors = per_bucket.select(F.col("day").alias("day7")).distinct()
+    return (
+        panes.join(anchors, "day7", "left_semi")
+        .groupBy("day7", "bkt")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+        .groupBy("day7")
+        .agg(F.sum("c").alias("users_7d"))
+        .select(F.col("day7").alias("day"), F.col("users_7d").cast("long").alias("users_7d"))
+    )
