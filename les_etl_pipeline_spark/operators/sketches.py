@@ -781,6 +781,23 @@ def kmv_pairwise_overlap(
     replayable."""
     from ..functions.rounding import hround
 
+    out = _kmv_pair_raw(sketch, group_col, pairs, k)
+    ue, ju = _kmv_pair_exprs(k)
+    return out.select(
+        "src_a",
+        "src_b",
+        hround(ue, 2).alias("union_est"),
+        hround(ju, 4).alias("jaccard_est"),
+        hround(ju * ue, 2).alias("inter_est"),
+    )
+
+
+def _kmv_pair_raw(
+    sketch: DataFrame, group_col: str, pairs: DataFrame, k: int
+) -> DataFrame:
+    """Shared pair machinery for the KMV set-operation estimates:
+    (src_a, src_b, _cu, _hk, _cs) — the pair-union bottom-k's count,
+    k-th minimum, and both-sides member count."""
     sk_a = F.broadcast(pairs).join(
         sketch.withColumnRenamed(group_col, "src_a"), "src_a"
     ).select("src_a", "src_b", "h", F.lit("a").alias("side"))
@@ -801,20 +818,73 @@ def kmv_pairwise_overlap(
     sc = bk.join(shared, ["src_a", "src_b", "h"]).groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).alias("_cs")
     )
+    return stats.join(sc, ["src_a", "src_b"], "left")
+
+
+def _kmv_pair_exprs(k: int) -> tuple[Column, Column]:
+    """(union estimate, Jaccard estimate) expressions over the raw pair
+    stats — exact union under k, (k-1)-normalized above it."""
     scale = float((k - 1) * (1 << KLL_COIN_BITS))
-    out = stats.join(sc, ["src_a", "src_b"], "left")
     ue = F.when(F.col("_cu") < F.lit(k), F.col("_cu").cast("double")).otherwise(
         F.lit(scale) / F.col("_hk").cast("double")
     )
     ju = F.coalesce(F.col("_cs"), F.lit(0)).cast("double") / F.col("_cu").cast(
         "double"
     )
-    return out.select(
+    return ue, ju
+
+
+def kmv_pairwise_difference(
+    sketch: DataFrame, group_col: str, pairs: DataFrame, k: int
+) -> DataFrame:
+    """Directed set-DIFFERENCE estimates per pair — |A \\ B| and
+    |B \\ A| — completing the theta-style set-operation triad next to
+    ``kmv_pairwise_overlap``'s union/Jaccard/intersection: how much of
+    corpus A is NOT in B (the "what does this source add" curation
+    question), from the same bounded sketches, no exact distinct join.
+
+    |A \\ B| = est|A| - est|A inter B| (clamped at 0: both terms are
+    independent estimates and small overlaps can invert). est|A| comes
+    from each source's OWN sketch (exact under k); the intersection
+    reuses the pair-union machinery. Same plan doctrine as the overlap:
+    broadcast pair spine, bounded per-pair state, deterministic double
+    math an oracle replays bit-exactly. Returns (src_a, src_b,
+    a_not_b_est, b_not_a_est)."""
+    from ..functions.rounding import hround
+
+    scale = float((k - 1) * (1 << KLL_COIN_BITS))
+    src = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_c"), F.max("h").alias("_hs")
+    )
+    est_src = F.when(F.col("_c") < F.lit(k), F.col("_c").cast("double")).otherwise(
+        F.lit(scale) / F.col("_hs").cast("double")
+    )
+    src = src.select(F.col(group_col), est_src.alias("_est"))
+    raw = _kmv_pair_raw(sketch, group_col, pairs, k)
+    ue, ju = _kmv_pair_exprs(k)
+    inter = (ju * ue).alias("_inter")
+    withab = (
+        raw.select("src_a", "src_b", inter)
+        .join(
+            F.broadcast(src.select(F.col(group_col).alias("src_a"),
+                                   F.col("_est").alias("_ea"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col(group_col).alias("src_b"),
+                                   F.col("_est").alias("_eb"))),
+            "src_b",
+        )
+    )
+    return withab.select(
         "src_a",
         "src_b",
-        hround(ue, 2).alias("union_est"),
-        hround(ju, 4).alias("jaccard_est"),
-        hround(ju * ue, 2).alias("inter_est"),
+        hround(F.greatest(F.lit(0.0), F.col("_ea") - F.col("_inter")), 2).alias(
+            "a_not_b_est"
+        ),
+        hround(F.greatest(F.lit(0.0), F.col("_eb") - F.col("_inter")), 2).alias(
+            "b_not_a_est"
+        ),
     )
 
 

@@ -894,7 +894,7 @@ def sketch_kll_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HHS_MIN_FREQ = 25
-HHS_CAPACITY = 2048
+HHS_CAPACITY = 4096
 
 
 @register(
@@ -921,8 +921,10 @@ def sketch_heavy_hitters_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's naive form re-reads every event 7x. Completeness holds
     whenever min_freq={HHS_MIN_FREQ} > W/(capacity+1) per window
     (pigeonhole over the panes' MG survival bounds: a window-heavy value
-    is day-heavy somewhere); output counts are exact regardless, so the
-    oracle is the plain window join GROUP BY ... HAVING."""
+    is day-heavy somewhere) — capacity sized off the widest window at
+    the largest benched scale (sf0.1: W ~ 35k, bound 8.5 < 25, ~3x
+    margin); output counts are exact regardless, so the oracle is the
+    plain window join GROUP BY ... HAVING."""
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events").select(
@@ -963,3 +965,101 @@ def sketch_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitters_exact_grouped(
         ev, ["event_type"], "user_id", HHG_MIN_FREQ, capacity=HHG_CAPACITY
     )
+
+
+def _kmv_diff_oracle() -> str:
+    """Replay of the directed A-not-B estimates: same shingle/coin/
+    bottom-k CTEs as the overlap oracle, plus per-source estimates from
+    each source's own sketch; difference = max(0, est_src - ju*ue)."""
+    b = sketches.KLL_COIN_BITS
+    scale = float((KMV_K - 1) * (1 << b))
+
+    def hr(expr: str, d: int) -> str:
+        m = 10.0 ** d
+        return f"(floor(({expr}) * {m!r} + 0.5) / {m!r})"
+
+    return f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT source,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), hs AS MATERIALIZED (
+      SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM sh
+    ), sk AS MATERIALIZED (
+      SELECT source, h FROM hs
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {KMV_K}
+    ), srcest AS (
+      SELECT source,
+             CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {scale!r} / CAST(max(h) AS DOUBLE) END AS es
+      FROM sk GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM hs) a
+      JOIN (SELECT DISTINCT source FROM hs) b ON a.source < b.source
+    ), u AS MATERIALIZED (
+      SELECT p.src_a, p.src_b, s.h, 'a' AS side
+      FROM pairs p JOIN sk s ON s.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, s.h, 'b' AS side
+      FROM pairs p JOIN sk s ON s.source = p.src_b
+    ), bk AS MATERIALIZED (
+      SELECT src_a, src_b, h FROM (SELECT DISTINCT src_a, src_b, h FROM u)
+      QUALIFY row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) <= {KMV_K}
+    ), stats AS (
+      SELECT src_a, src_b, count(*) AS cu, max(h) AS hk
+      FROM bk GROUP BY 1, 2
+    ), shared AS (
+      SELECT src_a, src_b, h FROM u
+      GROUP BY 1, 2, 3 HAVING count(DISTINCT side) = 2
+    ), sc AS (
+      SELECT b.src_a, b.src_b, count(*) AS cs
+      FROM bk b JOIN shared s
+        ON s.src_a = b.src_a AND s.src_b = b.src_b AND s.h = b.h
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT st.src_a, st.src_b,
+             (CAST(coalesce(sc.cs, 0) AS DOUBLE) / CAST(st.cu AS DOUBLE))
+             * (CASE WHEN st.cu < {KMV_K} THEN CAST(st.cu AS DOUBLE)
+                     ELSE {scale!r} / CAST(st.hk AS DOUBLE) END) AS inter
+      FROM stats st LEFT JOIN sc ON sc.src_a = st.src_a AND sc.src_b = st.src_b
+    )
+    SELECT e.src_a, e.src_b,
+           {hr('greatest(0.0, ea.es - e.inter)', 2)} AS a_not_b_est,
+           {hr('greatest(0.0, eb.es - e.inter)', 2)} AS b_not_a_est
+    FROM est e
+    JOIN srcest ea ON ea.source = e.src_a
+    JOIN srcest eb ON eb.source = e.src_b
+    """
+
+
+@register("sketch_kmv_source_difference", oracle=_kmv_diff_oracle())
+def sketch_kmv_source_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed cross-source set-difference estimates — "how many of
+    corpus A's distinct shingles are NOT in B" for every source pair,
+    completing the theta-style set-operation triad next to
+    ``sketch_kmv_source_overlap``: |A \\ B| = est|A| - est|A inter B|
+    (clamped at 0), every term from the same bounded bottom-k sketches,
+    no exact distinct join anywhere. Same broadcast pair-spine doctrine
+    and deterministic md5 double math, so the oracle replays every
+    estimate bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("source", F.explode(_dedup.shingles("text", 3)).alias("sh"))
+    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K)
+    srcs = sorted(r.source for r in sh.select("source").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
+        "src_a string, src_b string",
+    )
+    return sketches.kmv_pairwise_difference(sk, "source", pairs, k=KMV_K)

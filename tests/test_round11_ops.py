@@ -473,3 +473,67 @@ def test_heavy_hitters_exact_grouped_matches_naive(spark):
         [("a", "HEAVY", 50), ("a", "WARM-a", 25), ("b", "HEAVY", 50), ("b", "WARM-b", 25)]
     )
     assert got == want
+
+
+def test_kmv_difference_tracks_exact(spark, sf_dir, duck):
+    """Directed difference estimates vs DuckDB-exact |A \\ B| on the
+    3-gram shingle sets: each pair's error is bounded by the KMV noise
+    of its terms (a few rse's of the pair union size)."""
+    from les_etl_pipeline_spark.operators import dedup as _dedup
+    from les_etl_pipeline_spark.operators import sketches
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("source", F.explode(_dedup.shingles("text", 3)).alias("sh"))
+    k = 128
+    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=k)
+    srcs = sorted(r.source for r in sh.select("source").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
+        "src_a string, src_b string",
+    )
+    got = {
+        (r.src_a, r.src_b): (r.a_not_b_est, r.b_not_a_est)
+        for r in sketches.kmv_pairwise_difference(sk, "source", pairs, k=k).collect()
+    }
+    exact = duck.sql("""
+        WITH tok AS (
+          SELECT source, doc_id, unnest(string_split(text, ' ')) AS w,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT source,
+                 w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(w,2) OVER win IS NOT NULL
+        )
+        SELECT a.source, b.source,
+               count(DISTINCT a.s) FILTER (WHERE b2.s IS NULL) AS anb
+        FROM sh a
+        JOIN (SELECT DISTINCT source FROM sh) b ON a.source < b.source
+        LEFT JOIN sh b2 ON b2.source = b.source AND b2.s = a.s
+        GROUP BY 1, 2
+    """).fetchall()
+    import math
+
+    rse = 1.0 / math.sqrt(k - 2)
+    checked = 0
+    for sa, sb, anb in exact:
+        if (sa, sb) not in got:
+            continue
+        est = got[(sa, sb)][0]
+        # union size bounds the noise of both terms
+        u = duck.sql(f"""
+            WITH tok AS (
+              SELECT doc_id, source, unnest(string_split(text, ' ')) AS w,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+              FROM documents WHERE source IN ('{sa}', '{sb}')
+            ), sh AS (
+              SELECT DISTINCT
+                 w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS s
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(w,2) OVER win IS NOT NULL
+            ) SELECT count(*) FROM sh
+        """).fetchone()[0]
+        assert abs(est - anb) <= 6 * rse * u + 2, (sa, sb, est, anb, u)
+        checked += 1
+    assert checked >= 3  # the fixture really has comparable pairs
