@@ -22,8 +22,8 @@ gets driver-graded.
 Staleness bound (VERDICT r8 #6): with a 50-slot window and N registered
 queries, strict oldest-first ordering drains every grade round as a
 contiguous prefix, so the whole registry re-grades within ceil(N/50)
-windows — 6 rounds at the current 276 queries; equivalently, no query's
-last driver grade can fall more than 6 rounds behind, and the two oldest
+windows — 7 rounds at the current 303 queries; equivalently, no query's
+last driver grade can fall more than 7 rounds behind, and the two oldest
 grade-rounds' queries always fit in the next two windows. Both
 properties are pinned by
 ``tests/test_queries_contract.py::test_scheduler_is_lru_and_rotation_bound_holds``

@@ -147,4 +147,6 @@ def test_scheduler_is_lru_and_rotation_bound_holds():
         )
     # and the general bound is achievable: N queries cycle in ceil(N/W)
     # windows, the documented staleness ceiling
-    assert math.ceil(len(names) / w) <= 6
+    # documented ceiling (queries/__init__ docstring); update BOTH when
+    # registry growth crosses a 50-multiple
+    assert math.ceil(len(names) / w) <= 7
