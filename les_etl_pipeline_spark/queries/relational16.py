@@ -334,3 +334,67 @@ def agg_weighted_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFra
         li, ["l_returnflag"], "v", "w", _GWQ_PROBS
     )
     return out.select("l_returnflag", "prob", hround("value").alias("value"))
+
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+@register(
+    "agg_winsorized_mean_by_flag",
+    oracle=f"""
+    WITH vg AS (
+      SELECT l_returnflag, l_extendedprice AS v, count(*) AS w
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ), cdf AS (
+      SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM vg
+    ), cuts AS (
+      SELECT l_returnflag,
+             min(v) FILTER (WHERE CAST(cw AS DOUBLE)
+                                  >= {_WINS_LO!r} * CAST(tw AS DOUBLE)) AS lo,
+             min(v) FILTER (WHERE CAST(cw AS DOUBLE)
+                                  >= {_WINS_HI!r} * CAST(tw AS DOUBLE)) AS hi
+      FROM cdf GROUP BY 1
+    )
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           (floor(avg(least(greatest(l.l_extendedprice, c.lo), c.hi))
+                  * 10000.0 + 0.5) / 10000.0) AS winsorized_mean
+    FROM lineitem l JOIN cuts c ON c.l_returnflag = l.l_returnflag
+    WHERE l.l_extendedprice IS NOT NULL
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag winsorized mean (outliers CLAMPED to the exact p05/p95,
+    not dropped — the robust-mean companion of agg_trimmed_mean_exact,
+    which drops them): the cut points come from the grouped carried-CDF
+    exact quantiles (no per-group ordered window over the value grain),
+    ride one broadcast row per group through a null-safe join, and the
+    clamp + mean is a single grouped aggregate. The oracle computes the
+    same lower quantiles from a per-group cumulative window."""
+    from ..operators.sketches import _join_null_safe
+
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    vw = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    qs = scale.exact_weighted_quantiles_grouped(
+        vw, ["l_returnflag"], "v", "w", [_WINS_LO, _WINS_HI]
+    )
+    cuts = qs.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("prob") == _WINS_LO, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("prob") == _WINS_HI, F.col("value"))).alias("hi"),
+    )
+    joined = _join_null_safe(li, F.broadcast(cuts), ["l_returnflag"])
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.avg(clamped), 4).alias("winsorized_mean"),
+    )
