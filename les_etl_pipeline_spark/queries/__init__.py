@@ -22,7 +22,7 @@ gets driver-graded.
 Staleness bound (VERDICT r8 #6): with a 50-slot window and N registered
 queries, strict oldest-first ordering drains every grade round as a
 contiguous prefix, so the whole registry re-grades within ceil(N/50)
-windows — 7 rounds at the current 303 queries; equivalently, no query's
+windows — 7 rounds at the current ~300 queries; equivalently, no query's
 last driver grade can fall more than 7 rounds behind, and the two oldest
 grade-rounds' queries always fit in the next two windows. Both
 properties are pinned by

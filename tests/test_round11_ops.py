@@ -435,6 +435,28 @@ def test_two_phase_topk_null_order_keys_excluded(spark):
     assert sorted((r.id, r.rn) for r in got.collect()) == [(2, 2), (3, 1)]
 
 
+def test_two_phase_topk_nan_order_keys_excluded(spark):
+    """The NaN side of the null contract (VERDICT r11 ADVICE): Spark
+    sorts NaN LARGEST (first under DESC) while the pandas fold treats it
+    as NA and drops it to the end — so a NaN row surviving an under-full
+    partition would outrank every real row in phase 2, making the result
+    partition-layout-dependent. The operator must exclude NaN order keys
+    just like NULLs, regardless of how rows land in partitions."""
+    rows = [
+        (1, "g", float("nan")),
+        (2, "g", 5.0),
+        (3, "g", 1.0),
+        (4, "g", float("nan")),
+        (5, "h", float("nan")),  # a group whose ONLY rows are NaN-keyed
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    for nparts in (1, 2, 5):  # layout-independence is the point
+        got = scale.two_phase_topk_per_group(
+            df.repartition(nparts), ["g"], [("v", False), ("id", True)], 3
+        )
+        assert sorted((r.id, r.rn) for r in got.collect()) == [(2, 1), (3, 2)]
+
+
 def test_kmv_bottom_k_null_coins_excluded(spark):
     """A null key produces a null coin; the sketch must never carry it
     (it would outrank real coins under the window's ASC-nulls-first and
