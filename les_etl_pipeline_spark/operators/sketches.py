@@ -143,7 +143,9 @@ def bitmap_distinct(df: DataFrame, group_cols: list[str], key: Column | str) -> 
 # --------------------------------------------------------------------------
 # Exact heavy hitters: Misra-Gries candidates + one exact verify scan
 # --------------------------------------------------------------------------
-def mg_candidates(df: DataFrame, value: str, capacity: int = 2048) -> DataFrame:
+def mg_candidates(
+    df: DataFrame, value: str, capacity: int = 2048, emit_totals: bool = False
+) -> DataFrame:
     """Per-partition Misra-Gries summaries, unioned: a candidate table
     that PROVABLY contains every value whose global frequency exceeds
     N/(capacity+1), in at most capacity rows per partition.
@@ -162,7 +164,13 @@ def mg_candidates(df: DataFrame, value: str, capacity: int = 2048) -> DataFrame:
     partitions, any key with GLOBAL count > N/(capacity+1) survives in
     at least one partition. Exact counts come from the verify scan in
     ``heavy_hitters_exact`` — this stage only bounds the candidate set.
-    """
+
+    ``emit_totals=True`` additionally emits ONE marker row per partition
+    with ``value`` NULL and ``lb`` = the partition's non-null row count
+    (NULL can never collide with a real candidate — the fold drops
+    nulls by contract). Summing the marker rows recovers the exact
+    global N the completeness bound needs, with no second scan — this
+    is what makes the bound runtime-checkable (VERDICT r11 #2)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -171,16 +179,20 @@ def mg_candidates(df: DataFrame, value: str, capacity: int = 2048) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        n_seen = 0
         for pdf in batches:
             for v, c in pdf[value].value_counts(dropna=True).items():
                 counts[v] = counts.get(v, 0) + int(c)
+                n_seen += int(c)
             if len(counts) > capacity:
                 vals = sorted(counts.values(), reverse=True)
                 delta = vals[capacity]  # the (capacity+1)-th largest
                 counts = {k: c - delta for k, c in counts.items() if c > delta}
-        yield pd.DataFrame(
-            {"value": list(counts.keys()), "lb": [int(c) for c in counts.values()]}
-        )
+        values: list = list(counts.keys())
+        lbs = [int(c) for c in counts.values()]
+        if emit_totals and n_seen:
+            values, lbs = values + [None], lbs + [n_seen]
+        yield pd.DataFrame({"value": pd.array(values, dtype=object), "lb": lbs})
 
     return df.select(value).mapInPandas(op, schema=f"value {dtype}, lb long")
 
@@ -224,7 +236,11 @@ def mg_merge(summaries: DataFrame, capacity: int) -> DataFrame:
 
 
 def heavy_hitters_exact(
-    df: DataFrame, value: str, min_freq: int, capacity: int = 2048
+    df: DataFrame,
+    value: str,
+    min_freq: int,
+    capacity: int = 2048,
+    check_bound: bool = True,
 ) -> DataFrame:
     """All values whose EXACT global frequency is >= ``min_freq``,
     without ever shuffling the long tail: MG candidate generation
@@ -241,9 +257,28 @@ def heavy_hitters_exact(
     filter is applied to true counts. NULLs are excluded by contract —
     MG state drops them and the verify scan filters them, matching a
     ``WHERE value IS NOT NULL`` oracle (COUNT semantics over nullable
-    columns are the caller's job upstream). Returns (value, cnt)."""
-    cands = mg_merge(mg_candidates(df, value, capacity), capacity).select("value")
-    return (
+    columns are the caller's job upstream). Returns (value, cnt).
+
+    FAIL-LOUD (``check_bound``, default on — VERDICT r11 #2): the bound
+    is checked at runtime against the EXACT N recovered from the fold's
+    per-partition total markers (``emit_totals`` — no second scan; the
+    summaries union is lazily localCheckpointed so the fold still runs
+    once for both the candidates and N). When min_freq <=
+    N/(capacity+1), a lazily-evaluated ``raise_error`` branch unioned
+    onto the result aborts the job with a sizing message — crucially it
+    fires even when the (possibly incomplete) result would be EMPTY,
+    the one shape a result-row flag could never surface. When the bound
+    holds the branch filters to zero rows and the output is bit-
+    identical to the unchecked form."""
+    vt = {f.name: f.dataType.simpleString() for f in df.schema.fields}[value]
+    summ = mg_candidates(df, value, capacity, emit_totals=check_bound)
+    if check_bound:
+        summ = summ.localCheckpoint(eager=False)
+        cand_src = summ.where(F.col("value").isNotNull())
+    else:
+        cand_src = summ
+    cands = mg_merge(cand_src, capacity).select("value")
+    out = (
         df.select(F.col(value).alias("value"))
         .where(F.col("value").isNotNull())
         .join(F.broadcast(cands), "value", "left_semi")
@@ -251,6 +286,32 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(min_freq))
     )
+    if not check_bound:
+        return out
+    guard = (
+        summ.where(F.col("value").isNull())
+        .agg(F.sum("lb").alias("n"))
+        .where(
+            F.lit(float(min_freq))
+            <= F.col("n").cast("double") / F.lit(float(capacity + 1))
+        )
+        .select(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "heavy_hitters_exact completeness bound violated: "
+                        f"min_freq={min_freq} <= N/(capacity+1) with N="
+                    ),
+                    F.col("n").cast("string"),
+                    F.lit(f", capacity={capacity}; size capacity > N/min_freq"),
+                )
+            )
+            .cast(vt)
+            .alias("value"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+    )
+    return out.unionByName(guard)
 
 
 # --------------------------------------------------------------------------
@@ -1063,7 +1124,11 @@ def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
 
 
 def mg_candidates_grouped(
-    df: DataFrame, group_cols: list[str], value: str, capacity: int = 2048
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    capacity: int = 2048,
+    emit_totals: bool = False,
 ) -> DataFrame:
     """Per-(partition, group) Misra-Gries summaries, unioned — the
     grouped twin of ``mg_candidates``: one bounded MG dict PER GROUP
@@ -1074,7 +1139,14 @@ def mg_candidates_grouped(
     values AND NULL group keys are excluded by contract (the fold's
     dropna — callers wanting a null group must coalesce it to a
     sentinel upstream; ``heavy_hitters_sliding`` filters null days
-    explicitly). Returns (group..., value, lb)."""
+    explicitly). Returns (group..., value, lb).
+
+    ``emit_totals=True`` additionally emits one marker row per
+    (partition, group) with ``value`` NULL and ``lb`` = that group's
+    non-null row count in the partition (no collision — real NULL
+    values are dropped by the fold). Summing markers per group recovers
+    the exact N_g the per-group completeness bound needs without a
+    second scan (VERDICT r11 #2)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1087,6 +1159,7 @@ def mg_candidates_grouped(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[tuple, dict] = {}
+        totals: dict[tuple, int] = {}
         for pdf in batches:
             vc = pdf.groupby(gcols + [value], dropna=True, sort=False).size()
             for key, c in vc.items():
@@ -1094,12 +1167,16 @@ def mg_candidates_grouped(
                 gk, v = k[:-1], k[-1]
                 d = state.setdefault(gk, {})
                 d[v] = d.get(v, 0) + int(c)
+                if emit_totals:
+                    totals[gk] = totals.get(gk, 0) + int(c)
             for gk, d in state.items():
                 if len(d) > capacity:
                     vals = sorted(d.values(), reverse=True)
                     delta = vals[capacity]  # the (capacity+1)-th largest
                     state[gk] = {k2: c2 - delta for k2, c2 in d.items() if c2 > delta}
         rows = [gk + (v, int(c)) for gk, d in state.items() for v, c in d.items()]
+        if emit_totals:
+            rows += [gk + (None, n) for gk, n in totals.items()]
         if rows:
             yield pd.DataFrame(rows, columns=gcols + ["value", "lb"])
 
@@ -1151,6 +1228,7 @@ def heavy_hitters_sliding(
     min_freq: int,
     window_days: int = 7,
     capacity: int = 2048,
+    check_bound: bool = True,
 ) -> DataFrame:
     """EXACT heavy hitters per trailing window (one window per day
     present), pane-shared: the raw stream is scanned ONCE no matter how
@@ -1173,14 +1251,31 @@ def heavy_hitters_sliding(
     count_d(v) > N_d/(capacity+1), so v survives day d's MG summary and
     its exact counts for ALL days are in stage 2. PRECISION is
     unconditional (counts are exact). NULL days/values are excluded by
-    contract. Returns (day, value, cnt) per window-anchor day."""
+    contract. Returns (day, value, cnt) per window-anchor day.
+
+    FAIL-LOUD (``check_bound``, default on — VERDICT r11 #2): each
+    window's exact W = sum of its panes' N_d, recovered from the per-day
+    fold total markers (no extra scan; the guard's anchor set is the
+    marker days themselves — a day has events iff it has a marker — so
+    the guard never re-reads the stream); any window with
+    min_freq <= W/(capacity+1) aborts the job via a lazily-evaluated
+    ``raise_error`` branch, even when the undersized window's rows
+    vanished. Bound holds → output bit-identical to the unchecked
+    form."""
     day = F.col(day_col)
     base = df.where(day.isNotNull() & F.col(value).isNotNull()).select(
         day.alias("day"), F.col(value).alias("value")
     )
-    per_day = mg_merge_grouped(
-        mg_candidates_grouped(base, ["day"], "value", capacity), ["day"], capacity
+    vt = {f.name: f.dataType.simpleString() for f in df.schema.fields}[value]
+    summ = mg_candidates_grouped(
+        base, ["day"], "value", capacity, emit_totals=check_bound
     )
+    if check_bound:
+        summ = summ.localCheckpoint(eager=False)
+        cand_src = summ.where(F.col("value").isNotNull())
+    else:
+        cand_src = summ
+    per_day = mg_merge_grouped(cand_src, ["day"], capacity)
     cands = per_day.select("value").distinct()
     daily_cnt = (
         base.join(F.broadcast(cands), "value", "left_semi")
@@ -1195,12 +1290,54 @@ def heavy_hitters_sliding(
         "cnt",
     )
     anchors = base.select("day").distinct()
-    return (
+    out = (
         panes.join(anchors, "day", "left_semi")
         .groupBy("day", "value")
         .agg(F.sum("cnt").alias("cnt"))
         .where(F.col("cnt") >= F.lit(min_freq))
     )
+    if not check_bound:
+        return out
+    nd = (
+        summ.where(F.col("value").isNull())
+        .groupBy("day")
+        .agg(F.sum("lb").alias("_nd"))
+    )
+    guard = (
+        nd.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+            ).alias("day"),
+            "_nd",
+        )
+        .join(nd.select("day"), "day", "left_semi")  # anchor days == marker days
+        .groupBy("day")
+        .agg(F.sum("_nd").alias("_w"))
+        .where(
+            F.lit(float(min_freq))
+            <= F.col("_w").cast("double") / F.lit(float(capacity + 1))
+        )
+        .select(
+            F.col("day"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "heavy_hitters_sliding completeness bound violated: "
+                        f"min_freq={min_freq} <= W/(capacity+1) for the "
+                        "window anchored at "
+                    ),
+                    F.col("day").cast("string"),
+                    F.lit(" with W="),
+                    F.col("_w").cast("string"),
+                    F.lit(f", capacity={capacity}; size capacity > W/min_freq"),
+                )
+            )
+            .cast(vt)
+            .alias("value"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+    )
+    return out.unionByName(guard)
 
 
 def heavy_hitters_exact_grouped(
@@ -1209,6 +1346,7 @@ def heavy_hitters_exact_grouped(
     value: str,
     min_freq: int,
     capacity: int = 2048,
+    check_bound: bool = True,
 ) -> DataFrame:
     """Per-group exact heavy hitters — ``heavy_hitters_exact`` with the
     candidate bound applied PER GROUP: grouped MG fold + per-group merge
@@ -1217,17 +1355,62 @@ def heavy_hitters_exact_grouped(
     candidate pairs, HAVING over true counts. Completeness per group
     whenever min_freq > N_g/(capacity+1); precision unconditional.
     NULL groups/values are excluded by the grouped-fold contract.
-    Returns (group..., value, cnt)."""
+    Returns (group..., value, cnt).
+
+    FAIL-LOUD (``check_bound``, default on — VERDICT r11 #2): exact
+    per-group N_g is recovered from the grouped fold's total markers
+    (one lazily-checkpointed summaries frame feeds both the candidate
+    merge and the check — the fold still scans once); any group with
+    min_freq <= N_g/(capacity+1) aborts the job via a lazily-evaluated
+    ``raise_error`` branch that fires even when that group's (possibly
+    incomplete) output rows vanished. Bound holds → output bit-identical
+    to the unchecked form."""
     gcols = list(group_cols)
-    cands = mg_merge_grouped(
-        mg_candidates_grouped(df, gcols, value, capacity), gcols, capacity
-    ).select(*gcols, "value")
+    vt = {f.name: f.dataType.simpleString() for f in df.schema.fields}[value]
+    summ = mg_candidates_grouped(df, gcols, value, capacity, emit_totals=check_bound)
+    if check_bound:
+        summ = summ.localCheckpoint(eager=False)
+        cand_src = summ.where(F.col("value").isNotNull())
+    else:
+        cand_src = summ
+    cands = mg_merge_grouped(cand_src, gcols, capacity).select(*gcols, "value")
     base = df.select(*gcols, F.col(value).alias("value")).where(
         F.col("value").isNotNull()
     )
-    return (
+    out = (
         base.join(F.broadcast(cands), gcols + ["value"], "left_semi")
         .groupBy(*gcols, "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(min_freq))
     )
+    if not check_bound:
+        return out
+    guard = (
+        summ.where(F.col("value").isNull())
+        .groupBy(*gcols)
+        .agg(F.sum("lb").alias("_n"))
+        .where(
+            F.lit(float(min_freq))
+            <= F.col("_n").cast("double") / F.lit(float(capacity + 1))
+        )
+        .select(
+            *gcols,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "heavy_hitters_exact_grouped completeness bound "
+                        f"violated: min_freq={min_freq} <= N_g/(capacity+1) "
+                        "for group ("
+                    ),
+                    F.concat_ws(", ", *[F.col(c).cast("string") for c in gcols]),
+                    F.lit(") with N_g="),
+                    F.col("_n").cast("string"),
+                    F.lit(f", capacity={capacity}; size capacity > N_g/min_freq"),
+                )
+            )
+            .cast(vt)
+            .alias("value"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+    )
+    return out.unionByName(guard)

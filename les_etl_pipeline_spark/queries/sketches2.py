@@ -47,7 +47,10 @@ _HH_ORACLE = f"""
 def sketch_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_freq={HH_MIN_FREQ} with capacity={HH_CAPACITY} keeps the MG
     completeness bound (min_freq > N/(capacity+1)) intact up to ~150k
-    events — covering every fixture sf this query is graded at."""
+    events — covering every fixture sf this query is graded at. Since
+    r12 the bound is also CHECKED at runtime against the exact N (fold
+    total markers): run at a larger sf than the sizing covers and the
+    job aborts loudly instead of silently dropping a heavy hitter."""
     ev = table(spark, sf_dir, "events")
     return sketches.heavy_hitters_exact(
         ev, "user_id", min_freq=HH_MIN_FREQ, capacity=HH_CAPACITY
@@ -924,7 +927,9 @@ def sketch_heavy_hitters_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is day-heavy somewhere) — capacity sized off the widest window at
     the largest benched scale (sf0.1: W ~ 35k, bound 8.5 < 25, ~3x
     margin); output counts are exact regardless, so the oracle is the
-    plain window join GROUP BY ... HAVING."""
+    plain window join GROUP BY ... HAVING. Since r12 the per-window
+    bound is checked at runtime against exact pane totals — an
+    undersized capacity at a bigger sf aborts loudly."""
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events").select(
@@ -958,7 +963,9 @@ def sketch_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     LARGEST benched scale (sf0.1: N_type ~ 30k, bound 7.3 < 18 with a
     2.5x margin; at bigger N, size capacity ~ N_type/min_freq the same
     way). The oracle is the plain grouped GROUP BY ... HAVING whose
-    shuffle carries every (type, user) pair."""
+    shuffle carries every (type, user) pair. Since r12 the per-group
+    bound is checked at runtime against exact N_g — an undersized
+    capacity at a bigger sf aborts loudly."""
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events").where(F.col("event_type").isNotNull())

@@ -1,0 +1,137 @@
+"""Round-12 operator tests: fail-loud completeness guards on the
+capacity-parameterized exact heavy-hitter family (VERDICT r11 #2 /
+ADVICE r11), the sliding pane-merge extraction, and the d>=3 skyline.
+
+The guard contract under test: when min_freq <= N/(capacity+1) (per
+scope — global, group, or trailing window), the operator must ABORT the
+job with a sizing message rather than silently drop a qualifying heavy
+hitter; when the bound holds, output must be bit-identical to the
+unchecked (check_bound=False) form. The undersized cases are built so
+the damaged result would be EMPTY or missing the affected scope — the
+one shape a result-row flag could never surface — proving the raise
+branch fires independently of the output rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from les_etl_pipeline_spark.operators import sketches
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# -- fail-loud MG completeness guards (VERDICT r11 #2) ------------------------
+def test_hh_exact_guard_raises_on_undersized_capacity(spark):
+    # N=280, capacity=4 -> N/(cap+1)=56 >= min_freq=10: bound violated.
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"t{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    bad = sketches.heavy_hitters_exact(df, "v", min_freq=10, capacity=4)
+    with pytest.raises(Exception, match="completeness bound violated"):
+        bad.collect()
+
+
+def test_hh_exact_guard_ok_path_bit_matches_unchecked(spark):
+    # N=280, capacity=64 -> bound 4.3 < 10: guard must be a no-op.
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"t{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    ok = sketches.heavy_hitters_exact(df, "v", min_freq=10, capacity=64)
+    un = sketches.heavy_hitters_exact(
+        df, "v", min_freq=10, capacity=64, check_bound=False
+    )
+    got = _collect_sorted(ok)
+    assert got == _collect_sorted(un)
+    assert got == [("a", 50), ("b", 30)] or got == [("a", 50), ("b", 30)][::-1] or got == sorted([("a", 50), ("b", 30)])
+
+
+def test_hh_grouped_guard_raises_per_group_and_names_the_group(spark):
+    # group g: N_g=300, capacity=8 -> 33.3 >= 20 violated; group h fine.
+    rows = (
+        [("g", "a")] * 100
+        + [("g", f"t{i}") for i in range(200)]
+        + [("h", "b")] * 20
+    )
+    df = spark.createDataFrame(rows, "grp string, v string").repartition(4)
+    bad = sketches.heavy_hitters_exact_grouped(
+        df, ["grp"], "v", min_freq=20, capacity=8
+    )
+    with pytest.raises(Exception, match="completeness bound"):
+        bad.collect()
+    ok = sketches.heavy_hitters_exact_grouped(
+        df, ["grp"], "v", min_freq=20, capacity=64
+    )
+    un = sketches.heavy_hitters_exact_grouped(
+        df, ["grp"], "v", 20, 64, check_bound=False
+    )
+    got = _collect_sorted(ok)
+    assert got == _collect_sorted(un)
+    assert got == [("g", "a", 100), ("h", "b", 20)]
+
+
+def test_hh_sliding_guard_raises_on_undersized_window(spark):
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for dd in range(6):
+        day = d0 + dt.timedelta(days=dd)
+        rows += [(day, "hot")] * 10 + [(day, f"t{dd}_{i}") for i in range(40)]
+    sdf = spark.createDataFrame(rows, "day date, v string").repartition(3)
+    bad = sketches.heavy_hitters_sliding(
+        sdf, "day", "v", min_freq=25, window_days=3, capacity=2
+    )
+    with pytest.raises(Exception, match="completeness bound"):
+        bad.collect()
+    ok = sketches.heavy_hitters_sliding(
+        sdf, "day", "v", min_freq=25, window_days=3, capacity=64
+    )
+    un = sketches.heavy_hitters_sliding(
+        sdf, "day", "v", 25, 3, 64, check_bound=False
+    )
+    got = _collect_sorted(ok)
+    assert got == _collect_sorted(un)
+    # trailing 3-day windows: anchors 2024-01-03..06 see 3 full hot panes
+    assert [(str(d), v, c) for d, v, c in got] == [
+        ("2024-01-0%d" % a, "hot", 30) for a in (3, 4, 5, 6)
+    ]
+
+
+def test_hh_guard_fires_even_when_result_would_be_empty(spark):
+    """The decisive shape: capacity so small the MG summary loses the
+    only qualifying value entirely -> without the guard the output is
+    silently EMPTY (the worst failure mode); with it the job aborts."""
+    # Two values tied at 12 plus a 9x tail: MG with capacity 1 keeps
+    # only values STRICTLY above the 2nd-largest count, so the tie
+    # drops BOTH true heavy hitters and the candidate set is empty.
+    rows = (
+        [("hot1",)] * 12
+        + [("hot2",)] * 12
+        + [(f"t{i}",) for i in range(20) for _ in range(9)]
+    )
+    df = spark.createDataFrame(rows, "v string").coalesce(1)
+    un = sketches.heavy_hitters_exact(
+        df, "v", min_freq=12, capacity=1, check_bound=False
+    )
+    assert un.count() == 0  # the silent drop the guard exists to catch
+    bad = sketches.heavy_hitters_exact(df, "v", min_freq=12, capacity=1)
+    with pytest.raises(Exception, match="completeness bound violated"):
+        bad.collect()
+
+
+def test_mg_totals_markers_sum_to_exact_n(spark):
+    rows = [(f"v{i % 7}",) for i in range(123)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "v string").repartition(3)
+    summ = sketches.mg_candidates(df, "v", capacity=4, emit_totals=True)
+    from pyspark.sql import functions as F
+
+    n = (
+        summ.where(F.col("value").isNull())
+        .agg(F.sum("lb").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == 123  # nulls excluded, exact non-null count
+    # default emit_totals=False keeps the legacy marker-free schema
+    legacy = sketches.mg_candidates(df, "v", capacity=4)
+    assert legacy.where(F.col("value").isNull()).count() == 0
