@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
+from . import panes as _panes
+
 #: default CMS geometry — width*depth cells bound the absolute error at
 #: eps ~ e/width of the total stream count with prob 1 - (1/e)^depth.
 CMS_DEPTH = 4
@@ -1282,19 +1284,19 @@ def heavy_hitters_sliding(
         .groupBy("day", "value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    panes = daily_cnt.select(
-        F.explode(
-            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
-        ).alias("day"),
-        "value",
-        "cnt",
-    )
-    anchors = base.select("day").distinct()
-    out = (
-        panes.join(anchors, "day", "left_semi")
-        .groupBy("day", "value")
-        .agg(F.sum("cnt").alias("cnt"))
-        .where(F.col("cnt") >= F.lit(min_freq))
+    # anchors come from the RAW stream, not daily_cnt: a day whose rows
+    # matched no candidate still anchors a window fed by its neighbours
+    out = _panes.sliding_pane_merge(
+        daily_cnt,
+        "day",
+        window_days,
+        lambda p: (
+            p.groupBy("day", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") >= F.lit(min_freq))
+        ),
+        anchor_col="day",
+        anchors=base.select("day").distinct(),
     )
     if not check_bound:
         return out
@@ -1303,14 +1305,9 @@ def heavy_hitters_sliding(
         .groupBy("day")
         .agg(F.sum("lb").alias("_nd"))
     )
+    # marker days == days with events, so nd is its own anchor frame
     guard = (
-        nd.select(
-            F.explode(
-                F.sequence(F.col("day"), F.date_add("day", window_days - 1))
-            ).alias("day"),
-            "_nd",
-        )
-        .join(nd.select("day"), "day", "left_semi")  # anchor days == marker days
+        _panes.sliding_panes(nd, "day", window_days, anchor_col="day")
         .groupBy("day")
         .agg(F.sum("_nd").alias("_w"))
         .where(

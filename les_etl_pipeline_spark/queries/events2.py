@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import table
+from ..operators import panes
 from ..functions.rounding import hround
 from .registry import register
 
@@ -769,22 +770,17 @@ def events_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("day", F.lit("2024-01-01").cast("date")).cast("long").alias("di"),
         "c",
     )
-    panes = daily.select(
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"),
-        "di",
-        "c",
-    )
-    anchors = daily.select(F.col("day").alias("day7")).distinct()
-    win = (
-        panes.join(anchors, "day7", "left_semi")
-        .groupBy("day7")
-        .agg(
+    win = panes.sliding_pane_merge(
+        daily,
+        "day",
+        7,
+        lambda p: p.groupBy("day7").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("di").alias("sd"),
             F.sum(F.col("di") * F.col("di")).alias("sdd"),
             F.sum("c").alias("sc"),
             F.sum(F.col("di") * F.col("c")).alias("sdc"),
-        )
+        ),
     )
     det = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
     slope = (F.col("n") * F.col("sdc") - F.col("sd") * F.col("sc")).cast(
@@ -838,17 +834,18 @@ def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("day", "bkt")
         .agg(F.bitmap_construct_agg(F.col("bit")).alias("bm"))
     )
-    panes = per_bucket.select(
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"),
-        "bkt",
-        "bm",
-    )
-    anchors = per_bucket.select(F.col("day").alias("day7")).distinct()
-    return (
-        panes.join(anchors, "day7", "left_semi")
-        .groupBy("day7", "bkt")
-        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
-        .groupBy("day7")
-        .agg(F.sum("c").alias("users_7d"))
-        .select(F.col("day7").alias("day"), F.col("users_7d").cast("long").alias("users_7d"))
+    return panes.sliding_pane_merge(
+        per_bucket,
+        "day",
+        7,
+        lambda p: (
+            p.groupBy("day7", "bkt")
+            .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+            .groupBy("day7")
+            .agg(F.sum("c").alias("users_7d"))
+            .select(
+                F.col("day7").alias("day"),
+                F.col("users_7d").cast("long").alias("users_7d"),
+            )
+        ),
     )

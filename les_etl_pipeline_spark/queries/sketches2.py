@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
-from ..operators import sketches
+from ..operators import panes, sketches
 from .registry import register
 
 HH_MIN_FREQ = 75
@@ -795,12 +795,8 @@ def sketch_kmv_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         k=KMVS_K,
     )
-    panes = daily.select(
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"), "h"
-    )
-    anchors = daily.select(F.col("day").alias("day7")).distinct()
-    merged = sketches.kmv_merge(
-        panes.join(anchors, "day7", "left_semi"), ["day7"], KMVS_K
+    merged = panes.sliding_pane_merge(
+        daily, "day", 7, lambda p: sketches.kmv_merge(p, ["day7"], KMVS_K)
     )
     est = sketches.kmv_distinct_estimate(merged, ["day7"], KMVS_K)
     return est.select(
@@ -882,15 +878,11 @@ def sketch_kll_sliding_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = sketches.kll_build_grouped(
         ev, ["day"], "value", F.col("event_id").cast("string"), capacity=KLLS_CAPACITY
     )
-    panes = daily.select(
-        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day7"),
-        "v",
-        "u",
-        "lstar",
-    )
-    anchors = daily.select(F.col("day").alias("day7")).distinct()
-    merged = sketches.kll_merge_grouped(
-        panes.join(anchors, "day7", "left_semi"), ["day7"], capacity=KLLS_CAPACITY
+    merged = panes.sliding_pane_merge(
+        daily,
+        "day",
+        7,
+        lambda p: sketches.kll_merge_grouped(p, ["day7"], capacity=KLLS_CAPACITY),
     )
     out = sketches.kll_quantiles_grouped(merged, ["day7"], KLLS_PROBS)
     return out.select(F.col("day7").alias("day"), "p", "q")

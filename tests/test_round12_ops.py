@@ -135,3 +135,80 @@ def test_mg_totals_markers_sum_to_exact_n(spark):
     # default emit_totals=False keeps the legacy marker-free schema
     legacy = sketches.mg_candidates(df, "v", capacity=4)
     assert legacy.where(F.col("value").isNull()).count() == 0
+
+
+# -- sliding pane-merge extraction (VERDICT r11 #4) ---------------------------
+def test_sliding_pane_merge_property_widths(spark):
+    """For any window width, pane-merge of daily sums == the naive
+    per-anchor re-scan; width 1 is the identity. Gap days (missing from
+    the daily frame) must not anchor windows, but their absence must not
+    break neighbours' windows either."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators import panes
+
+    d0 = dt.date(2024, 3, 1)
+    # 40 days with gaps (no data on every 5th day), value = day index
+    daily_rows = [
+        (d0 + dt.timedelta(days=i), i + 1) for i in range(40) if i % 5 != 0
+    ]
+    daily = spark.createDataFrame(daily_rows, "day date, c long")
+    present = {d for d, _ in daily_rows}
+    by_day = dict(daily_rows)
+    for w in (1, 7, 30):
+        got = {
+            (r.day, r.s)
+            for r in panes.sliding_pane_merge(
+                daily,
+                "day",
+                w,
+                lambda p: p.groupBy("day7").agg(F.sum("c").alias("s")),
+            )
+            .select(F.col("day7").alias("day"), "s")
+            .collect()
+        }
+        want = {
+            (a, sum(by_day.get(a - dt.timedelta(days=j), 0) for j in range(w)))
+            for a in present
+        }
+        assert got == want, f"width {w}"
+    # width 1 is the identity on the daily frame
+    ident = panes.sliding_pane_merge(
+        daily, "day", 1, lambda p: p.groupBy("day7").agg(F.sum("c").alias("s"))
+    )
+    assert {(r.day7, r.s) for r in ident.collect()} == set(daily_rows)
+
+
+def test_sliding_panes_null_days_and_explicit_anchors(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators import panes
+
+    d0 = dt.date(2024, 3, 1)
+    daily = spark.createDataFrame(
+        [(d0, 1), (None, 99), (d0 + dt.timedelta(days=1), 2)], "day date, c long"
+    )
+    # null day neither contributes panes nor anchors a window
+    out = panes.sliding_pane_merge(
+        daily, "day", 7, lambda p: p.groupBy("day7").agg(F.sum("c").alias("s"))
+    ).collect()
+    assert sorted((r.day7, r.s) for r in out) == [
+        (d0, 1),
+        (d0 + dt.timedelta(days=1), 3),
+    ]
+    # explicit anchors: a day absent from the daily frame can anchor
+    anchors = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=3),)], "day date"
+    )
+    out2 = panes.sliding_pane_merge(
+        daily,
+        "day",
+        7,
+        lambda p: p.groupBy("day7").agg(F.sum("c").alias("s")),
+        anchors=anchors,
+    ).collect()
+    assert [(r.day7, r.s) for r in out2] == [(d0 + dt.timedelta(days=3), 3)]
