@@ -72,6 +72,132 @@ def _local_skyline_pdf(pdf, gcols: list[str], mn: str, mx: str):
     return cand.merge(keep_cells[key], on=key, how="inner")
 
 
+def _skyline_flat_nd(pdf, mins: list[str], maxs: list[str]):
+    """Exact d-dimensional skyline of one pandas frame (ties kept).
+
+    All criteria are normalized to MINIMIZE (maximize columns negated),
+    rows are scanned in lexicographic order — a dominator always sorts
+    strictly before anything it dominates, so each row only needs a
+    vectorized (<=, <) check against the skyline built so far: O(n·m·d)
+    with m the running skyline size (expected polylog for independent
+    dimensions). Comparisons stay on each column's own numpy dtype —
+    no stacking into a common matrix, so int64 criteria never round
+    through float64."""
+    import numpy as np
+
+    n = len(pdf)
+    if n == 0:
+        return pdf
+    arrs = [pdf[c].to_numpy() for c in mins] + [
+        np.negative(pdf[c].to_numpy()) for c in maxs
+    ]
+    order = np.lexsort(tuple(reversed(arrs)))  # arrs[0] is the primary key
+    sky = [np.empty(n, dtype=a.dtype) for a in arrs]
+    keep: list[int] = []
+    m = 0
+    for idx in order:
+        if m:
+            le = np.ones(m, dtype=bool)
+            lt = np.zeros(m, dtype=bool)
+            for j, a in enumerate(arrs):
+                s = sky[j][:m]
+                v = a[idx]
+                le &= s <= v
+                lt |= s < v
+            if (le & lt).any():
+                continue
+        for j, a in enumerate(arrs):
+            sky[j][m] = a[idx]
+        m += 1
+        keep.append(idx)
+    return pdf.iloc[np.sort(np.asarray(keep, dtype=np.int64))]
+
+
+def _skyline_nd_pdf(pdf, gcols: list[str], mins: list[str], maxs: list[str]):
+    """Per-group exact d-dim skyline of one pandas frame (NULL group
+    keys are groups, matching Spark GROUP BY)."""
+    import pandas as pd
+
+    if not gcols:
+        return _skyline_flat_nd(pdf, mins, maxs)
+    outs = [
+        _skyline_flat_nd(sub, mins, maxs)
+        for _, sub in pdf.groupby(gcols, dropna=False, sort=False)
+    ]
+    return pd.concat(outs, ignore_index=True) if outs else pdf.iloc[0:0]
+
+
+def skyline(
+    df: DataFrame,
+    minimize: list[str],
+    maximize: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase exact d-dimensional skyline (d = len(minimize) +
+    len(maximize) >= 1): rows of ``df`` (per group, if ``group_cols``)
+    not strictly dominated — no other row in the group is <= on every
+    minimize column, >= on every maximize column, and strict somewhere.
+    Ties kept; rows with a NULL in ANY criterion are excluded (same
+    contract as ``skyline_2d``); a NULL group key is a group.
+
+    Scale shape (generalizes the 2-D two-phase local-prune form — the
+    2-D prev-max cumulation has no d>2 analogue, so phase 2 changes):
+
+    - Phase 1 (mapInPandas on raw scan partitions, NO upstream shuffle):
+      each partition emits its LOCAL skyline per group. Local dominance
+      implies global dominance, so the prune never drops a global
+      skyline row; emitted rows are bounded by the partition's local
+      skyline size (expected polylog per group for independent
+      dimensions).
+    - Phase 2 (exact, over the bounded partials only): gather each
+      group's candidates into ONE applyInPandas task and run the same
+      exact in-memory skyline. Correct because strict dominance is
+      transitive and irreflexive (a strict partial order): every
+      globally-dominated row has a dominator INSIDE the global skyline,
+      which phase 1 preserved — so checking candidates against
+      candidates alone decides global membership exactly. The ungrouped
+      form is a single bounded task over the candidate set — the exact
+      analogue of the allowlisted unpartitioned windows over two-phase
+      partials (never raw rows), and never a quadratic join in the
+      plan: the candidate x candidate check lives inside the Arrow
+      batch, so no BNLJ/CartesianProduct appears.
+    """
+    gcols = list(group_cols or [])
+    mins, maxs = list(minimize), list(maximize)
+    if not mins and not maxs:
+        raise ValueError("skyline needs at least one criterion")
+    base = df
+    for c in mins + maxs:
+        base = base.where(F.col(c).isNotNull())
+    cols = base.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
+    )
+
+    def fold(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            part = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = _skyline_nd_pdf(part, gcols, mins, maxs)
+        if acc is not None and len(acc):
+            yield acc[cols]
+
+    partials = base.mapInPandas(fold, schema=out_schema)
+
+    def exact(pdf):
+        return _skyline_nd_pdf(pdf, gcols, mins, maxs)[cols]
+
+    if gcols:
+        return partials.groupBy(*gcols).applyInPandas(exact, schema=out_schema)
+    return (
+        partials.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: exact(pdf[cols]), schema=out_schema)
+    )
+
+
 def skyline_2d(
     df: DataFrame, minimize: str, maximize: str, group_cols: list[str] | None = None
 ) -> DataFrame:
