@@ -274,3 +274,82 @@ def test_grouped_mv_replay_is_content_idempotent(spark, gmv):
     assert {(r.source, r.v, r.u, r.lstar) for r in after_kll.collect()} == rows
     assert {(r.source, r.h) for r in after_kmv.collect()} == kmv_rows
     assert len(manifest) == 2
+
+
+def test_grouped_mv_group_churn_chaos(spark, tmp_path):
+    """Group-churn schedule (VERDICT r11 #5) — the axis the skewed-size
+    pins don't cover. Three churn shapes folded through 3 batches:
+
+    - ``early``  : present ONLY in batch 0, then never again — its state
+      must survive two folds in which the batch sketch has no row for it
+      (the per-group merge must not drop absent groups);
+    - ``hot``    : 60 rows in batch 0 (compacts at GCAP=8, lstar >= 1),
+      QUIET in batch 1, returns in batch 2 with 3 shallow rows — the
+      asymmetric small-into-deep fold, per group, after a silent gap;
+    - ``NULL``   : a NULL group key arriving only in the LAST batch —
+      a NULL group is a group (GROUP BY semantics), so it must fold,
+      persist through parquet state, and read back;
+    - ``steady`` : control, present in every batch.
+
+    Afterwards the streamed per-group state must equal the single batch
+    build over the union, BIT-FOR-BIT — including lstar."""
+    rows = []
+    nid = [0]
+
+    def mk(source, n, base):
+        out = []
+        for i in range(n):
+            out.append((nid[0], source, base + 7 * i))
+            nid[0] += 1
+        return out
+
+    batch0 = mk("early", 15, 100) + mk("hot", 60, 500) + mk("steady", 20, 50)
+    batch1 = mk("steady", 20, 900)
+    batch2 = mk("hot", 3, 1300) + mk(None, 10, 40) + mk("steady", 5, 1500)
+    stream_dir = str(tmp_path / "churn_stream")
+    for batch in (batch0, batch1, batch2):
+        spark.createDataFrame(
+            batch, "doc_id bigint, source string, n_chars bigint"
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        time.sleep(1.05)
+    state_dir = str(tmp_path / "churn_state")
+    _gdrain(spark, stream_dir, state_dir, str(tmp_path / "churn_ckpt"))
+
+    docs = spark.createDataFrame(
+        batch0 + batch1 + batch2, "doc_id bigint, source string, n_chars bigint"
+    )
+    key = F.col("doc_id").cast("string")
+    kll_schema, kmv_schema = MV._grouped_schemas("source string")
+    kll_state, kmv_state, manifest = MV._read_state(
+        spark, MV._store(spark, state_dir), kll_schema, kmv_schema
+    )
+    exp_kll = sketches.kll_build_grouped(
+        docs, ["source"], "n_chars", key, capacity=GCAP
+    )
+    # the hot group really compacted before its quiet gap
+    hot_lstar = {
+        r.source: r.ls
+        for r in kll_state.groupBy("source").agg(F.max("lstar").alias("ls")).collect()
+    }
+    assert hot_lstar["hot"] >= 1
+    assert {(r.source, r.v, r.u, r.lstar) for r in kll_state.collect()} == {
+        (r.source, r.v, r.u, r.lstar) for r in exp_kll.collect()
+    }
+    exp_kmv = sketches._bottom_k_grouped(
+        docs.select("source", sketches._kll_coin(key).alias("h")), ["source"], GK
+    )
+    assert {(r.source, r.h) for r in kmv_state.collect()} == {
+        (r.source, r.h) for r in exp_kmv.collect()
+    }
+    assert list(manifest.values()) == [2]
+    # every churn shape is present in the final state, NULL group included
+    state_groups = {r.source for r in kll_state.select("source").distinct().collect()}
+    assert state_groups == {"early", "hot", "steady", None}
+    # derived grouped reads surface the NULL group too
+    est = {
+        r.source: r.n_distinct_est
+        for r in MV.read_mv_distinct_grouped(
+            spark, state_dir, ["source"], "source string", GK
+        ).collect()
+    }
+    assert set(est) == state_groups and all(v > 0 for v in est.values())
