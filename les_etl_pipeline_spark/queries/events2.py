@@ -849,3 +849,84 @@ def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ),
     )
+
+
+@register(
+    "events_gapfill_locf_interp",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(user_id % 50 AS BIGINT) AS bkt,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1,2,3
+    ), bounds AS (
+      SELECT event_type, bkt, min(day) AS lo, max(day) AS hi
+      FROM daily GROUP BY 1,2
+    ), cal AS (
+      SELECT event_type, bkt,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), dense AS (
+      SELECT c.event_type, c.bkt, c.day, d.v
+      FROM cal c LEFT JOIN daily d USING (event_type, bkt, day)
+    ), filled AS (
+      SELECT event_type, bkt, day, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS locf,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+            OVER w_prev AS pd,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+            OVER w_next AS nd
+      FROM dense
+      WINDOW
+        w_prev AS (PARTITION BY event_type, bkt ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type, bkt ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bkt, day, v, CAST(locf AS BIGINT) AS locf,
+           (floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                   ELSE CAST(locf AS DOUBLE)
+                        + (CAST(nv AS DOUBLE) - CAST(locf AS DOUBLE))
+                          * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                             / CAST(date_diff('day', pd, nd) AS DOUBLE)) END)
+                 * 1000000.0 + 0.5) / 1000000.0) AS interp
+    FROM filled
+    """,
+)
+def events_gapfill_locf_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (round 12): densify per-(event_type, user
+    bucket) daily activity counts onto each series' own calendar and
+    fill the holes with LOCF and linear interpolation — the hypertable
+    ``time_bucket_gapfill`` shape. The raw stream is scanned ONCE (the
+    daily aggregate); everything after runs at CALENDAR grain (series x
+    days — metadata scale at any corpus size), so the per-series windows
+    are bounded by the calendar span, never raw cardinality. The 50-way
+    user bucketing makes the sf0.01 fixture genuinely gappy (~1.8k gap
+    days); counts-in -> the interpolation doubles are bit-stable in both
+    engines (same operation order, hround on top)."""
+    from ..operators import timeseries
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 50).cast("long").alias("bkt"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    out = timeseries.gapfill_daily(daily, ["event_type", "bkt"], "day", "v")
+    return out.select(
+        "event_type",
+        "bkt",
+        "day",
+        "v",
+        F.col("locf").cast("long").alias("locf"),
+        hround(F.col("interp"), 6).alias("interp"),
+    )

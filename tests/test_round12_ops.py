@@ -279,3 +279,66 @@ def test_skyline_nd_d1_degenerates_to_min(spark):
     df = spark.createDataFrame(rows, "id long, a long").repartition(2)
     got = sorted(r.id for r in skyline(df, ["a"], []).collect())
     assert got == [2, 3]
+
+
+# -- time-series gap-fill (round 12) ------------------------------------------
+def test_gapfill_daily_matches_naive(spark):
+    """LOCF + linear interpolation vs a naive python fill on a
+    multi-series frame with single and multi-day interior gaps, a
+    single-observation series, and a NULL day row (excluded)."""
+    import datetime as dt
+
+    from les_etl_pipeline_spark.operators import timeseries
+
+    d = lambda i: dt.date(2024, 5, 1) + dt.timedelta(days=i)
+    rows = [
+        ("a", d(0), 10),
+        ("a", d(1), 20),
+        ("a", d(4), 50),   # 2-day interior gap
+        ("a", d(5), 10),
+        ("a", d(9), 2),    # 3-day interior gap
+        ("b", d(2), 7),    # single-observation series: calendar = 1 day
+        ("c", d(0), 4),
+        ("c", d(2), 6),
+        ("c", None, 99),   # NULL day: excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "s string, day date, v long").repartition(3)
+    out = timeseries.gapfill_daily(df, ["s"], "day", "v")
+    got = {
+        (r.s, r.day): (r.v, r.locf, r.interp) for r in out.collect()
+    }
+
+    def naive():
+        series = {}
+        for s, day, v in rows:
+            if day is not None:
+                series.setdefault(s, {})[day] = v
+        exp = {}
+        for s, obs in series.items():
+            days = sorted(obs)
+            cur = days[0]
+            while cur <= days[-1]:
+                v = obs.get(cur)
+                prevs = [x for x in days if x <= cur and x in obs]
+                nexts = [x for x in days if x >= cur and x in obs]
+                pd_, nd_ = max(prevs), min(nexts)
+                locf = obs[pd_]
+                if v is not None:
+                    interp = float(v)
+                else:
+                    span = (nd_ - pd_).days
+                    into = (cur - pd_).days
+                    interp = obs[pd_] + (obs[nd_] - obs[pd_]) * (into / span)
+                exp[(s, cur)] = (v, locf, interp)
+                cur += dt.timedelta(days=1)
+        return exp
+
+    exp = naive()
+    assert set(got) == set(exp)
+    for k in exp:
+        ev, el, ei = exp[k]
+        gv, gl, gi = got[k]
+        assert gv == ev and gl == el and abs(gi - ei) < 1e-12, (k, got[k], exp[k])
+    # prev/next day bounds are surfaced for window-limited fills
+    cols = set(out.columns)
+    assert {"prev_day", "next_day"} <= cols

@@ -146,6 +146,20 @@ def main() -> None:
         # sliding HH is one counting scan + bounded pane sums
         "sample_weighted_per_group",
         "sketch_heavy_hitters_sliding",
+        # round-12 queue (VERDICT r11 #3): grouped carried-CDF weighted
+        # quantiles and the winsorized mean share the value-grain CDF
+        # shape, the directed KMV difference is the overlap report's
+        # sibling, and the d=3 skylines fold bounded partials on scan
+        # partitions — all slopes should track scan cost
+        "agg_weighted_quantiles_by_group",
+        "agg_winsorized_mean_by_flag",
+        "sketch_kmv_source_difference",
+        "skyline_quality_3d",
+        "skyline_quality_3d_by_lang",
+        # round-12: calendar-grain gap-fill — everything after the daily
+        # aggregate is series x days rows, so the slope should be pure
+        # scan cost of the one raw aggregate
+        "events_gapfill_locf_interp",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
