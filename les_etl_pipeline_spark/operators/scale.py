@@ -509,3 +509,68 @@ def exact_weighted_quantiles_grouped(
         .groupBy(*gcols, "prob")
         .agg(F.min("_v").alias("value"))
     )
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    k: float = 3.0,
+    scale_const: float = 1.4826,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group robust outlier statistics: lower median, MAD (median
+    absolute deviation), and the count of rows beyond k x 1.4826 x MAD —
+    the robust z-score filter that survives the heavy tails where
+    mean/stddev outlier rules break (1.4826 makes MAD consistent with
+    sigma under normality).
+
+    Scale shape: the raw stream is aggregated ONCE to (group, value,
+    count) grain and lazily localCheckpointed; BOTH median passes (the
+    value median, then the median of absolute deviations) run as
+    carried-CDF weighted lower quantiles (min{v : cumweight >= 0.5 W})
+    over that bounded table — no per-group ordered window over raw rows,
+    no second raw scan (weight=count on the value grain IS the
+    unweighted quantile on raw). Every comparison is integer-count vs
+    p*W double — bit-stable across engines; med/mad are SELECTED order
+    statistics (no float summation anywhere), so the output replays
+    exactly in SQL. NULL values excluded; a NULL group is a group.
+    Returns (group..., med double, mad double, n, n_outliers)."""
+    from ..operators.sketches import _join_null_safe
+
+    gcols = list(group_cols)
+    vg = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*gcols, F.col(col).cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    med = exact_weighted_quantiles_grouped(
+        vg, gcols, "_v", "_c", [0.5], num_partitions=num_partitions
+    ).select(*gcols, F.col("value").alias("med"))
+    # dev feeds two consumers (the MAD CDF pass and the final outlier
+    # aggregate) — checkpoint the bounded value-grain frame once so the
+    # median pass is not re-derived per consumer
+    dev = (
+        _join_null_safe(vg, med, gcols)
+        .select(*gcols, F.abs(F.col("_v") - F.col("med")).alias("_d"), "_c", "med")
+        .localCheckpoint(eager=False)
+    )
+    mad = exact_weighted_quantiles_grouped(
+        dev, gcols, "_d", "_c", [0.5], num_partitions=num_partitions
+    ).select(*gcols, F.col("value").alias("mad"))
+    thr = float(k) * float(scale_const)
+    return (
+        _join_null_safe(dev, mad, gcols)
+        .groupBy(*gcols, "med", "mad")
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("_d") > F.lit(thr) * F.col("mad"), F.col("_c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -490,3 +490,54 @@ def agg_winsorized_mean_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         hround(F.avg(clamped), 4).alias("winsorized_mean"),
     )
+
+
+_MAD_K = 3.0 * 1.4826  # robust z cutoff: k * the normal-consistency const
+
+
+@register(
+    "agg_mad_outliers_by_flag",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS g, l_extendedprice AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM base
+    ), med AS (
+      SELECT g, v AS med FROM ranked
+      WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    ), dev AS (
+      SELECT b.g, abs(b.v - m.med) AS d, m.med
+      FROM base b JOIN med m USING (g)
+    ), dranked AS (
+      SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM dev
+    ), mad AS (
+      SELECT g, d AS mad FROM dranked
+      WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    )
+    SELECT dev.g AS l_returnflag, dev.med AS med, mad.mad AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE dev.d > {_MAD_K!r} * mad.mad)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (g)
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_mad_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per l_returnflag: lower median, MAD,
+    and the count beyond 3 x 1.4826 x MAD — the heavy-tail-safe twin of
+    the mean/stddev z-score. Both median passes are carried-CDF weighted
+    lower quantiles over the (group, value, count) grain (one raw scan,
+    no per-group ordered window over raw rows); the oracle replays the
+    lower median as the order statistic at ceil(0.5 n) — equivalent to
+    min{{v : cum >= 0.5 W}} — and every output is a selected value or an
+    integer count, so the match is bit-exact with no rounding shim."""
+    li = table(spark, sf_dir, "lineitem")
+    out = scale.grouped_mad_outliers(li, ["l_returnflag"], "l_extendedprice")
+    return out.select(
+        "l_returnflag", "med", "mad", "n", "n_outliers"
+    )

@@ -160,6 +160,9 @@ def main() -> None:
         # aggregate is series x days rows, so the slope should be pure
         # scan cost of the one raw aggregate
         "events_gapfill_locf_interp",
+        # round-12: two carried-CDF lower-median passes on the value grain
+        # — slope should match the grouped weighted quantiles it composes
+        "agg_mad_outliers_by_flag",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
