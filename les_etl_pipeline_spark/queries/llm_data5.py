@@ -430,3 +430,101 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_logprob_interp",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS MATERIALIZED (
+      SELECT w, count(*) AS cw FROM tok GROUP BY w
+    ), tot AS MATERIALIZED (
+      SELECT sum(cw) AS n FROM uni
+    ), wsr AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ), idx AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      FROM wsr WHERE len(ws) >= 2
+    ), pairs AS MATERIALIZED (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c
+      FROM idx GROUP BY 1, 2, 3
+    ), bg AS MATERIALIZED (
+      SELECT w1, w2, sum(c) AS nbg FROM pairs GROUP BY 1, 2
+    ), ctx AS MATERIALIZED (
+      SELECT w1, sum(nbg) AS nctx FROM bg GROUP BY 1
+    )
+    SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+           (floor((sum(p.c * ln(0.75 * (CAST(bg.nbg AS DOUBLE)
+                                        / CAST(ctx.nctx AS DOUBLE))
+                                 + 0.25 * (CAST(uni.cw AS DOUBLE)
+                                           / CAST(tot.n AS DOUBLE))))
+                   / sum(p.c)) * 1000000.0 + 0.5) / 1000000.0)
+               AS mean_logprob
+    FROM pairs p
+    JOIN bg USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN uni ON uni.w = p.w2
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def text_bigram_logprob_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean INTERPOLATED bigram log-probability per document under the
+    corpus's own empirical bigram LM — the KenLM-style perplexity filter
+    one order up from ``text_unigram_logprob``:
+    p(w2|w1) = 0.75 * c(w1 w2)/c(w1 .) + 0.25 * c(w2)/N (Jelinek-Mercer
+    interpolation; the unigram back-off keeps every observed bigram's
+    probability strictly positive without discount bookkeeping).
+
+    Scale shape: TWO corpus scans (token grain for the unigram model,
+    bigram grain for everything else) and no more — the (doc, bigram,
+    count) table is built once, lazily checkpointed, and reused for the
+    bigram model, the context totals, and the per-doc scoring join;
+    the corpus token total is a 1-row broadcast. Model joins key on the
+    bigram/context/token — zipf skew on those keys is AQE skew-join
+    territory, same doctrine as the unigram query. Per-doc mean is the
+    count-weighted form on the (doc, bigram) grain; hround(6) absorbs
+    cross-engine float-sum ordering (the per-term arithmetic is
+    written in the same operation order in both engines)."""
+    from ..operators import text as text_ops
+
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    uni = (
+        docs.select(F.explode(text_ops.ws_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").alias("n"))
+    pairs = (
+        docs.select("doc_id", F.explode(text_ops.bigrams("text")).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bg = pairs.groupBy("g").agg(F.sum("c").alias("nbg"))
+    ctx = (
+        bg.withColumn("w1", F.split("g", " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("nbg").alias("nctx"))
+    )
+    p_interp = F.lit(0.75) * (
+        F.col("nbg").cast("double") / F.col("nctx").cast("double")
+    ) + F.lit(0.25) * (F.col("cw").cast("double") / F.col("n").cast("double"))
+    return (
+        pairs.join(bg, "g")
+        .withColumn("w1", F.split("g", " ").getItem(0))
+        .withColumn("w2", F.split("g", " ").getItem(1))
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            hround(
+                F.sum(F.col("c") * F.log(p_interp)) / F.sum("c"), 6
+            ).alias("mean_logprob"),
+        )
+    )

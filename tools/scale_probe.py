@@ -163,6 +163,9 @@ def main() -> None:
         # round-12: two carried-CDF lower-median passes on the value grain
         # — slope should match the grouped weighted quantiles it composes
         "agg_mad_outliers_by_flag",
+        # round-12: bigram-grain model build + scoring joins — slope
+        # should track the bigram explode (linear in corpus tokens)
+        "text_bigram_logprob_interp",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
