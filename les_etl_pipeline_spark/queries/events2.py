@@ -930,3 +930,163 @@ def events_gapfill_locf_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("locf").cast("long").alias("locf"),
         hround(F.col("interp"), 6).alias("interp"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(date_diff('week', c.cohort_wk, a.wk) AS BIGINT) AS week_k,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted distinct in every later week-offset — THE product-analytics
+    staple. Scale shape: one distinct projection to (user, week) grain,
+    a tiny per-user min (the cohort), one broadcast-joinable cohort
+    table IF users are few — here it self-joins on user_id (AQE decides
+    the strategy) and aggregates on (cohort, offset): both shuffles are
+    keyed by user/cohort, never event-grain. Week arithmetic is integer
+    (date_trunc + datediff/7), so the match is exact with no rounding."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_k"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+    ), trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), ctx AS (
+      SELECT from_type, sum(c) AS n FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, CAST(t.c AS BIGINT) AS n_trans,
+           (floor((CAST(t.c AS DOUBLE) / CAST(x.n AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0) AS p_trans
+    FROM trans t JOIN ctx x USING (from_type)
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: counts and row-normalized probabilities of (type ->
+    next type). The lead() runs in a USER-partitioned window (per-user
+    event counts are bounded in practice — the classic clickstream
+    shape; a pathological single-user stream would be the salting
+    case). Downstream state is |types|^2 rows — metadata scale. The
+    probability division is a single double op, hround(6) on top."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ctx = trans.groupBy("from_type").agg(F.sum("c").alias("n"))
+    return trans.join(ctx, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("c").cast("long").alias("n_trans"),
+        hround(F.col("c").cast("double") / F.col("n").cast("double"), 6).alias(
+            "p_trans"
+        ),
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type,
+             CAST(count(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    )
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the
+    earliest step-k event STRICTLY AFTER that user's step-(k-1) time —
+    the sequential-pattern semantics dashboards mean by 'funnel' (a
+    user who purchases before ever viewing does not convert). Each step
+    is one filtered min-aggregate on user_id plus a theta-condition
+    join against the previous step's (user, ts) table — k passes over
+    the (pre-filtered, per-step) events, every shuffle keyed by
+    user_id, no per-user window over the full stream and no Python.
+    Counts are integers; the oracle is the same step chain in SQL."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    steps = ["view", "click", "purchase"]
+    prev = None
+    counts = []
+    for i, et in enumerate(steps):
+        cur = ev.where(F.col("event_type") == et).select("user_id", "ts")
+        if prev is not None:
+            cur = cur.join(prev, "user_id").where(F.col("ts") > F.col("_t"))
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        counts.append(
+            cur.agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(et).alias("event_type"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
