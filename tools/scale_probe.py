@@ -166,6 +166,10 @@ def main() -> None:
         # round-12: bigram-grain model build + scoring joins — slope
         # should track the bigram explode (linear in corpus tokens)
         "text_bigram_logprob_interp",
+        # round-12 analytics trio: user/cohort-keyed shuffles only
+        "events_retention_cohorts",
+        "events_type_transitions",
+        "events_funnel_conversion",
     ]
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in extra if n in QUERIES and n not in names]
