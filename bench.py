@@ -84,6 +84,13 @@ EXTENDED = [
     # quantiles (value-grain CDF over ~600k distinct prices at sf0.1)
     "sketch_kll_sliding_quantiles",
     "agg_weighted_quantiles_exact",
+    # round-12 heavies: the bigram-LM scorer (bigram-grain model build +
+    # three scoring joins — slope 0.50, linear in corpus tokens) and the
+    # grouped MAD (two carried-CDF median passes — overhead-bound at
+    # these sizes, slope 0.14, the fixed cost is the ~10-job carried
+    # cumsum machinery x2)
+    "text_bigram_logprob_interp",
+    "agg_mad_outliers_by_flag",
 ]
 # deliberately NOT benched: text_tfidf_cosine_pairs_exact. The synthetic
 # corpus has a CLOSED 31-token vocabulary at every sf, so the exact
