@@ -342,3 +342,26 @@ def test_gapfill_daily_matches_naive(spark):
     # prev/next day bounds are surfaced for window-limited fills
     cols = set(out.columns)
     assert {"prev_day", "next_day"} <= cols
+
+
+def test_gapfill_surfaced_bounds_enable_window_limited_fill(spark):
+    """The documented use of prev_day/next_day: a caller caps how far a
+    fill may stretch (e.g. LOCF valid for at most 2 days) with a plain
+    column predicate — no operator change needed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators import timeseries
+
+    d = lambda i: dt.date(2024, 5, 1) + dt.timedelta(days=i)
+    rows = [("a", d(0), 10), ("a", d(1), 20), ("a", d(7), 50)]  # 5-day gap
+    df = spark.createDataFrame(rows, "s string, day date, v long")
+    out = timeseries.gapfill_daily(df, ["s"], "day", "v").withColumn(
+        "locf_capped",
+        F.when(F.datediff("day", "prev_day") <= 2, F.col("locf")),
+    )
+    got = {r.day: r.locf_capped for r in out.collect()}
+    assert got[d(2)] == 20 and got[d(3)] == 20  # within 2 days of d(1)
+    assert got[d(4)] is None and got[d(6)] is None  # stale fill suppressed
+    assert got[d(7)] == 50  # observed day unaffected
