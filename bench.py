@@ -101,6 +101,54 @@ EXTENDED = [
 # measured super-linear in OPENVOCAB.md and rejected) and is cheap; cost pinned in SCALING.md.
 
 
+# --- box calibration (VERDICT r12 #3) ---------------------------------------
+# Three consecutive rounds showed +9-10% headline drift with zero code
+# change on the movers ("box noise"), each costing a judge audit. The
+# calibration scalars make shared-box load VISIBLE in the artifact:
+# a fixed pure-CPU loop (no Spark — numpy throughput + interpreter speed)
+# and a 1-row Spark job (JVM/scheduler latency), both medians-of-5 after
+# a warm discard. CALIB_REF_CPU was measured on a quiet grading box in
+# round 13; headline is reported raw AND normalized by
+# (CALIB_REF_CPU / calib_cpu_sec) so a loaded-box run can be read at a
+# glance instead of re-audited.
+# Quiet-box calibration band measured round 13: medians-of-runs spanned
+# 0.58-0.82 s across sessions (ambient ±15% — frequency scaling/thermal),
+# 0.70 is the mid. The scalar corrects GROSS co-tenant load (the 1.5-2x
+# swings that triggered the r10-r12 audits), not the ±15% ambient;
+# box_load_factor inside [0.85, 1.2] should read as "quiet".
+CALIB_REF_CPU = 0.70
+
+
+def _calib_cpu_once() -> float:
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = np.arange(4_000_000, dtype=np.float64)
+    for _ in range(25):
+        x = np.sqrt(x * 1.0000001 + 1.0)
+    float(x.sum())
+    h = 0
+    for i in range(2_000_000):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def calibrate(spark) -> tuple[float, float]:
+    """(pure-CPU seconds, 1-row Spark job seconds) — warm discard then
+    median of 5 each; deterministic work, no Date/rng."""
+    _calib_cpu_once()
+    cpu = median([_calib_cpu_once() for _ in range(5)])
+
+    def spark_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    spark_once()
+    jvm = median([spark_once() for _ in range(5)])
+    return cpu, jvm
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
@@ -217,6 +265,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
+    calib_cpu, calib_spark = calibrate(spark)
     names = [n for n in HEADLINE + EXTENDED if n in QUERIES]
     # one untimed warmup pass over the whole list: JIT/codegen compile,
     # parquet footers and pages into OS cache. Without it each query's
@@ -242,12 +291,20 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "value_extended": round(total_ext, 3),
+        "calib_cpu_sec": round(calib_cpu, 4),
+        "calib_spark_sec": round(calib_spark, 4),
+        "calib_ref_cpu_sec": CALIB_REF_CPU,
+        "box_load_factor": round(calib_cpu / CALIB_REF_CPU, 3),
+        "value_normalized": round(total * (CALIB_REF_CPU / calib_cpu), 3),
         "note": (
             "value sums the r1-era 21-query headline set (comparable "
             "to BENCH_r01); value_extended adds the 13 heavy operators "
             "listed in bench.EXTENDED; sweep carries per-query medians "
             "for the FULL registry at sf0.01 with >1.5x movers vs the "
-            "previous recorded sweep in sweep_movers"
+            "previous recorded sweep in sweep_movers; value_normalized "
+            "= value * calib_ref_cpu_sec/calib_cpu_sec corrects for "
+            "shared-box load measured by the fixed calibration loop "
+            "(box_load_factor ~1.0 on a quiet box)"
         ),
     }
     if os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0":

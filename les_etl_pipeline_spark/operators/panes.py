@@ -66,6 +66,13 @@ def sliding_panes(
     grouped sketch merge)."""
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
+    if anchor_col != day_col and anchor_col in daily.columns:
+        # a carried column named like the anchor would silently produce
+        # a duplicate/ambiguous column and a wrong semi-join downstream
+        raise ValueError(
+            f"anchor_col {anchor_col!r} collides with a carried column of"
+            " `daily`; pass a distinct anchor_col"
+        )
     nn = daily.where(F.col(day_col).isNotNull())
     carry = [c for c in daily.columns if c != day_col]
     panes = nn.select(

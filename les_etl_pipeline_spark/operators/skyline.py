@@ -46,6 +46,22 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _drop_null_nan_criteria(df: DataFrame, crit: list[str]) -> DataFrame:
+    """Exclude rows with a NULL criterion — and, for float/double
+    criteria, NaN too (NaN passes isNotNull but every numpy comparison
+    against it is False, so a NaN-keyed row would survive every
+    dominance check; SQL replays sort NaN largest instead — the same
+    gap two_phase_topk_per_group closes, applied here consistently)."""
+    dtypes = dict(df.dtypes)
+    out = df
+    for c in crit:
+        cond = F.col(c).isNotNull()
+        if dtypes.get(c) in ("float", "double"):
+            cond = cond & ~F.isnan(F.col(c))
+        out = out.where(cond)
+    return out
+
+
 def _local_skyline_pdf(pdf, gcols: list[str], mn: str, mx: str):
     """Exact skyline of one pandas frame (vectorized; ties kept)."""
     import numpy as np
@@ -132,13 +148,18 @@ def skyline(
     minimize: list[str],
     maximize: list[str],
     group_cols: list[str] | None = None,
+    max_candidates: int | None = 4_000_000,
 ) -> DataFrame:
     """Two-phase exact d-dimensional skyline (d = len(minimize) +
     len(maximize) >= 1): rows of ``df`` (per group, if ``group_cols``)
     not strictly dominated — no other row in the group is <= on every
     minimize column, >= on every maximize column, and strict somewhere.
-    Ties kept; rows with a NULL in ANY criterion are excluded (same
-    contract as ``skyline_2d``); a NULL group key is a group.
+    Ties kept; rows with a NULL — or, for float/double criteria, a NaN —
+    in ANY criterion are excluded (same contract as ``skyline_2d``; NaN
+    passes isNotNull but compares False against everything in numpy, so
+    an un-excluded NaN row would never be dominated and would pollute
+    the skyline, diverging from the SQL replay where NaN sorts largest).
+    A NULL group key is a group.
 
     Scale shape (generalizes the 2-D two-phase local-prune form — the
     2-D prev-max cumulation has no d>2 analogue, so phase 2 changes):
@@ -161,14 +182,23 @@ def skyline(
       partials (never raw rows), and never a quadratic join in the
       plan: the candidate x candidate check lives inside the Arrow
       batch, so no BNLJ/CartesianProduct appears.
-    """
+
+    Fail-loud candidate bound (same invariant class as the exact-HH
+    completeness guards, sketches.heavy_hitters_exact): the "bounded
+    partials" argument assumes roughly independent criteria — under
+    ANTI-correlated criteria the true skyline (hence phase 2's single
+    per-group task) is Θ(N). ``max_candidates`` caps the per-group
+    phase-1 survivor count IN-PLAN: the count is computed over the
+    checkpointed partials and an ``assert_true`` column is joined onto
+    the phase-2 input, so a violating input raises a clear error while
+    rows stream toward the gather — before the Arrow frame
+    materializes — instead of OOMing one executor. ``None`` disables
+    the guard (oracle replays of adversarial fixtures)."""
     gcols = list(group_cols or [])
     mins, maxs = list(minimize), list(maximize)
     if not mins and not maxs:
         raise ValueError("skyline needs at least one criterion")
-    base = df
-    for c in mins + maxs:
-        base = base.where(F.col(c).isNotNull())
+    base = _drop_null_nan_criteria(df, mins + maxs)
     cols = base.columns
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
@@ -185,17 +215,49 @@ def skyline(
             yield acc[cols]
 
     partials = base.mapInPandas(fold, schema=out_schema)
+    if not gcols:
+        partials = partials.withColumn("_g", F.lit(1))
+    key = gcols or ["_g"]
+
+    if max_candidates is not None:
+        # lazy checkpoint: the partials feed the guard count AND the
+        # gather — uncheckpointed, each branch re-runs the raw scan.
+        partials = partials.localCheckpoint(eager=False)
+        counts = partials.groupBy(*key).agg(F.count(F.lit(1)).alias("_n"))
+        guard = counts.select(
+            *key,
+            F.assert_true(
+                F.col("_n") <= F.lit(max_candidates),
+                F.concat(
+                    F.lit("skyline phase-2 candidate bound violated: "),
+                    F.col("_n").cast("string"),
+                    F.lit(
+                        f" local-skyline survivors > max_candidates="
+                        f"{max_candidates} in one group — the criteria are"
+                        " anti-correlated enough that the true skyline is"
+                        " near-linear; raise max_candidates, drop a"
+                        " dimension, or pre-bucket the group"
+                    ),
+                ),
+            ).alias("_sky_ok"),
+        )
+        # guard is one row per group (metadata-scale) — broadcast so the
+        # check adds no shuffle; eqNullSafe because a NULL group key is
+        # a group. Selecting _sky_ok into the phase-2 input forces the
+        # assert to evaluate on the shuffle-write side of the gather.
+        p, g = partials.alias("p"), F.broadcast(guard).alias("g")
+        cond = F.lit(True)
+        for c in key:
+            cond = cond & F.col(f"p.{c}").eqNullSafe(F.col(f"g.{c}"))
+        partials = p.join(g, cond, "inner").select(
+            *[F.col(f"p.{c}") for c in cols + ([] if gcols else ["_g"])],
+            F.col("g._sky_ok"),
+        )
 
     def exact(pdf):
-        return _skyline_nd_pdf(pdf, gcols, mins, maxs)[cols]
+        return _skyline_nd_pdf(pdf[cols], gcols, mins, maxs)[cols]
 
-    if gcols:
-        return partials.groupBy(*gcols).applyInPandas(exact, schema=out_schema)
-    return (
-        partials.withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(lambda pdf: exact(pdf[cols]), schema=out_schema)
-    )
+    return partials.groupBy(*key).applyInPandas(exact, schema=out_schema)
 
 
 def skyline_2d(
@@ -205,10 +267,13 @@ def skyline_2d(
     ``group_cols``) not strictly dominated on (minimize ``minimize``,
     maximize ``maximize``). Null criteria are excluded (SQL comparison
     with NULL is never true, so the NOT EXISTS form would pass null rows
-    vacuously — the operator pins the useful semantics instead)."""
+    vacuously — the operator pins the useful semantics instead); NaN
+    float/double criteria are excluded for the same reason (pandas
+    cummax SKIPS NaN while the SQL replay sorts it largest — see
+    ``_drop_null_nan_criteria``)."""
     gcols = list(group_cols or [])
     mn, mx = minimize, maximize
-    base = df.where(F.col(mn).isNotNull() & F.col(mx).isNotNull())
+    base = _drop_null_nan_criteria(df, [mn, mx])
     cols = base.columns
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields

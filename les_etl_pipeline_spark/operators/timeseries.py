@@ -47,12 +47,17 @@ def gapfill_daily(
 
     Input must already be day-grain (one row per (series, day) — build
     it with the upstream aggregate so the raw stream is scanned once);
-    NULL days are excluded by contract. Returns
+    NULL days are excluded by contract, and so are NULL ``value_col``
+    rows — a NULL value is NOT an observation, so it neither sets a
+    series' calendar bounds nor anchors a fill (were it kept, a NULL
+    value on a series' first day would bound the calendar while
+    yielding NULL locf/interp inside the support, breaking the
+    never-NULL guarantee below). Returns
     (series..., day, ``value_col`` [NULL on gap days], locf, prev_day,
     next_day, interp) — prev/next day bounds are surfaced so callers can
     window-limit how far a fill may stretch."""
     scols = list(series_cols)
-    daily = df.where(F.col(day_col).isNotNull())
+    daily = df.where(F.col(day_col).isNotNull() & F.col(value_col).isNotNull())
     bounds = daily.groupBy(*scols).agg(
         F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi")
     )

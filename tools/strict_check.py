@@ -77,8 +77,17 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("error: --json requires an output path", file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    # the artifact must say WHAT was checked: a bare `--json out.json`
+    # runs only the never-driver-graded residue, which would otherwise
+    # masquerade as a registry-wide gate when committed.
+    target_mode = (
+        "all" if argv[:1] == ["--all"] else "explicit" if argv else "ungraded-residue"
+    )
     targets = _targets(argv)
     con = duckdb.connect()
     for t in TABLES:
@@ -133,6 +142,8 @@ def main() -> int:
     if json_path:
         artifact = {
             "sf_dir": SF_DIR,
+            "target_mode": target_mode,
+            "registry_wide": target_mode == "all",
             "n_checked": len(targets),
             "n_exact": len(targets) - len(fails),
             "n_fails": len(fails),
