@@ -53,9 +53,31 @@ content (a builder callback materializes arbitrary files into the
 staging dir): the streaming ANN index uses it to retrain-and-swap its
 quantizer + reassigned postings as one atomic unit.
 
-Residual gap vs real Delta: conflict *granularity* — whole-table
-versions here vs partition-level conflict detection there
-(COVERAGE.md divergence 0).
+**Partition-level conflict granularity** (round 13; closes COVERAGE.md
+divergence 0): ``publish_partitions`` replaces only the hive partition
+dirs its DataFrame actually touches. Because every version here is a
+FULL snapshot (not a Delta log of deltas), a partition publish composes
+its version dir at claim time: hardlinks of the current version's
+untouched partition dirs + the freshly staged touched dirs — so two
+DISJOINT writers based on the same read version both commit (the later
+one mechanically recomposes over the earlier's result; its Spark write
+runs once), while OVERLAPPING writers — or a partition writer racing a
+whole-table publish — get ``ConcurrentWriteError``, mirroring Delta's
+logical-conflict detection.
+
+Race-airtightness — conditional commits: compose-from-current and
+claim-next-slot are two steps, so a commit could sneak between them
+and be silently dropped from the composed snapshot. Every CAS'd claim
+therefore records ``depends_on`` (the version it composed over /
+CAS'd against) in its commit metadata, and commit VALIDITY is a pure
+function of the immutable claim history: walking claimed slots
+ascending, an unconditional claim (blind whole-table publish) always
+commits, a conditional claim commits iff its ``depends_on`` equals the
+highest valid commit below it. A stale composition therefore
+self-invalidates — every reader deterministically skips it — and the
+writer detects its own invalid claim post-win and retries (partition
+publish: recompose, cheap links) or raises (whole-table CAS). Invalid
+claims are inert debris swept by ``vacuum``.
 """
 
 from __future__ import annotations
@@ -74,6 +96,11 @@ from pyspark.sql import DataFrame, SparkSession
 CURRENT = "_CURRENT"
 COMMITTED = "_COMMITTED"
 MARKER_PREFIX = "commit-v="
+#: per-version commit metadata (inside the version dir and mirrored in
+#: the marker body): {"depends_on": int|-1|absent, "touched": [dir..]|None,
+#: "partition_by": str|None}. Absent file / absent keys = legacy
+#: unconditional whole-table commit.
+TX_META = "_TX_META"
 #: pass as ``expected_version`` to CAS-assert the store has never
 #: published (the first-commit race: exactly one of N concurrent
 #: initializers wins)
@@ -162,14 +189,66 @@ class SnapshotStore:
                 continue
         return out
 
+    def _claim_meta(self, version: int) -> dict | None:
+        """Commit metadata for a claimed slot: the marker body (carries
+        it even before the data dir is finalized) or the version dir's
+        ``_TX_META``. None = legacy claim = unconditional whole-table."""
+        try:
+            with open(os.path.join(self.root, f"{MARKER_PREFIX}{version}")) as f:
+                body = json.load(f)
+            if "depends_on" in body or "touched" in body:
+                return body
+        except (OSError, ValueError):
+            pass
+        try:
+            with open(os.path.join(self.root, f"v={version}", TX_META)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _committed_chain(self) -> list[int]:
+        """The VALID committed versions, ascending — the store's source
+        of truth. Candidacy (the claim exists and is readable) is fixed
+        at claim time; validity is then a pure function of the immutable
+        claim history, so every reader computes the same chain forever:
+
+        - unconditional claims (legacy / blind whole-table publish)
+          always commit;
+        - conditional claims (``depends_on`` = the version the writer
+          composed over or CAS'd against; -1 = expected-empty) commit
+          iff ``depends_on`` equals the highest valid commit below the
+          slot. A claim composed against a stale base — the compose/
+          claim race — is thereby inert: deterministically skipped by
+          everyone, including its own writer's post-win check.
+
+        Vacuum compaction: a surviving conditional claim whose
+        ``depends_on`` points below the oldest surviving claim seeds the
+        chain (it was valid when vacuum kept it)."""
+        cands = sorted(
+            set(self._versions_on_disk(committed_only=True))
+            | set(self._committed_marker_versions())
+        )
+        all_claims = self._versions_on_disk() + self._marker_versions()
+        floor = min(all_claims) if all_claims else 0
+        chain: list[int] = []
+        cur = -1
+        for v in cands:
+            meta = self._claim_meta(v)
+            dep = meta.get("depends_on") if meta else None
+            if dep is None:  # unconditional (blind or legacy)
+                chain.append(v)
+                cur = v
+            elif dep == cur or (cur == -1 and -1 != dep < floor):
+                chain.append(v)
+                cur = v
+        return chain
+
     def current_version(self) -> int | None:
-        """Highest committed version: max over marker-committed slots,
-        ``_COMMITTED``-stamped dirs, and the pointer (which covers dirs
-        published by older revisions of this module, pre-marker).
-        Monotone under any writer race because claimed slots are
-        immutable."""
-        cands = self._versions_on_disk(committed_only=True)
-        cands += self._committed_marker_versions()
+        """Highest valid committed version (see ``_committed_chain``),
+        or the pointer when it is higher (covers dirs published by
+        older, pre-marker revisions of this module). Monotone under any
+        writer race because claims are immutable."""
+        cands = self._committed_chain()
         ptr = self._pointer_version()
         if ptr is not None:
             cands = cands + [ptr]
@@ -225,6 +304,16 @@ class SnapshotStore:
                         f"lost the race for v={nxt} — re-read and retry"
                     ) from None
                 continue  # blind write: another writer took the slot; next
+            if expected_version is not None and nxt not in self._committed_chain():
+                # compose/claim race: a commit landed between reading
+                # `cur` and winning `nxt`, so our conditional claim
+                # (depends_on=expected) self-invalidated — it is inert
+                # debris every reader skips deterministically (see
+                # _committed_chain); vacuum sweeps it.
+                raise ConcurrentWriteError(
+                    f"v={nxt} invalidated: the table moved past "
+                    f"v={expected_version} while committing — re-read and retry"
+                )
             self._advance_pointer(nxt)
             return nxt
 
@@ -260,10 +349,19 @@ class SnapshotStore:
                 "concurrent vacuum? raise vacuum's tx_grace_seconds)"
             )
         marker = os.path.join(self.root, f"{MARKER_PREFIX}{nxt}")
+        body = {"staging": os.path.basename(staging)}
+        try:
+            # mirror the commit metadata into the marker body so the
+            # validity walk and conflict checks never need the (possibly
+            # not-yet-finalized) data dir
+            with open(os.path.join(staging, TX_META)) as f:
+                body.update(json.load(f))
+        except (OSError, ValueError):
+            pass
         fd, tmp = tempfile.mkstemp(prefix="._marker.", dir=self.root)
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"staging": os.path.basename(staging)}, f)
+                json.dump(body, f)
                 f.flush()
                 os.fsync(f.fileno())
             try:
@@ -329,6 +427,22 @@ class SnapshotStore:
         os.replace(tmp, self._pointer_path())
 
     # -- write / audit / publish ----------------------------------------------
+    @staticmethod
+    def _write_tx_meta(
+        staging: str,
+        expected_version: int | None,
+        touched: list[str] | None = None,
+        partition_by: str | None = None,
+        read_version: int | None = None,
+    ) -> None:
+        meta: dict = {"touched": touched, "partition_by": partition_by}
+        if expected_version is not None:
+            meta["depends_on"] = max(expected_version, EXPECT_EMPTY)
+        if read_version is not None:
+            meta["read_version"] = read_version
+        with open(os.path.join(staging, TX_META), "w") as f:
+            json.dump(meta, f)
+
     def publish(
         self,
         df: DataFrame,
@@ -356,6 +470,7 @@ class SnapshotStore:
             raise ValueError(
                 f"audit rejected snapshot; current stays at v={self.current_version()}"
             )
+        self._write_tx_meta(staging, expected_version)
         with open(os.path.join(staging, COMMITTED), "w") as f:
             f.write("1")
         return self._claim(staging, expected_version)
@@ -383,9 +498,202 @@ class SnapshotStore:
             raise ValueError(
                 f"audit rejected snapshot; current stays at v={self.current_version()}"
             )
+        self._write_tx_meta(staging, expected_version)
         with open(os.path.join(staging, COMMITTED), "w") as f:
             f.write("1")
         return self._claim(staging, expected_version)
+
+    # -- partition-scoped publish (round 13) -----------------------------------
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Recursive hardlink copy (parquet files are immutable, so a
+        link IS a snapshot); falls back to a real copy cross-device. On
+        an object store this step becomes a server-side copy or a
+        manifest entry — it is layout, never the commit point."""
+        if os.path.isfile(src):
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            return
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            SnapshotStore._link_tree(
+                os.path.join(src, name), os.path.join(dst, name)
+            )
+
+    def _check_partition_conflicts(
+        self,
+        read_version: int,
+        chain: list[int],
+        touched: list[str],
+        partition_by: str,
+    ) -> None:
+        """Delta-style logical conflict detection: every valid commit
+        after ``read_version`` must be a partition publish on the same
+        partition column touching a DISJOINT set of partition dirs;
+        anything else (overlap, whole-table publish, different layout,
+        unreadable metadata) conflicts."""
+        mine = set(touched)
+        for v in chain:
+            if v <= read_version:
+                continue
+            meta = self._claim_meta(v) or {}
+            theirs = meta.get("touched")
+            if theirs is None:
+                raise ConcurrentWriteError(
+                    f"whole-table publish at v={v} since read_version="
+                    f"{read_version} — re-read and retry"
+                )
+            if meta.get("partition_by") != partition_by:
+                raise ConcurrentWriteError(
+                    f"v={v} partitioned by {meta.get('partition_by')!r}, "
+                    f"not {partition_by!r} — layouts conflict"
+                )
+            overlap = mine & set(theirs)
+            if overlap:
+                raise ConcurrentWriteError(
+                    f"v={v} touched overlapping partition(s) "
+                    f"{sorted(overlap)} since read_version={read_version} "
+                    "— re-read, re-derive, retry"
+                )
+
+    def _compose(
+        self,
+        staged: str,
+        touched: list[str],
+        base_version: int | None,
+        expected_version: int,
+        partition_by: str,
+        read_version: int,
+    ) -> str:
+        """Materialize a full-snapshot staging dir: the base version's
+        partition dirs minus ``touched`` (hardlinked — metadata cost
+        only), plus the staged touched dirs. Pure layout; re-runnable
+        per retry without touching Spark."""
+        merged = self._staging_dir()
+        os.makedirs(merged)
+        skip = set(touched) | {COMMITTED, TX_META, "_SUCCESS"}
+        if base_version is not None:
+            base = self.version_path(base_version)
+            for name in os.listdir(base):
+                if name in skip or name.startswith("."):
+                    continue
+                self._link_tree(
+                    os.path.join(base, name), os.path.join(merged, name)
+                )
+        for name in touched:
+            src = os.path.join(staged, name)
+            if os.path.isdir(src):  # absent staged dir = partition deleted
+                self._link_tree(src, os.path.join(merged, name))
+        self._write_tx_meta(
+            merged,
+            expected_version,
+            touched=sorted(touched),
+            partition_by=partition_by,
+            read_version=read_version,
+        )
+        with open(os.path.join(merged, COMMITTED), "w") as f:
+            f.write("1")
+        return merged
+
+    def publish_partitions(
+        self,
+        df: DataFrame,
+        partition_by: str,
+        read_version: int | None,
+        audit: Callable[[DataFrame], bool] | None = None,
+        touched_partitions: list[str] | None = None,
+        max_attempts: int = 50,
+    ) -> int:
+        """Publish ``df`` as a replacement of ONLY the hive partitions
+        it touches, with partition-level conflict detection (Delta's
+        logical-conflict model on this store's CAS; closes COVERAGE.md
+        divergence 0).
+
+        ``read_version`` is the version the caller derived ``df`` from
+        (None/EXPECT_EMPTY = an empty store). Commits landed since then
+        are examined: disjoint same-column partition publishes compose
+        (this writer mechanically re-links over them and still commits
+        — its Spark write runs exactly once); an overlapping publish, a
+        whole-table publish, or a different partition column raises
+        ``ConcurrentWriteError`` and the caller must re-read/re-derive.
+
+        ``touched_partitions`` (encoded partition VALUES, e.g.
+        ``["2024-01-01"]``) overrides the declared set — list a value
+        with no rows in ``df`` to DELETE that partition; by default the
+        touched set is read from the staged dirs, so declared == actual
+        by construction. The audit hook sees the staged touched
+        partitions as written.
+
+        Commit safety: the composed snapshot records
+        ``depends_on = <composition base>``; if any commit sneaks
+        between composing and claiming, this claim self-invalidates
+        (see ``_committed_chain``) and the writer recomposes — so the
+        published chain never loses a disjoint concurrent update."""
+        staged = self._staging_dir()
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(staged)
+        prefix = f"{partition_by}="
+        if touched_partitions is None:
+            touched = sorted(
+                n for n in os.listdir(staged) if n.startswith(prefix)
+            )
+        else:
+            touched = sorted(f"{prefix}{v}" for v in touched_partitions)
+            staged_dirs = {n for n in os.listdir(staged) if n.startswith(prefix)}
+            extra = staged_dirs - set(touched)
+            if extra:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise ValueError(
+                    f"df wrote partitions {sorted(extra)} not declared in "
+                    "touched_partitions — declared must be a superset"
+                )
+        if not touched:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ValueError(
+                "publish_partitions with an empty df and no "
+                "touched_partitions would be a no-op publish"
+            )
+        if audit is not None and not audit(self.spark.read.parquet(staged)):
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ValueError(
+                f"audit rejected snapshot; current stays at v={self.current_version()}"
+            )
+        rv = EXPECT_EMPTY if read_version is None else read_version
+        try:
+            for _ in range(max_attempts):
+                chain = self._committed_chain()
+                cur = max(chain) if chain else None
+                if rv != EXPECT_EMPTY and rv not in chain:
+                    raise ConcurrentWriteError(
+                        f"read_version v={rv} is not a committed version "
+                        "(vacuumed or never published) — re-read"
+                    )
+                self._check_partition_conflicts(rv, chain, touched, partition_by)
+                expected = cur if cur is not None else EXPECT_EMPTY
+                merged = self._compose(
+                    staged, touched, cur, expected, partition_by, rv
+                )
+                nxt = self._next_slot(cur)
+                if self.protocol == "marker":
+                    won = self._claim_marker(merged, nxt)
+                else:
+                    won = self._claim_rename(merged, nxt)
+                if won:
+                    if nxt in self._committed_chain():
+                        self._advance_pointer(nxt)
+                        return nxt
+                    # compose/claim race: our claim self-invalidated
+                    # (inert debris, vacuum sweeps it) — recompose over
+                    # the commit that beat us and retry
+                else:
+                    shutil.rmtree(merged, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"gave up after {max_attempts} recompose attempts — "
+                "pathological writer contention"
+            )
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
 
     # -- read / history ----------------------------------------------------
     def version_path(self, version: int | None = None) -> str:
@@ -467,12 +775,39 @@ class SnapshotStore:
         cur = self.current_version()
         if cur is None:
             return []
-        committed = set(self._versions_on_disk()) | set(self._marker_versions())
-        keep = {v for v in committed if v > cur} | set(
+        claimed = set(self._versions_on_disk()) | set(self._marker_versions())
+        # self-invalidated conditional claims (candidates the validity
+        # chain skips — compose/claim race losers) are inert debris at
+        # ANY slot, including above cur: sweep them past the grace
+        # window. The pointer version is never touched (legacy stores).
+        chain = set(self._committed_chain())
+        ptr = self._pointer_version()
+        candidates = set(self._versions_on_disk(committed_only=True)) | set(
+            self._committed_marker_versions()
+        )
+        for v in sorted(candidates - chain):
+            if v == ptr:
+                continue
+            path = os.path.join(self.root, f"v={v}")
+            marker = os.path.join(self.root, f"{MARKER_PREFIX}{v}")
+            try:
+                age = now - max(
+                    os.path.getmtime(p) for p in (path, marker) if os.path.exists(p)
+                )
+            except (OSError, ValueError):
+                continue
+            if age >= tx_grace_seconds:
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass
+                claimed.discard(v)
+        keep = {v for v in claimed if v > cur} | set(
             range(max(0, cur - keep_last + 1), cur + 1)
         )
         dropped = []
-        for v in sorted(committed):
+        for v in sorted(claimed):
             if v not in keep:
                 shutil.rmtree(os.path.join(self.root, f"v={v}"), ignore_errors=True)
                 try:
