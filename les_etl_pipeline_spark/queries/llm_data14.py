@@ -9,12 +9,21 @@
   drift in the index's ranking shows up as a recall movement the
   driver's value-hash gate flags, not just a pytest bound.
 
-Scale shape: the join is top-k-result x top-k-result (q x k rows per
-side — metadata-scale regardless of corpus size); the expensive parts
-are the two index scans the underlying queries already pay.
+- ``dedup_incremental_cc_fold``: the incremental connected-components
+  maintenance path (streaming/dedup_index.fold_clusters, VERDICT r12
+  #5) driver-graded as a batch query: the jaccard pair graph is split
+  into three chunks and folded sequentially into a cluster table from
+  empty — the result must equal one-shot CC (the same recursive-CTE
+  closure oracle as ``dedup_cluster_components``), making the
+  merge-event relabeling logic itself hash-gated, not only pinned in
+  the streaming test.
 
-Reference parity: none (no ANN surface in the reference — SURVEY.md
-§2.12 gap family; LLM-data operators from the build brief).
+Scale shape: the recall join is top-k x top-k (metadata-scale); each
+CC fold contracts its chunk's edges to cluster-level merge events, so
+per-fold work is O(chunk edges), never corpus x corpus.
+
+Reference parity: none (no ANN/dedup surface in the reference —
+SURVEY.md §2.12 gap family; LLM-data operators from the build brief).
 """
 
 from __future__ import annotations
@@ -85,3 +94,55 @@ def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _cc_fold_oracle() -> str:
+    from .llm_data import _JACCARD_PAIRS_CTE
+
+    return (
+        "WITH RECURSIVE "
+        + _JACCARD_PAIRS_CTE.replace("WITH tok", "tok", 1).lstrip()
+        + """
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """
+    )
+
+
+@register("dedup_incremental_cc_fold", oracle=_cc_fold_oracle())
+def dedup_incremental_cc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance as a graded batch query: the jaccard
+    pair graph folds into a cluster table in three chunks via
+    streaming/dedup_index.fold_clusters (endpoints resolve to current
+    labels, edges contract to cluster-level merge events, CC runs on
+    the contracted graph only, merge map relabels) — and the folded
+    result must equal one-shot connected components (recursive-CTE
+    closure oracle, same as dedup_cluster_components). The chunk split
+    (xxhash64) is an internal grouping key the output is INDEPENDENT of
+    — any 3-way split folds to the same components."""
+    from ..operators import dedup
+    from ..streaming.dedup_index import CLUSTERS_SCHEMA, fold_clusters
+
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            table(spark, sf_dir, "documents"), k=3, threshold=0.1
+        )
+        .select("id_a", "id_b")
+        .withColumn("_chunk", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3)))
+        .localCheckpoint()  # three chunk consumers — fold once, not 3x
+    )
+    clusters = spark.createDataFrame([], CLUSTERS_SCHEMA)
+    for c in range(3):
+        clusters = fold_clusters(
+            clusters, pairs.where(F.col("_chunk") == c).select("id_a", "id_b")
+        ).localCheckpoint()  # each fold joins the prior table twice
+    return clusters.orderBy("doc_id")
