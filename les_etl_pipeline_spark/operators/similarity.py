@@ -936,6 +936,121 @@ def rh_lsh_topk(
     )
 
 
+def cosine_banded_candidates(
+    df: DataFrame,
+    d_in: int = 64,
+    n_bits: int = 6,
+    num_tables: int = 12,
+    max_bucket: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = RH_SEED,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) colliding in >= 1 hyperplane-
+    signature bucket, with GUARANTEED bounded expansion: every
+    (table, bucket) cell is hash-sub-split to <= ~max_bucket members
+    (the SemDeDup valve, llm_data10.SEMDEDUP_MAX_CLUSTER), so candidate
+    volume is O(num_tables * n * max_bucket) BY CONSTRUCTION — even on
+    adversarial data where every vector lands in one bucket. That bound
+    is what the pyspark.ml BRP path (`cosine_lsh_candidate_pairs`)
+    lacks: round-13 measurement showed its bucketLength=2.0 hashes put
+    ~all unit vectors in 2 buckets, degrading candidates to all-pairs
+    (SCALING.md). The md5-parity planes and md5 sub-split replay
+    verbatim in DuckDB, so a query built on this is graded hash-exact
+    even though recall < 1 (missed-collision pairs AND cross-sub pairs
+    in over-full buckets are dropped deterministically on both sides).
+
+    Recall sizing (Charikar hyperplane LSH): a pair at cosine c collides
+    per table with prob (1 - acos(c)/pi)^n_bits; union over num_tables.
+    n_bits should grow ~log2(n / max_bucket) with corpus size so the
+    sub-split valve stays disengaged on non-adversarial data."""
+    planes = rh_planes(d_in, n_bits, num_tables, seed)
+    e = with_norm(df.select(id_col, vec_col), vec_col).where(F.col("nrm") > 0)
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), rh_bucket_expr(F.col("vd"), planes[t]).alias("b")
+            )
+            for t in range(num_tables)
+        ]
+    )
+    # one narrow key table feeds the size count AND both join sides —
+    # freeze it so the plane dots run once (repo checkpoint idiom)
+    h = (
+        e.select(F.col(id_col).alias("id"), F.explode(tb).alias("tb"))
+        .select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = h.groupBy("t", "b").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(max_bucket)))
+        .cast("long")
+        .alias("n_sub")
+    )
+    # sizes is <= num_tables * 2^n_bits rows — metadata; broadcast
+    hs = h.join(F.broadcast(sizes), ["t", "b"]).withColumn(
+        "sub",
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % F.col("n_sub"),
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_banded_pairs(
+    df: DataFrame,
+    threshold: float,
+    d_in: int = 64,
+    n_bits: int = 6,
+    num_tables: int = 12,
+    max_bucket: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = RH_SEED,
+) -> DataFrame:
+    """Bounded-expansion cosine near-dup pairs: hyperplane-banded
+    candidates (``cosine_banded_candidates`` — O(n * max_bucket *
+    num_tables) pair expansion by construction) verified with the exact
+    cosine. Precision exact; recall is the banding collision probability
+    — deterministic, and replayed verbatim by the DuckDB oracle."""
+    cand = cosine_banded_candidates(
+        df, d_in, n_bits, num_tables, max_bucket, id_col, vec_col, seed
+    )
+    e = with_norm(df.select(id_col, vec_col), vec_col).where(F.col("nrm") > 0)
+    n = e.select(F.col(id_col).alias("id"), "vd", "nrm")
+    return (
+        cand.join(
+            n.select(
+                F.col("id").alias("id_a"),
+                F.col("vd").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            n.select(
+                F.col("id").alias("id_b"),
+                F.col("vd").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     query_pred,

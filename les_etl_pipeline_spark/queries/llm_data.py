@@ -590,12 +590,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production (default) embedding-dedup path: LSH-bucketed
-    candidate pairs + exact cosine re-check, then the same component
-    clustering. Oracle is the EXACT closure — green means the LSH
-    candidates recalled every qualifying pair on this data, i.e. the
-    scale path reproduces the exact path's clusters (recall-completeness
-    is additionally pytest-bounded in tests/test_scale.py)."""
+    """LSH-bucketed candidate pairs + exact cosine re-check, then the
+    same component clustering. Oracle is the EXACT closure — green means
+    the LSH candidates recalled every qualifying pair on this data
+    (recall-completeness additionally pytest-bounded in tests/
+    test_scale.py).
+
+    SCALE STATUS (round-13 full-registry measurement — SCALING.md,
+    BASELINE_TWINS): quadratic on this fixture and RELABELED a baseline,
+    for two measured reasons. (1) Output-bound: the true pair set at
+    threshold 0.4 has constant density 5e-4 here (59 pairs at 500
+    vectors -> 920 at 2000 — isotropic synthetic embeddings), so ANY
+    full-recall method is Omega(n^2). (2) The ml-BRP hashes at
+    bucketLength=2.0 measure degenerate on unit vectors (2 buckets for
+    2000 vectors) — candidates are ~all pairs. The bounded-expansion
+    default for this tier is ``dedup_embedding_cosine_banded``
+    (O(n*cap*tables) candidates by construction, deterministic recall
+    trade, hash-graded); full-recall loose-threshold semantic dedup is
+    ``dedup_semantic_prune`` (cluster-bounded, slope 0.33)."""
     out = dedup.embedding_cosine_dedup(
         table(spark, sf_dir, "documents"),
         table(spark, sf_dir, "embeddings"),

@@ -146,3 +146,100 @@ def dedup_incremental_cc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             clusters, pairs.where(F.col("_chunk") == c).select("id_a", "id_b")
         ).localCheckpoint()  # each fold joins the prior table twice
     return clusters.orderBy("doc_id")
+
+
+_BND_D, _BND_BITS, _BND_TABLES, _BND_CAP, _BND_T = 64, 6, 12, 40, 0.4
+
+
+def _banded_pairs_oracle() -> str:
+    """Verbatim replay of cosine_banded_pairs: the SAME md5-parity
+    hyperplane literals (driver-side computation feeds both sides — the
+    r8 LSH trick), the same md5 sub-bucket split (SemDeDup idiom), the
+    same exact-cosine verify."""
+    from ..operators import similarity
+
+    planes = similarity.rh_planes(_BND_D, _BND_BITS, _BND_TABLES)
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_aggregate(list_apply(list_zip(v, ["
+            + ", ".join(repr(s) for s in planes[t][j])
+            + "]), x -> x[1] * x[2]), 'sum') >= 0.0 THEN "
+            + str(1 << j)
+            + " ELSE 0 END)"
+            for j in range(_BND_BITS)
+        )
+
+    hashes = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id AS id, {t} AS t, ({bucket(t)}) AS b FROM n"
+        for t in range(_BND_TABLES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) AS nrm
+      FROM e WHERE sqrt(list_aggregate(list_apply(v, x -> x * x), 'sum')) > 0
+    ), h AS (
+      {hashes}
+    ), sizes AS (
+      SELECT t, b, CAST(ceil(count(*) / {_BND_CAP}.0) AS BIGINT) AS n_sub
+      FROM h GROUP BY t, b
+    ), hs AS (
+      SELECT h.id, h.t, h.b,
+             ('0x' || substr(md5(CAST(h.id AS VARCHAR)), 1, 7))::BIGINT
+               % s.n_sub AS sub
+      FROM h JOIN sizes s USING (t, b)
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM hs a JOIN hs b
+        ON a.t = b.t AND a.b = b.b AND a.sub = b.sub AND a.id < b.id
+    ), scored AS (
+      SELECT cand.id_a, cand.id_b,
+             list_aggregate(list_apply(list_zip(na.v, nb.v),
+               x -> x[1] * x[2]), 'sum') / (na.nrm * nb.nrm) AS cos
+      FROM cand
+      JOIN n na ON na.vec_id = cand.id_a
+      JOIN n nb ON nb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           (floor(cos * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM scored WHERE cos >= {_BND_T}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_embedding_cosine_banded", oracle=_banded_pairs_oracle())
+def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-expansion embedding near-dup pairs (round-13 measurement
+    follow-up): the full-registry SCALING sweep showed both existing
+    cosine-pair forms quadratic on this fixture — necessarily so, since
+    the TRUE pair set at threshold 0.4 grows as n^2 (measured constant
+    density 5e-4: 59 pairs at 500 vectors -> 920 at 2000; isotropic
+    synthetic embeddings), and the ml-BRP LSH's bucketLength=2.0 hashes
+    degenerate to 2 buckets on unit vectors. This tier restores a
+    SCALE GUARANTEE by trading recall, deterministically: hyperplane-
+    banded candidates with every (table, bucket) cell hash-sub-split to
+    <= ~{cap} members give O(n x {cap} x {t}) pair expansion BY
+    CONSTRUCTION (pinned adversarially in tests/test_similarity_banded
+    .py), and the md5 planes + md5 sub-split replay verbatim in DuckDB
+    so the <1 recall is hash-graded, not hand-waved. Loose-threshold
+    semantic dedup at full recall belongs to dedup_semantic_prune
+    (cluster-bounded); exact recall belongs to the labeled quadratic
+    baselines.""".format(cap=_BND_CAP, t=_BND_TABLES)
+    from ..operators import similarity
+
+    return (
+        similarity.cosine_banded_pairs(
+            table(spark, sf_dir, "embeddings"),
+            threshold=_BND_T,
+            d_in=_BND_D,
+            n_bits=_BND_BITS,
+            num_tables=_BND_TABLES,
+            max_bucket=_BND_CAP,
+        )
+        .select("id_a", "id_b", hround(F.col("cos"), 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -74,9 +74,25 @@ EMB_QUERIES = {
 
 #: deliberate quadratic baselines kept visible as oracle anchors — the
 #: registered defaults are their capped/banded twins. The pinning test
-#: allows ONLY these past the slope<=1.0 gate.
+#: allows ONLY these past the slope<=1.1 gate. Each entry carries its
+#: measured justification:
 BASELINE_TWINS = {
-    "text_tfidf_cosine_pairs_exact",  # closed-vocab fixture: sum(df^2)
+    # closed-vocab fixture: exact all-pairs token join grows sum(df^2)
+    "text_tfidf_cosine_pairs_exact",
+    # labeled EXACTNESS BASELINE (all-pairs theta join) — and the TRUE
+    # pair set at threshold 0.4 is itself Theta(n^2) on this fixture
+    # (round-13 measurement: constant pair density 5e-4, 59 pairs at
+    # 500 vectors -> 920 at 2000; isotropic synthetic embeddings), so
+    # ANY exact-recall implementation is output-bound quadratic here
+    "dedup_embedding_cosine",
+    # same output-bound argument; additionally the ml-BRP bucketing at
+    # bucketLength=2.0 measures degenerate on unit vectors (2 buckets
+    # for 2000 vectors), so candidates ~ all pairs. The bounded-
+    # expansion replacement is dedup_embedding_cosine_banded
+    # (O(n * cap * tables) candidates by construction); full-recall
+    # loose-threshold dedup belongs to dedup_semantic_prune
+    # (cluster-bounded, slope 0.33)
+    "dedup_embedding_cosine_lsh",
 }
 
 _ROW_RE = re.compile(
@@ -191,18 +207,25 @@ def main() -> None:
         "extrapolation argument — shuffles and scans grow with data, no "
         "unexplained quadratic blowups).",
         "",
-        "Known super-linear entry: `text_tfidf_cosine_pairs_exact` is "
-        "quadratic BY FIXTURE CONSTRUCTION — the synthetic corpus has a "
-        "CLOSED ~31-token vocabulary at every sf, so the exact all-pairs "
-        "token join grows as sum(df^2) ~ n_docs^2 (real corpora grow their "
-        "vocabulary, Heaps' law). The REGISTERED `text_tfidf_cosine_pairs` "
-        "default applies the absolute max_df=1000 vocabulary cap (VERDICT "
-        "r6 #1; the fractional 0.5 cap was measured super-linear and "
-        "rejected, OPENVOCAB.md) and must probe at-or-below linear. The "
-        "exact twin is kept in the probe deliberately so the cost stays "
-        "visible; excluded from bench.py's timed suite for the same reason "
-        "(see bench.py comment); BASELINE_TWINS is the only slope-gate "
-        "exemption list.",
+        "Known super-linear entries (BASELINE_TWINS in tools/scale_probe.py "
+        "— the only slope-gate exemptions, each measured-justified there): "
+        "`text_tfidf_cosine_pairs_exact` is quadratic BY FIXTURE "
+        "CONSTRUCTION (closed ~31-token vocabulary at every sf, so the "
+        "exact all-pairs token join grows as sum(df^2); the REGISTERED "
+        "`text_tfidf_cosine_pairs` default applies the absolute max_df=1000 "
+        "cap and must probe at-or-below linear). `dedup_embedding_cosine` "
+        "(the labeled all-pairs exactness baseline) and "
+        "`dedup_embedding_cosine_lsh` are OUTPUT-BOUND quadratic on this "
+        "fixture: the true pair set at threshold 0.4 measures constant "
+        "density 5e-4 (59 pairs at 500 vectors -> 920 at 2000 — isotropic "
+        "synthetic embeddings), so any exact-recall method is Omega(n^2) "
+        "here; additionally the ml-BRP hashes at bucketLength=2.0 measure "
+        "degenerate (2 buckets for 2000 unit vectors). The bounded-"
+        "expansion scale tier is `dedup_embedding_cosine_banded` "
+        "(hyperplane banding + SemDeDup sub-bucket cap: O(n*cap*tables) "
+        "candidates by construction, recall traded deterministically and "
+        "hash-graded); full-recall loose-threshold semantic dedup is "
+        "`dedup_semantic_prune` (cluster-bounded).",
         "",
     ]
     with open(out_path, "w") as f:
