@@ -51,6 +51,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # on the vectors.
 EMB_QUERIES = {
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_banded",
     "dedup_embedding_cosine_lsh",
     "dedup_semantic_prune",
     "embedding_int8_quantization",
