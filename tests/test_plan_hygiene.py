@@ -34,6 +34,11 @@ BNLJ_ALLOWED = {
     "similarity_threshold_pairs": "documented exact all-pairs baseline",
     "text_jsd_source_divergence": "source-pair spine cross (sources = corpus metadata)",
     "similarity_bruteforce_topk": "broadcast of the predicate-bounded query set",
+    "similarity_ivf_pq_recall": (
+        "exact side IS the allowlisted brute-force baseline (broadcast of "
+        "the predicate-bounded query set) — the recall monitor exists to "
+        "compare the index against it"
+    ),
     "similarity_hard_negatives": "broadcast of the predicate-bounded query set",
     "embedding_random_projection_topk": "broadcast of the predicate-bounded query set",
     "events_hourly_gapfill": "hourly spine x distinct event types (categorical cardinality)",
