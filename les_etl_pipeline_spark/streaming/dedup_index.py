@@ -55,24 +55,20 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import hround
 from ..operators.dedup import connected_components, ngram_jaccard_pairs, shingles
+from ..sinks.snapshot_store import SnapshotStore
 from . import _exactly_once as xo
 
 
-def fold_clusters(clusters: DataFrame, edges: DataFrame) -> DataFrame:
-    """One union-find fold (VERDICT r12 #5): merge a batch's new edges
-    into the maintained (doc_id, cluster) table so the result stays
-    bit-equal to batch ``connected_components`` over ALL edges seen.
-
-    The fold never re-runs CC over the corpus: endpoints resolve to
-    their current labels (one equi-join against the cluster table), the
-    batch edges CONTRACT to cluster-level edges (a new doc linking two
-    clusters becomes exactly the judge's "merge event"), CC runs on
-    that contracted graph only — O(batch edges), independent of corpus
-    size — and the merge map relabels the table. Labels stay the
-    component MINIMUM doc id: existing labels are old component minima,
-    new endpoints contribute their own ids, so the contracted min IS
-    the global min.
-    """
+def fold_clusters_parts(
+    clusters: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The DELTA form of one union-find fold: returns
+    ``(merge_map, new_rows)`` where ``merge_map`` is (old, new) cluster
+    relabelings and ``new_rows`` is the labeled (doc_id, cluster) rows
+    for endpoints not yet in the table. Both are batch-scale
+    (checkpointed), never corpus-scale — they are exactly what a
+    partition-scoped persistence layer needs to rewrite only the
+    buckets a fold touches."""
     ends = (
         edges.select(F.col("id_a").alias("d"))
         .union(edges.select(F.col("id_b").alias("d")))
@@ -91,18 +87,38 @@ def fold_clusters(clusters: DataFrame, edges: DataFrame) -> DataFrame:
         .select("root_a", "root_b")
         .distinct()
     )
-    # merge map over cluster roots only — metadata-scale per batch
+    # merge map over cluster roots only — metadata-scale per batch;
+    # consumed by relabel AND new-row labeling, so freeze it
     merge = connected_components(contracted).select(
         F.col("doc_id").alias("old"), F.col("cluster").alias("new")
-    )
-    relabeled = clusters.join(
-        merge, clusters.cluster == merge.old, "left"
-    ).select("doc_id", F.coalesce("new", "cluster").alias("cluster"))
+    ).localCheckpoint()
     new_rows = (
         res.join(merge, res.root == merge.old, "left")
         .select(F.col("d").alias("doc_id"), F.coalesce("new", "root").alias("cluster"))
         .join(clusters.select("doc_id"), "doc_id", "left_anti")
     )
+    return merge, new_rows
+
+
+def fold_clusters(clusters: DataFrame, edges: DataFrame) -> DataFrame:
+    """One union-find fold (VERDICT r12 #5): merge a batch's new edges
+    into the maintained (doc_id, cluster) table so the result stays
+    bit-equal to batch ``connected_components`` over ALL edges seen.
+
+    The fold never re-runs CC over the corpus: endpoints resolve to
+    their current labels (one equi-join against the cluster table), the
+    batch edges CONTRACT to cluster-level edges (a new doc linking two
+    clusters becomes exactly the judge's "merge event"), CC runs on
+    that contracted graph only — O(batch edges), independent of corpus
+    size — and the merge map relabels the table. Labels stay the
+    component MINIMUM doc id: existing labels are old component minima,
+    new endpoints contribute their own ids, so the contracted min IS
+    the global min.
+    """
+    merge, new_rows = fold_clusters_parts(clusters, edges)
+    relabeled = clusters.join(
+        merge, clusters.cluster == merge.old, "left"
+    ).select("doc_id", F.coalesce("new", "cluster").alias("cluster"))
     return relabeled.unionByName(new_rows)
 
 POSTINGS_SCHEMA = "sh bigint, doc_id bigint"
@@ -118,6 +134,12 @@ PAIRS_SCHEMA = "id_a bigint, id_b bigint, batch bigint"
 #: component's MINIMUM doc id — bit-equal to running the batch
 #: ``dedup.connected_components`` over the full pairs log (pinned)
 CLUSTERS_SCHEMA = "doc_id bigint, cluster bigint"
+#: hash-bucket count for the cluster table's hive layout: rows bucket
+#: by doc_id (never move on relabel), so a fold's partition publish
+#: rewrites only buckets holding a relabeled or new row. Size so a
+#: bucket is a comfortable rewrite unit at the target corpus
+#: (docs-with-dups / CLUSTER_BUCKETS rows each).
+CLUSTER_BUCKETS = 16
 
 
 def read_document_stream(spark, path: str, schema: str = "doc_id bigint, text string"):
@@ -160,10 +182,10 @@ def dedup_index_sink(
         if xo.committed(index_dir, key, batch_id):
             return
         # a compaction crash must not present an absent postings dir as
-        # an empty corpus (single-writer contract makes this race-free);
-        # same repair for a crash mid-cluster-swap
+        # an empty corpus (single-writer contract makes this race-free).
+        # The cluster table needs no repair call: its SnapshotStore
+        # versions are immutable and self-healing.
         xo.recover_swap(postings_path)
-        xo.recover_swap(clusters_path)
         # a replay must not see its own crashed partial segments as corpus
         xo.clear_segments(tables, key, batch_id)
         # one materialized distinct-shingle-hash array per doc, shared by
@@ -290,26 +312,49 @@ def dedup_index_sink(
             "overwrite"
         ).parquet(xo.segment(pairs_path, key, batch_id))
         # cluster maintenance: fold this batch's merge events into the
-        # persisted component table (rewrite-and-swap like compaction —
-        # a merge RELABELS rows, so the table is not append-only; a
-        # replayed fold is a no-op: already-folded edges contract to
-        # self-loops). At 100 TB the rewrite is bounded by docs-with-
-        # dups, and the swap can become a SnapshotStore partition
-        # publish keyed by cluster bucket; at this surface one swap/batch
-        # matches the compactors' staging protocol.
-        if os.path.isdir(clusters_path):
-            clusters = xo.read_table(spark, clusters_path, CLUSTERS_SCHEMA)
+        # persisted component table. A merge RELABELS rows, so the table
+        # is not append-only — but relabeling only touches the buckets
+        # holding affected rows, so persistence is a PARTITION-SCOPED
+        # snapshot publish (SnapshotStore.publish_partitions, round 13):
+        # per batch we rewrite only the doc_id-hash buckets containing a
+        # relabeled or new row — O(changed buckets), not O(table) — with
+        # untouched buckets hardlink-composed from the current version.
+        # Replay safety: already-folded edges contract to self-loops
+        # (empty merge map, empty new rows) -> nothing touched -> the
+        # replay skips the publish and just re-commits the ledger.
+        store = SnapshotStore(spark, clusters_path)
+        cur_v = store.current_version()
+        if cur_v is not None:
+            clusters = store.read().select("doc_id", "cluster")
         else:
             clusters = spark.createDataFrame([], CLUSTERS_SCHEMA)
-        folded = fold_clusters(clusters, edges).localCheckpoint()
-        staging, backup = clusters_path + ".staging", clusters_path + ".old"
-        folded.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(clusters_path):
-            os.rename(clusters_path, backup)
-        os.rename(staging, clusters_path)
-        import shutil as _shutil
-
-        _shutil.rmtree(backup, ignore_errors=True)
+        merge, new_rows = fold_clusters_parts(clusters, edges)
+        new_rows = new_rows.localCheckpoint()  # touched calc + content
+        bkt = F.pmod(F.xxhash64("doc_id"), F.lit(CLUSTER_BUCKETS)).cast("int")
+        touched = (
+            clusters.join(
+                merge.select(F.col("old").alias("cluster")), "cluster", "left_semi"
+            )
+            .select("doc_id")
+            .unionByName(new_rows.select("doc_id"))
+            .select(bkt.alias("bkt"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if touched.limit(1).count():
+            upd = (
+                clusters.withColumn("bkt", bkt)
+                .join(F.broadcast(touched), "bkt")
+                .join(merge, F.col("cluster") == merge.old, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("new", "cluster").alias("cluster"),
+                    "bkt",
+                )
+            )
+            out = upd.unionByName(new_rows.withColumn("bkt", bkt))
+            store.publish_partitions(out, "bkt", read_version=cur_v)
+            store.vacuum(keep_last=2, tx_grace_seconds=3600.0)
         xo.commit(index_dir, key, batch_id)
 
     q = (
@@ -339,11 +384,13 @@ def read_clusters(spark, index_dir: str) -> DataFrame:
     for every doc that ever appeared in a qualifying pair; ``cluster``
     is the component's minimum doc id — bit-equal to batch
     ``dedup.connected_components(read_pairs(...))`` after every batch
-    (pinned in tests)."""
-    path = os.path.join(index_dir, "clusters")
-    if not os.path.isdir(path):
+    (pinned in tests). Stored as a SnapshotStore versioned table
+    hive-partitioned by doc_id hash bucket (CLUSTER_BUCKETS), so each
+    batch's fold publishes only the buckets it changed."""
+    store = SnapshotStore(spark, os.path.join(index_dir, "clusters"))
+    if store.current_version() is None:
         return spark.createDataFrame([], CLUSTERS_SCHEMA)
-    return xo.read_table(spark, path, CLUSTERS_SCHEMA)
+    return store.read().select("doc_id", "cluster")
 
 
 def compact_index(

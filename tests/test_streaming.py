@@ -1531,3 +1531,62 @@ def test_streaming_gapfill_matches_batch_operator(spark, tmp_path):
             .parquet(stream_dir),
             index_dir, ckpt, ["s"], "day", "v",
         )
+
+
+def test_cluster_table_folds_publish_only_touched_buckets(spark, tmp_path):
+    """The cluster table's per-batch persistence is a PARTITION-SCOPED
+    snapshot publish: every bucket dir shared between consecutive
+    versions is either declared touched in the newer version's _TX_META
+    or consists entirely of HARDLINKS of the older version's files
+    (same inode — composed, not rewritten). That is the O(changed
+    buckets) write-cost claim, pinned structurally."""
+    import json as _json
+    import os as _os
+
+    from les_etl_pipeline_spark.streaming import dedup_index as SD
+
+    text_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    text_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    batches = [
+        [(1, text_a), (2, text_a + " x"), (10, text_b)],   # cluster {1,2}
+        [(11, text_b + " y")],                              # cluster {10,11}
+    ]
+    stream_dir = str(tmp_path / "docs_stream")
+    index_dir = str(tmp_path / "tb_index")
+    ckpt = str(tmp_path / "ckpt_tb")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+        SD.dedup_index_sink(
+            SD.read_document_stream(spark, stream_dir), index_dir, ckpt,
+            threshold=0.3,
+        )
+        if i < len(batches) - 1:
+            time.sleep(1.05)
+    croot = _os.path.join(index_dir, "clusters")
+    versions = sorted(
+        int(n[2:]) for n in _os.listdir(croot) if n.startswith("v=")
+    )
+    assert len(versions) >= 2
+    checked_hardlink = 0
+    for prev, cur in zip(versions, versions[1:]):
+        pd_ = _os.path.join(croot, f"v={prev}")
+        cd = _os.path.join(croot, f"v={cur}")
+        with open(_os.path.join(cd, "_TX_META")) as f:
+            meta = _json.load(f)
+        assert meta["partition_by"] == "bkt"
+        touched = set(meta["touched"])
+        shared = {
+            n
+            for n in _os.listdir(cd)
+            if n.startswith("bkt=") and _os.path.isdir(_os.path.join(pd_, n))
+        }
+        for part in shared - touched:
+            for fn in _os.listdir(_os.path.join(cd, part)):
+                a = _os.stat(_os.path.join(cd, part, fn)).st_ino
+                b = _os.stat(_os.path.join(pd_, part, fn)).st_ino
+                assert a == b, (part, fn, "rewritten but not declared touched")
+                checked_hardlink += 1
+    # the fixture must actually exercise an untouched carried bucket
+    assert checked_hardlink > 0
