@@ -106,6 +106,25 @@ TX_META = "_TX_META"
 #: initializers wins)
 EXPECT_EMPTY = -1
 
+#: the characters Spark's hive layout escapes in partition DIR names
+#: (ExternalCatalogUtils.escapePathName — Hive's FileUtils list):
+#: ASCII control chars plus this printable set. Verified empirically
+#: against Spark 4's partitionBy writes in tests/test_snapshot_partitions.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(1, 32)}
+
+
+def escape_partition_value(value: str) -> str:
+    """Encode a raw partition VALUE exactly as Spark's hive layout names
+    the partition dir segment (``%XX`` uppercase for each escaped char).
+    ``publish_partitions`` applies this to declared ``touched_partitions``
+    values so a declared DELETE of e.g. ``a/b`` targets the ``a%2Fb``
+    dir Spark actually wrote (ADVICE r13: raw formatting silently
+    no-op'd such deletes — the escaped base dir was carried forward
+    while the meta recorded the unescaped name as touched)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in str(value)
+    )
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed first. For read-modify-write publishes
@@ -440,8 +459,19 @@ class SnapshotStore:
             meta["depends_on"] = max(expected_version, EXPECT_EMPTY)
         if read_version is not None:
             meta["read_version"] = read_version
-        with open(os.path.join(staging, TX_META), "w") as f:
+        # durable write (ADVICE r13): under the rename protocol the
+        # v=<n> dir rename can survive a power loss that drops an
+        # unsynced _TX_META body, and _claim_meta would then read the
+        # conditional partition claim as a legacy UNCONDITIONAL
+        # whole-table commit — fail-unsafe. mkstemp + fsync + atomic
+        # replace (the same pattern as the marker body) makes the meta
+        # either fully present or absent-with-the-dir-absent.
+        fd, tmp = tempfile.mkstemp(prefix="._txmeta.", dir=staging)
+        with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(staging, TX_META))
 
     def publish(
         self,
@@ -639,7 +669,15 @@ class SnapshotStore:
                 n for n in os.listdir(staged) if n.startswith(prefix)
             )
         else:
-            touched = sorted(f"{prefix}{v}" for v in touched_partitions)
+            # declared values are RAW; Spark hive-escapes special chars
+            # in the dir names it writes, so escape identically or a
+            # declared DELETE of such a value silently no-ops (ADVICE
+            # r13). A declared dir matching neither the staged write nor
+            # the base version fails loudly below, inside the loop where
+            # the composition base is known.
+            touched = sorted(
+                f"{prefix}{escape_partition_value(v)}" for v in touched_partitions
+            )
             staged_dirs = {n for n in os.listdir(staged) if n.startswith(prefix)}
             extra = staged_dirs - set(touched)
             if extra:
@@ -670,6 +708,24 @@ class SnapshotStore:
                         "(vacuumed or never published) — re-read"
                     )
                 self._check_partition_conflicts(rv, chain, touched, partition_by)
+                if touched_partitions is not None:
+                    # fail-loud backstop for declared names (ADVICE r13):
+                    # a declared dir in neither the staged write nor the
+                    # composition base is a typo or an already-absent
+                    # delete — never a silent no-op carry-forward.
+                    base = None if cur is None else self.version_path(cur)
+                    ghosts = [
+                        t
+                        for t in touched
+                        if t not in staged_dirs
+                        and (base is None or not os.path.isdir(os.path.join(base, t)))
+                    ]
+                    if ghosts:
+                        raise ValueError(
+                            f"declared touched partitions {ghosts} match no "
+                            "staged dir and no dir in the composition base "
+                            f"(v={cur}) — nothing to replace or delete"
+                        )
                 expected = cur if cur is not None else EXPECT_EMPTY
                 merged = self._compose(
                     staged, touched, cur, expected, partition_by, rv

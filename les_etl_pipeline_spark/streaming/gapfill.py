@@ -182,6 +182,11 @@ def compact_state(
 
     state_path = os.path.join(index_dir, "state")
     xo.recover_swap(state_path)
+    if not os.path.isdir(state_path):
+        # nothing drained yet — same guard as read_state/gapfill_sink
+        # (ADVICE r13: compacting a virgin sink raised from read_table
+        # and the backup rename instead of no-op'ing)
+        return 0, 0
     xo.drop_uncommitted_segments(index_dir, [state_path])
     log = xo.read_table(spark, state_path, state_schema)
     before = log.count()

@@ -129,3 +129,20 @@ def test_gapfill_null_value_rows_are_not_observations(spark):
     assert got[d(3)][0] is None and got[d(3)][1] == 10
     assert math.isclose(got[d(3)][2], 20.0)
     assert got[d(4)] == (30, 30, 30.0)
+
+
+# -- gapfill: compacting a virgin sink is a no-op (ADVICE r13) -----------------
+def test_gapfill_compact_state_before_any_batch_is_noop(spark, tmp_path):
+    from les_etl_pipeline_spark.streaming import gapfill as SG
+
+    index_dir = str(tmp_path / "virgin_gf")
+    assert SG.compact_state(
+        spark, index_dir, ["s"], "day", "v", "s string, day date, v long"
+    ) == (0, 0)
+    # an index dir that exists but has never drained a batch: same no-op
+    import os as _os
+
+    _os.makedirs(index_dir, exist_ok=True)
+    assert SG.compact_state(
+        spark, index_dir, ["s"], "day", "v", "s string, day date, v long"
+    ) == (0, 0)

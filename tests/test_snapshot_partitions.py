@@ -222,3 +222,66 @@ def test_invalidated_claim_is_skipped_and_vacuumed(spark, store):
     store.vacuum(keep_last=10, tx_grace_seconds=0)
     assert not os.path.isdir(forged)  # invalid debris swept
     assert store.read(v1).count() > 0  # kept versions intact
+
+
+def test_escaped_partition_value_delete_and_replace(spark, store):
+    """ADVICE r13: declared touched values must be hive-escaped like the
+    dirs Spark writes, or a DELETE of a special-char partition silently
+    no-ops (the escaped base dir is carried forward)."""
+    from les_etl_pipeline_spark.sinks.snapshot_store import (
+        escape_partition_value,
+    )
+
+    v0 = _seed(spark, store, parts=("a/b", "a=b", "a b", "plain"))
+    # the escape helper matches Spark's hive layout byte-for-byte
+    dirs = {
+        n for n in os.listdir(store.version_path(v0)) if n.startswith("p=")
+    }
+    assert dirs == {
+        "p=" + escape_partition_value(v) for v in ("a/b", "a=b", "a b", "plain")
+    }
+    assert "p=a%2Fb" in dirs and "p=a%3Db" in dirs and "p=a b" in dirs
+    # declared DELETE of the slash value actually removes it
+    empty = spark.createDataFrame([], "p string, x long")
+    v1 = store.publish_partitions(
+        empty, "p", read_version=v0, touched_partitions=["a/b"]
+    )
+    got = _table(store)
+    assert not {t for t in got if t[0] == "a/b"}
+    assert ("a=b", 0) in got and ("a b", 0) in got and ("plain", 0) in got
+    # declared REPLACE of the equals value composes with the staged dir
+    v2 = store.publish_partitions(
+        _part_df(spark, "a=b", [77]), "p", read_version=v1,
+        touched_partitions=["a=b"],
+    )
+    got = _table(store)
+    assert {t for t in got if t[0] == "a=b"} == {("a=b", 77)}
+    assert store.current_version() == v2
+
+
+def test_ghost_declared_partition_fails_loudly(spark, store):
+    """A declared touched value matching neither the staged write nor
+    the composition base raises instead of silently no-op'ing."""
+    v0 = _seed(spark, store)
+    empty = spark.createDataFrame([], "p string, x long")
+    with pytest.raises(ValueError, match="nothing to replace or delete"):
+        store.publish_partitions(
+            empty, "p", read_version=v0, touched_partitions=["never-existed"]
+        )
+    assert store.current_version() == v0
+
+
+def test_tx_meta_durable_write_leaves_no_debris(spark, store):
+    """_TX_META lands via mkstemp+fsync+replace (ADVICE r13): the
+    version dir holds exactly one valid-JSON meta and no temp files."""
+    import json as _json
+
+    v0 = _seed(spark, store)
+    v1 = store.publish_partitions(
+        _part_df(spark, "b", [5]), "p", read_version=v0
+    )
+    vd = store.version_path(v1)
+    with open(os.path.join(vd, "_TX_META")) as f:
+        meta = _json.load(f)
+    assert meta["partition_by"] == "p" and meta["touched"] == ["p=b"]
+    assert not [n for n in os.listdir(vd) if n.startswith("._txmeta.")]
