@@ -720,7 +720,8 @@ def embedding_cosine_dedup(
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "banded",
+    **method_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup: semantic twin of the
     lexical tiers — two documents are duplicates when their embedding
@@ -728,28 +729,52 @@ def embedding_cosine_dedup(
     component keeps its minimum-id canonical. Returns the surviving rows
     of ``docs`` (vec_id == doc_id links the two tables).
 
-    ``method`` picks the pair generator:
+    ``method`` picks the pair generator (``method_kwargs`` pass through
+    to it):
 
-    - ``"lsh"`` (default): LSH-bucketed candidates + exact cosine
-      re-check (similarity.cosine_lsh_candidate_pairs) — never plans a
-      nested-loop join, the 100 TB path. Precision is exact; recall is
-      the LSH approximation (near 1 at the default 12 tables).
+    - ``"banded"`` (default — the 100 TB path): hyperplane-banded
+      candidates with every (table, bucket) cell hash-sub-split to
+      <= ~max_bucket members (similarity.cosine_banded_pairs), so
+      candidate volume is O(n * max_bucket * num_tables) BY
+      CONSTRUCTION — bounded even on adversarial data. Precision is
+      exact (candidates are cosine-rechecked); recall is the banding
+      collision probability, deterministic and DuckDB-replayable
+      (kwargs: d_in, n_bits, num_tables, max_bucket, seed).
+    - ``"lsh"``: pyspark.ml BucketedRandomProjectionLSH candidates +
+      exact re-check. LABELED BASELINE since round 13: measurement
+      showed its old bucketLength=2.0 hashing degenerate to ~all-pairs
+      candidates on unit vectors; the generator now derives a
+      non-degenerate bucket length and fail-loud-fences collapsed
+      hashing (kwargs: num_tables, bucket_length, allow_degenerate).
     - ``"exact"``: the all-pairs quadratic baseline
-      (similarity.threshold_pairs) — use only as the oracle/exactness
-      check at small scale; it plans a BroadcastNestedLoopJoin.
+      (similarity.threshold_pairs) — the oracle/exactness anchor at
+      small scale; it plans a BroadcastNestedLoopJoin.
     """
-    from .similarity import cosine_lsh_candidate_pairs, threshold_pairs
+    from .similarity import (
+        cosine_banded_pairs,
+        cosine_lsh_candidate_pairs,
+        threshold_pairs,
+    )
 
     if method == "exact":
         pairs = threshold_pairs(
-            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col
+            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col,
+            **method_kwargs,
         ).select("id_a", "id_b")
     elif method == "lsh":
         pairs = cosine_lsh_candidate_pairs(
-            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col
+            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col,
+            **method_kwargs,
+        ).select("id_a", "id_b")
+    elif method == "banded":
+        pairs = cosine_banded_pairs(
+            embeddings, threshold, id_col=vec_id_col, vec_col=vec_col,
+            **method_kwargs,
         ).select("id_a", "id_b")
     else:
-        raise ValueError(f"unknown method {method!r}: expected 'lsh' or 'exact'")
+        raise ValueError(
+            f"unknown method {method!r}: expected 'banded', 'lsh' or 'exact'"
+        )
     clusters = connected_components(pairs)
     drop = clusters.where(F.col("doc_id") != F.col("cluster")).select(
         F.col("doc_id").alias(id_col)

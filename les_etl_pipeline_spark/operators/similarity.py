@@ -92,6 +92,17 @@ def threshold_pairs(
     )
 
 
+#: derived-BRP-bucket-length coefficient for UNIT vectors:
+#: BucketedRandomProjectionLSH projects onto random UNIT directions, so
+#: a unit data vector's projection concentrates as ~N(0, 1/d) — std
+#: 1/sqrt(d), e.g. 0.125 at d=64, NOT the O(1) spread a gaussian
+#: direction would give. bucket_length = COEFF/sqrt(d) puts the ~6-sigma
+#: projection range across ~6/COEFF buckets (~20 at 0.3) instead of the
+#: 2 that bucketLength=2.0 produced (the round-13 measured degeneracy —
+#: candidates collapsed to ~all pairs through the equi-join).
+UNIT_BUCKET_COEFF = 0.3
+
+
 def cosine_lsh_candidate_pairs(
     df: DataFrame,
     threshold: float,
@@ -99,12 +110,32 @@ def cosine_lsh_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 12,
-    bucket_length: float = 2.0,
+    bucket_length: float | None = None,
     seed: int = 42,
     margin: float = 1.05,
+    allow_degenerate: bool = False,
 ) -> DataFrame:
-    """Pairs (a < b) with cosine >= threshold, generated via LSH-bucketed
-    candidates instead of the all-pairs theta join — the 100 TB default.
+    """Pairs (a < b) with cosine >= threshold via pyspark.ml
+    BucketedRandomProjectionLSH candidates + exact cosine re-check.
+
+    STATUS (round-13 measurement, SCALING.md): this is a LABELED
+    BASELINE tier, not the scale default — the bounded-expansion
+    hyperplane banding (``cosine_banded_pairs``) is the 100 TB path.
+    The old bucketLength=2.0 default hashed all unit vectors into ~2
+    buckets per table, silently degrading the equi-join candidates to
+    all pairs; two fences now prevent that (VERDICT r13 #2):
+
+    - ``bucket_length=None`` derives ``UNIT_BUCKET_COEFF / sqrt(d)``,
+      sized to the ~N(0, 1/d) spread of a unit vector's projection onto
+      BRP's random UNIT directions. Narrow buckets trade recall (fewer
+      collisions per table) for a non-degenerate candidate set.
+    - a fail-loud degeneracy check counts populated buckets in the
+      first hash table and raises if the corpus collapsed into a
+      handful — the BRP path can no longer silently run all-pairs.
+      ``allow_degenerate=True`` opts out (and skips the check's one
+      cheap aggregate): that is the FULL-RECALL BASELINE mode the
+      oracle-paired registry query pins (its DuckDB oracle is the exact
+      closure, so only 100%-recall parameters can stay bit-exact).
 
     On unit-normalized vectors, euclidean distance is sqrt(2 - 2*cos), so
     a cosine threshold maps exactly to a distance radius.
@@ -117,7 +148,7 @@ def cosine_lsh_candidate_pairs(
     ``margin`` widens the distance radius to absorb float rounding at the
     threshold boundary."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     e = with_norm(df.select(id_col, vec_col), vec_col)
     if id_pred is not None:
@@ -125,6 +156,10 @@ def cosine_lsh_candidate_pairs(
     unit = e.where(F.col("nrm") > 0).withColumn(
         "features", array_to_vector(F.transform(F.col("vd"), lambda x: x / F.col("nrm")))
     )
+    if bucket_length is None:
+        first = unit.select(F.size("vd").alias("d")).first()
+        d = int(first["d"]) if first is not None else 1
+        bucket_length = UNIT_BUCKET_COEFF / max(d, 1) ** 0.5
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -134,6 +169,26 @@ def cosine_lsh_candidate_pairs(
     )
     model = lsh.fit(unit)
     hashed = model.transform(unit.select(id_col, "vd", "nrm", "features"))
+    if not allow_degenerate:
+        # degeneracy fence: one cheap aggregate over table 0's bucket
+        # ids (the skyline/heavy-hitter guard pattern). Collapsed
+        # hashing means the downstream equi-join IS the all-pairs scan.
+        stats = hashed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                vector_to_array(F.element_at("hashes", 1))[0]
+            ).alias("buckets"),
+        ).collect()[0]
+        if stats["buckets"] <= 4 and stats["n"] >= 16 * max(stats["buckets"], 1):
+            raise ValueError(
+                f"cosine_lsh_candidate_pairs: degenerate hashing — "
+                f"{stats['n']} vectors fell into {stats['buckets']} "
+                f"bucket(s) at bucket_length={bucket_length}; candidates "
+                "would be ~all pairs. Lower bucket_length (unit vectors "
+                f"=> ~{UNIT_BUCKET_COEFF}/sqrt(d)) or pass "
+                "allow_degenerate=True to run it as an explicit "
+                "full-recall baseline"
+            )
     radius = float((max(0.0, 2.0 * (1.0 - threshold))) ** 0.5) * margin
     pairs = model.approxSimilarityJoin(hashed, hashed, radius, distCol="udist")
     cand = pairs.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")).select(

@@ -607,11 +607,22 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     default for this tier is ``dedup_embedding_cosine_banded``
     (O(n*cap*tables) candidates by construction, deterministic recall
     trade, hash-graded); full-recall loose-threshold semantic dedup is
-    ``dedup_semantic_prune`` (cluster-bounded, slope 0.33)."""
+    ``dedup_semantic_prune`` (cluster-bounded, slope 0.33).
+
+    Round 14: the operator default moved to method='banded' and the BRP
+    generator grew a degeneracy fence, so this BASELINE registration now
+    pins its full-recall parameters EXPLICITLY — bucketLength 2.0 with
+    allow_degenerate=True is precisely the measured-degenerate hashing,
+    kept on purpose because only 100% recall stays bit-exact against the
+    exact-closure oracle. The graded scale path is
+    ``dedup_embedding_cosine_banded_corpus`` (llm_data14)."""
     out = dedup.embedding_cosine_dedup(
         table(spark, sf_dir, "documents"),
         table(spark, sf_dir, "embeddings"),
         threshold=0.4,
+        method="lsh",
+        bucket_length=2.0,
+        allow_degenerate=True,
     )
     return out.select("doc_id", "lang", "source")
 

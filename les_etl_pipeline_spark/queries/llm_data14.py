@@ -151,11 +151,13 @@ def dedup_incremental_cc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BND_D, _BND_BITS, _BND_TABLES, _BND_CAP, _BND_T = 64, 6, 12, 40, 0.4
 
 
-def _banded_pairs_oracle() -> str:
-    """Verbatim replay of cosine_banded_pairs: the SAME md5-parity
-    hyperplane literals (driver-side computation feeds both sides — the
-    r8 LSH trick), the same md5 sub-bucket split (SemDeDup idiom), the
-    same exact-cosine verify."""
+def _banded_cte() -> str:
+    """The shared CTE chain replaying cosine_banded_pairs verbatim: the
+    SAME md5-parity hyperplane literals (driver-side computation feeds
+    both sides — the r8 LSH trick), the same md5 sub-bucket split
+    (SemDeDup idiom), the same exact-cosine verify. Composed into the
+    pair query's oracle AND the corpus survivor query's recursive
+    closure so the two stay in lockstep by construction."""
     from ..operators import similarity
 
     planes = similarity.rh_planes(_BND_D, _BND_BITS, _BND_TABLES)
@@ -174,8 +176,7 @@ def _banded_pairs_oracle() -> str:
         f"SELECT vec_id AS id, {t} AS t, ({bucket(t)}) AS b FROM n"
         for t in range(_BND_TABLES)
     )
-    return f"""
-    WITH e AS (
+    return f"""e AS (
       SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), n AS (
@@ -203,11 +204,41 @@ def _banded_pairs_oracle() -> str:
       FROM cand
       JOIN n na ON na.vec_id = cand.id_a
       JOIN n nb ON nb.vec_id = cand.id_b
-    )
+    )"""
+
+
+def _banded_pairs_oracle() -> str:
+    return f"""
+    WITH {_banded_cte()}
     SELECT id_a, id_b,
            (floor(cos * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM scored WHERE cos >= {_BND_T}
     ORDER BY id_a, id_b
+    """
+
+
+def _banded_corpus_oracle() -> str:
+    """The banded pair set closed into components: edges are the
+    banded pairs at the threshold, reach is the recursive closure, and
+    a doc drops iff its component has a smaller member — the same
+    survivor rule as the exact-tier embedding dedup oracles."""
+    return f"""
+    WITH RECURSIVE {_banded_cte()}, pairs AS (
+      SELECT id_a, id_b FROM scored WHERE cos >= {_BND_T}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ), drop_docs AS (
+      SELECT a AS doc_id FROM reach GROUP BY a
+      HAVING least(a, min(b)) != a
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_docs)
     """
 
 
@@ -243,3 +274,32 @@ def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b", hround(F.col("cos"), 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register("dedup_embedding_cosine_banded_corpus", oracle=_banded_corpus_oracle())
+def dedup_embedding_cosine_banded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level semantic dedup through the bounded-expansion banded
+    tier — documents in, survivors out (VERDICT r13 #1): the operator
+    default ``embedding_cosine_dedup(method='banded')`` generates
+    hyperplane-banded candidate pairs with per-cell sub-split caps
+    (O(n * max_bucket * tables) expansion by construction), clusters
+    them with connected components, and keeps each component's
+    minimum-id canonical. The oracle closes the SAME deterministic
+    banded pair set (md5 planes + md5 sub-split, shared CTE with
+    ``dedup_embedding_cosine_banded``) with a recursive CTE, so the
+    whole survivors pipeline — not just the pair stage — is hash-graded.
+    The quadratic full-recall siblings stay registered as labeled
+    baselines (``dedup_embedding_cosine`` / ``_lsh``); banded-vs-exact
+    survivor recall is pinned in tests/test_similarity_banded.py."""
+    from ..operators import dedup
+
+    out = dedup.embedding_cosine_dedup(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        threshold=_BND_T,
+        d_in=_BND_D,
+        n_bits=_BND_BITS,
+        num_tables=_BND_TABLES,
+        max_bucket=_BND_CAP,
+    )
+    return out.select("doc_id", "lang", "source")

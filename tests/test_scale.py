@@ -103,17 +103,18 @@ def test_dedup_corpus_survivors(spark, sf_dir):
 
 
 def test_cosine_lsh_pairs_no_nested_loop(spark, sf_dir):
-    """The default embedding-dedup pair generator must never plan a
-    BroadcastNestedLoopJoin (the quadratic scale-killer) — candidates
-    come from an equi-join on exploded LSH buckets. Also pins the
-    operator default to the LSH path."""
+    """No embedding-dedup pair generator other than the labeled 'exact'
+    baseline may plan a BroadcastNestedLoopJoin (the quadratic
+    scale-killer) — candidates come from equi-joins on bucket keys.
+    Also pins the operator default to the bounded-expansion banded path
+    (VERDICT r13 #1)."""
     import inspect
 
     from les_etl_pipeline_spark.operators import dedup, similarity
 
     assert (
         inspect.signature(dedup.embedding_cosine_dedup).parameters["method"].default
-        == "lsh"
+        == "banded"
     )
     emb = table(spark, sf_dir, "embeddings")
     pairs = similarity.cosine_lsh_candidate_pairs(emb, 0.4)
@@ -129,10 +130,11 @@ def test_cosine_lsh_pairs_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in exact_plan
 
 
-def test_cosine_lsh_pairs_match_exact(spark, sf_dir):
-    """LSH candidates + exact re-check reproduce the exact all-pairs
-    result on the test embeddings (recall completeness at default
-    parameters; precision is exact by construction)."""
+def test_cosine_lsh_pairs_match_exact_in_baseline_mode(spark, sf_dir):
+    """In explicit full-recall baseline mode (the measured-degenerate
+    bucketLength=2.0 + allow_degenerate opt-in that the oracle-paired
+    registry query pins) LSH candidates + exact re-check reproduce the
+    exact all-pairs result; precision is exact by construction."""
     from les_etl_pipeline_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
@@ -141,10 +143,32 @@ def test_cosine_lsh_pairs_match_exact(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in similarity.cosine_lsh_candidate_pairs(emb, 0.4).collect()
+        for r in similarity.cosine_lsh_candidate_pairs(
+            emb, 0.4, bucket_length=2.0, allow_degenerate=True
+        ).collect()
     }
     assert lsh == exact
     assert len(exact) > 0
+
+
+def test_cosine_lsh_degenerate_hashing_fails_loudly(spark, sf_dir):
+    """VERDICT r13 #2: bucketLength=2.0 on unit vectors hashes the
+    whole corpus into ~2 buckets — the fence must raise instead of
+    silently running all-pairs candidates; the derived default bucket
+    length must hash non-degenerately on the same vectors."""
+    import pytest as _pytest
+
+    from les_etl_pipeline_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="degenerate hashing"):
+        similarity.cosine_lsh_candidate_pairs(emb, 0.4, bucket_length=2.0).limit(
+            1
+        ).count()
+    # derived default (UNIT_BUCKET_LENGTH) passes the fence and yields
+    # a usable (non-empty) verified pair set
+    pairs = similarity.cosine_lsh_candidate_pairs(emb, 0.4)
+    assert pairs.count() > 0
 
 
 def test_salted_join_rejects_outer_modes(spark):

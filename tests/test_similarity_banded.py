@@ -66,3 +66,32 @@ def test_banded_candidates_no_cartesian_or_bnlj(spark, sf_dir):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banded_corpus_survivors_superset_of_exact_with_drop_recall(spark, sf_dir):
+    """Corpus-level parity vs the exact tier (VERDICT r13 #1): banded
+    pairs are a subset of exact pairs, so banded components sub-partition
+    exact components — every exact survivor survives banded dedup, and
+    the docs banded drops are a subset of the exact drops, with drop
+    recall pinned >= 0.5 at the registered parameters."""
+    from les_etl_pipeline_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    banded = {
+        r.doc_id
+        for r in dedup.embedding_cosine_dedup(docs, emb, threshold=0.4).collect()
+    }
+    exact = {
+        r.doc_id
+        for r in dedup.embedding_cosine_dedup(
+            docs, emb, threshold=0.4, method="exact"
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert exact <= banded <= all_ids
+    exact_drops, banded_drops = all_ids - exact, all_ids - banded
+    assert banded_drops <= exact_drops
+    assert exact_drops, "fixture must have semantic duplicates"
+    recall = len(banded_drops) / len(exact_drops)
+    assert recall >= 0.5, recall

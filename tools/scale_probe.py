@@ -52,6 +52,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EMB_QUERIES = {
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_banded",
+    "dedup_embedding_cosine_banded_corpus",
     "dedup_embedding_cosine_lsh",
     "dedup_semantic_prune",
     "embedding_int8_quantization",
