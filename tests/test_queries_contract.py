@@ -119,14 +119,29 @@ def test_scheduler_is_lru_and_rotation_bound_holds():
     hashed = _last_hash_round()
     force = {n for n, since in _FORCE_REGRADE.items() if hashed.get(n, 0) < since}
     expected = sorted(
-        names, key=lambda n: (-1 if n in force else last.get(n, 0), n)
+        names,
+        key=lambda n: (
+            n not in ORACLES,
+            -1 if n in force else last.get(n, 0),
+            n,
+        ),
     )
     assert names == expected, "registration order is not least-recently-verified-first"
 
     w = 50
+    # rows-only queries are pinned OUTSIDE the graded window (VERDICT
+    # r13 #2): the driver can only record the weak no-oracle check for
+    # them, so they yield the tail slots to oracle-paired queries; their
+    # accuracy gates live in tests/test_approx_bounds.py and siblings
+    rows_only = [n for n in names if n not in ORACLES]
+    assert min(names.index(n) for n in rows_only) >= len(names) - len(rows_only)
+    assert len(names) - len(rows_only) >= w, (
+        "registry shrank below the graded window; rows-only tail would be graded"
+    )
     # forced-regrade queries legitimately jump the queue (their oracle
     # changed); the staleness ordering applies to everything else
-    unforced = [n for n in names if n not in force]
+    # oracle-paired
+    unforced = [n for n in names if n not in force and n in ORACLES]
     rounds = sorted({last.get(n, 0) for n in unforced})
     # positions are monotone in last-pass round: every query passed in
     # round r sits before every query passed in any later round, so the
