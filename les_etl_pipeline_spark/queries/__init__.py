@@ -82,6 +82,7 @@ from . import llm_data13  # noqa: E402,F401
 from . import relational16  # noqa: E402,F401
 from . import llm_data14  # noqa: E402,F401
 from . import events3  # noqa: E402,F401
+from . import llm_data15  # noqa: E402,F401
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -208,6 +208,8 @@ def ivf_topk_oracle(
     neq_col: str | None = None,
     neq_names: tuple[str, str] = ("query_neq", "neighbor_neq"),
     neighbor_name: str = "neighbor_id",
+    train_sql: str | None = None,
+    exclude_sql: str | None = None,
 ) -> str:
     """Oracle for similarity.ivf_topk(codebooks='lloyd'): coarse Lloyd
     cells over the RAW double vectors (2 iterations), per-query
@@ -218,7 +220,15 @@ def ivf_topk_oracle(
     before the top-k, and the output carries the two ``neq_names``
     attribute columns; ``neighbor_name`` renames the id column so the
     hard-negative registration can match its brute-force twin's
-    schema."""
+    schema.
+
+    ``train_sql`` restricts the quantizer's TRAINING set (seeds and the
+    Lloyd update) to matching rows — the streaming index's bootstrap
+    trains on its first micro-batch only, while assignment/search still
+    cover every vector. ``exclude_sql`` drops matching vectors from the
+    CANDIDATE set (the streaming index's tombstone deletes); queries
+    and training are unaffected. Defaults preserve the batch-tier
+    oracle unchanged."""
     d2_vc = _D2.format(a="n.v", b="s.cvec")
     d2_vcc = _D2.format(a="n.v", b="c.cvec")
     neq_sel = f", {neq_col} AS neq" if neq_col else ""
@@ -230,6 +240,9 @@ def ivf_topk_oracle(
     )
     neq_where = " AND cand.neq <> q.neq" if neq_col else ""
     neq_out = f", {neq_names[0]}, {neq_names[1]}" if neq_col else ""
+    train_where = f" WHERE {train_sql}" if train_sql else ""
+    train_and = f" AND ({train_sql})" if train_sql else ""
+    excl_where = f" AND NOT ({exclude_sql})" if exclude_sql else ""
     return f"""
     WITH e AS (
       SELECT vec_id{neq_sel},
@@ -242,11 +255,12 @@ def ivf_topk_oracle(
     ), cseeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              v AS cvec
-      FROM n ORDER BY vec_id LIMIT {n_cells}
+      FROM n{train_where} ORDER BY vec_id LIMIT {n_cells}
     ), ca1 AS (
       SELECT n.vec_id, n.v, s.cell,
              {_r6(d2_vc)} AS d
       FROM n CROSS JOIN cseeds s
+      WHERE TRUE{train_and}
       QUALIFY row_number() OVER (PARTITION BY n.vec_id ORDER BY d, s.cell) = 1
     ), ccents AS (
       SELECT cell, list(cd ORDER BY pos) AS cvec FROM (
@@ -273,7 +287,7 @@ def ivf_topk_oracle(
       JOIN cells cl ON cl.cell = p.cell
       JOIN n cand ON cand.vec_id = cl.vec_id
       JOIN n q ON q.vec_id = p.query_id
-      WHERE cand.vec_id <> p.query_id{neq_where}
+      WHERE cand.vec_id <> p.query_id{neq_where}{excl_where}
     )
     SELECT query_id, neighbor_id AS {neighbor_name},
            {_r6("cos")} AS cosine,

@@ -169,6 +169,136 @@ def gapfill_sink(
     return q
 
 
+#: series-hash bucket count for the upsert sink's filled store — the
+#: same partition-scoped-publish sizing idea as the dedup cluster table:
+#: a batch's publish rewrites only buckets holding a touched series.
+FILLED_BUCKETS = 32
+
+
+def read_filled_upsert(spark, index_dir: str) -> DataFrame:
+    """Current filled table of the UPSERT sink (the SnapshotStore
+    layout), bucket column dropped."""
+    from ..sinks.snapshot_store import SnapshotStore
+
+    store = SnapshotStore(spark, os.path.join(index_dir, "filled_store"))
+    if store.current_version() is None:
+        raise ValueError(f"no filled store published under {index_dir}")
+    return store.read().drop("bkt")
+
+
+def gapfill_upsert_sink(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    series_cols: list[str],
+    day_col: str = "day",
+    value_col: str = "v",
+    buckets: int = FILLED_BUCKETS,
+):
+    """Late-data twin of ``gapfill_sink`` (VERDICT r13 #4): instead of
+    failing on a late observation, re-emit the CORRECTED fill for the
+    affected series, keeping the invariant that after every micro-batch
+    the published table is bit-equal to batch ``gapfill_daily`` over
+    all observations ever drained — late rows included.
+
+    A late row retracts already-emitted rows (its series' locf/interp
+    change, and a row before the series' first day even moves the
+    calendar start), so the output cannot be an append-only segment
+    log. The filled table lives in a ``SnapshotStore`` hive-partitioned
+    by a series-hash bucket, and each batch REBUILDS ONLY ITS TOUCHED
+    SERIES: the series' prior observations are recovered from its own
+    published rows (value is non-NULL exactly on observation days),
+    unioned with the batch, and the batch operator reruns on that
+    mini-frame; ``publish_partitions`` then rewrites only the buckets
+    holding a touched series, hardlink-carrying every other bucket
+    (O(touched series' calendar), never table-scale writes).
+
+    Contract: one (series, day) observation EVER — a second value for
+    an already-observed day raises (corrections-by-day need a different
+    operator); a byte-identical duplicate is treated as a replay and
+    converges. Exactly-once: per-checkpoint ledger; a replay (or a
+    crash between publish and ledger commit) recomputes the same
+    series from the same observation set, detects zero change and
+    skips the publish — no version churn, same table."""
+    from ..sinks.snapshot_store import SnapshotStore
+
+    spark = stream_df.sparkSession
+    scols = list(series_cols)
+    obs_cols = scols + [day_col, value_col]
+    filled_schema = filled_schema_of(stream_df, scols, day_col, value_col)
+    key = xo.ckpt_key(checkpoint_dir)
+    store = SnapshotStore(spark, os.path.join(index_dir, "filled_store"))
+    bkt = F.pmod(F.xxhash64(*scols), F.lit(buckets)).cast("int").alias("bkt")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if xo.committed(index_dir, key, batch_id):
+            return
+        obs = (
+            batch_df.where(
+                F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(*obs_cols)
+            .localCheckpoint()  # feeds guard, recompute, touched calc
+        )
+        cur_v = store.current_version()
+        if cur_v is not None:
+            cur = store.read().drop("bkt")
+        else:
+            cur = spark.createDataFrame([], filled_schema)
+        prior_obs = cur.where(F.col(value_col).isNotNull()).select(*obs_cols)
+        # same-day contract: a conflicting value for an observed day is
+        # an error; an identical row is a replay and falls through to
+        # the (idempotent) recompute
+        conflict = (
+            obs.alias("o")
+            .join(prior_obs.alias("p"), scols + [day_col])
+            .where(F.col(f"o.{value_col}") != F.col(f"p.{value_col}"))
+            .limit(1)
+            .count()
+        )
+        if conflict:
+            raise ValueError(
+                "gapfill_upsert_sink: conflicting value for an already-"
+                "observed (series, day) — observations are immutable; "
+                "day-level corrections need a last-wins operator"
+            )
+        touched_series = obs.select(*scols).distinct().localCheckpoint()
+        mini = (
+            prior_obs.join(touched_series, scols, "left_semi")
+            .unionByName(obs)
+            .dropDuplicates(scols + [day_col])
+        )
+        refilled = gapfill_daily(mini, scols, day_col, value_col)
+        refilled = refilled.localCheckpoint()  # change check + publish
+        cur_touched = cur.join(touched_series, scols, "left_semi")
+        changed = (
+            refilled.exceptAll(cur_touched).limit(1).count()
+            or cur_touched.exceptAll(refilled).limit(1).count()
+        )
+        if changed:
+            touched_bkts = touched_series.select(bkt).distinct()
+            out = (
+                cur.withColumn("bkt", F.pmod(F.xxhash64(*scols), F.lit(buckets)).cast("int"))
+                .join(F.broadcast(touched_bkts), "bkt")
+                .join(touched_series, scols, "left_anti")
+                .unionByName(refilled.withColumn(
+                    "bkt", F.pmod(F.xxhash64(*scols), F.lit(buckets)).cast("int")
+                ))
+            )
+            store.publish_partitions(out, "bkt", read_version=cur_v)
+            store.vacuum(keep_last=2, tx_grace_seconds=3600.0)
+        xo.commit(index_dir, key, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def compact_state(
     spark, index_dir: str, series_cols: list[str], day_col: str,
     value_col: str, state_schema: str, partitions: int = 4

@@ -40,6 +40,13 @@ BNLJ_ALLOWED = {
         "compare the index against it"
     ),
     "similarity_hard_negatives": "broadcast of the predicate-bounded query set",
+    "stream_ann_index_recall": (
+        "exact side broadcasts the predicate-bounded query set (the "
+        "brute-force baseline the monitor compares against); the index "
+        "side broadcasts the persisted centroid table (n_cells rows — "
+        "quantizer metadata, but a parquet scan the recognizer cannot "
+        "prove bounded)"
+    ),
     "embedding_random_projection_topk": "broadcast of the predicate-bounded query set",
     "events_hourly_gapfill": "hourly spine x distinct event types (categorical cardinality)",
 }

@@ -1,0 +1,294 @@
+"""Round-14 operator pins: streaming ANN index recall floor (VERDICT
+r13 #3) and incremental-CC adversarial chaos (VERDICT r13 #7)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from les_etl_pipeline_spark.catalog import table
+
+
+# -- streaming ANN index: driver-graded recall + pinned floor -----------------
+def test_stream_ann_index_recall_floor(spark, sf_dir):
+    """The registered lifecycle monitor (bootstrap-train -> append ->
+    delete -> compact -> search) must keep recall@5 vs exact brute
+    force above the floor measured at registration (0.775 mean at both
+    sf0.001 and sf0.01); every query must recover at least one true
+    neighbor."""
+    from les_etl_pipeline_spark.queries.llm_data15 import (
+        _SA_K,
+        _SA_QUERIES,
+        stream_ann_index_recall,
+    )
+
+    rows = stream_ann_index_recall(spark, sf_dir).collect()
+    assert len(rows) == _SA_QUERIES
+    assert all(r.n_hits >= 1 for r in rows), rows
+    mean = sum(r.n_hits for r in rows) / (len(rows) * _SA_K)
+    assert mean >= 0.6, mean
+
+
+def test_stream_ann_index_search_honors_tombstones(spark, sf_dir):
+    """No tombstoned vector may surface as a neighbor — after
+    compaction the deleted rows are physically gone, and between
+    deletes and compaction the anti-join must hide them. Searched with
+    a wider query set than the registered monitor to cover more cells."""
+    from les_etl_pipeline_spark.queries.llm_data15 import (
+        _SA_DEL_MOD,
+        _SA_DEL_RES,
+        _build_stream_index,
+    )
+    from les_etl_pipeline_spark.streaming.ann_index import ivf_search_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    index_dir = _build_stream_index(spark, sf_dir)
+    got = ivf_search_index(
+        spark, index_dir, emb.where(F.col("vec_id") < 40), k=10, n_probe=4
+    ).collect()
+    assert got
+    bad = [r for r in got if r.neighbor_id % _SA_DEL_MOD == _SA_DEL_RES]
+    assert not bad, bad
+
+
+# -- incremental CC: star-merge + crash between publish and commit ------------
+def _star_corpus():
+    """Four 2-doc families plus one hub doc overlapping EVERY family:
+    the hub's batch contracts four existing clusters into one merge
+    event through a single new doc (the union-find worst case VERDICT
+    r13 #7 asks for)."""
+    fams = {
+        i: " ".join(f"f{i}w{j}" for j in range(8)) for i in (1, 2, 3, 4)
+    }
+    base = [(i * 10, fams[i]) for i in fams]
+    extra = [(i * 10 + 1, fams[i] + f" f{i}x") for i in fams]
+    hub = [(99, " ".join(fams[i] for i in sorted(fams)))]
+    return base + extra, hub
+
+
+def test_incremental_cc_star_merge_matches_batch_cc(spark, tmp_path):
+    """One batch merging FOUR clusters through one hub doc: after the
+    fold the persisted table must be bit-equal to batch CC over the
+    cumulative pairs log — all nine docs in one component labeled by
+    the global minimum id."""
+    from les_etl_pipeline_spark.operators.dedup import connected_components
+    from les_etl_pipeline_spark.streaming import dedup_index as SD
+
+    families, hub = _star_corpus()
+    stream_dir = str(tmp_path / "star_stream")
+    index_dir = str(tmp_path / "star_idx")
+    ckpt = str(tmp_path / "star_ckpt")
+
+    def drain(rows):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+        SD.dedup_index_sink(
+            SD.read_document_stream(spark, stream_dir), index_dir, ckpt,
+            threshold=0.1,
+        )
+
+    drain(families)
+    got0 = {
+        (r.doc_id, r.cluster)
+        for r in SD.read_clusters(spark, index_dir).collect()
+    }
+    assert got0 == {(i * 10, i * 10) for i in (1, 2, 3, 4)} | {
+        (i * 10 + 1, i * 10) for i in (1, 2, 3, 4)
+    }
+    drain(hub)
+    got1 = {
+        (r.doc_id, r.cluster)
+        for r in SD.read_clusters(spark, index_dir).collect()
+    }
+    all_ids = {i * 10 for i in (1, 2, 3, 4)} | {
+        i * 10 + 1 for i in (1, 2, 3, 4)
+    } | {99}
+    assert got1 == {(d, 10) for d in all_ids}
+    # and bit-equal to one-shot CC over the full observed pairs log
+    pairs = SD.read_pairs(spark, index_dir).select("id_a", "id_b")
+    assert got1 == {
+        (r.doc_id, r.cluster) for r in connected_components(pairs).collect()
+    }
+
+
+def test_incremental_cc_replay_after_publish_before_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Crash in the narrowest window (VERDICT r13 #7): the star batch's
+    cluster-table publish SUCCEEDS but the ledger commit never runs.
+    The replay re-folds the same edges against the already-merged table
+    — they contract to self-loops, the publish is skipped (no new
+    snapshot version), and the table stays bit-equal to batch CC."""
+    import pytest as _pytest
+
+    from les_etl_pipeline_spark.operators.dedup import connected_components
+    from les_etl_pipeline_spark.sinks.snapshot_store import SnapshotStore
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import dedup_index as SD
+
+    families, hub = _star_corpus()
+    stream_dir = str(tmp_path / "crashcc_stream")
+    index_dir = str(tmp_path / "crashcc_idx")
+    ckpt = str(tmp_path / "crashcc_ckpt")
+
+    def drain(rows=None):
+        if rows:
+            spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+                1
+            ).write.mode("append").parquet(stream_dir)
+        SD.dedup_index_sink(
+            SD.read_document_stream(spark, stream_dir), index_dir, ckpt,
+            threshold=0.1,
+        )
+
+    drain(families)
+    real_commit = xo.commit
+    monkeypatch.setattr(
+        xo,
+        "commit",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        drain(hub)
+    # the window is real: the merged table is published, the ledger isn't
+    import os as _os
+
+    store = SnapshotStore(spark, _os.path.join(index_dir, "clusters"))
+    v_after_crash = store.current_version()
+    merged = {
+        (r.doc_id, r.cluster)
+        for r in SD.read_clusters(spark, index_dir).collect()
+    }
+    assert {c for _, c in merged} == {10}
+    assert not xo.committed(index_dir, xo.ckpt_key(ckpt), 1)
+
+    monkeypatch.setattr(xo, "commit", real_commit)
+    drain()  # replay the hub batch
+    assert xo.committed(index_dir, xo.ckpt_key(ckpt), 1)
+    # no second publish: already-folded edges contracted to self-loops
+    assert store.current_version() == v_after_crash
+    got = {
+        (r.doc_id, r.cluster)
+        for r in SD.read_clusters(spark, index_dir).collect()
+    }
+    assert got == merged
+    pairs = SD.read_pairs(spark, index_dir).select("id_a", "id_b")
+    assert got == {
+        (r.doc_id, r.cluster) for r in connected_components(pairs).collect()
+    }
+
+
+# -- gap-fill late-data upsert mode (VERDICT r13 #4) ---------------------------
+def test_gapfill_upsert_sink_late_data_bit_equal_to_batch(
+    spark, tmp_path, monkeypatch
+):
+    """After EVERY drained micro-batch — including late arrivals that
+    retract emitted rows — the published filled table must be bit-equal
+    to batch gapfill_daily over all observations so far. Covers: a late
+    mid-series row (locf/interp corrections), a late row BEFORE the
+    series' first day (calendar start moves), a quiet series carried
+    untouched across publishes, a conflicting same-day value raising,
+    re-drain no-op, and a crash between publish and ledger commit."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from les_etl_pipeline_spark.operators.timeseries import gapfill_daily
+    from les_etl_pipeline_spark.sinks.snapshot_store import SnapshotStore
+    from les_etl_pipeline_spark.streaming import _exactly_once as xo
+    from les_etl_pipeline_spark.streaming import gapfill as SG
+
+    d = lambda i: _dt.date(2024, 5, 1) + _dt.timedelta(days=i)
+    schema = "s string, day date, v long"
+    batches = [
+        [("a", d(2), 10), ("a", d(6), 30), ("q", d(0), 1)],  # normal
+        [("a", d(4), 99), ("b", d(1), 5)],    # LATE mid-series for 'a'
+        [("a", d(0), 7)],                      # LATE before series start
+        [("b", d(3), 8), ("q", d(1), 2)],     # quiet 'a' carried
+    ]
+    stream_dir = str(tmp_path / "up_stream")
+    index_dir = str(tmp_path / "up_index")
+    ckpt = str(tmp_path / "up_ckpt")
+
+    def drain(rows=None):
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(stream_dir)
+        SG.gapfill_upsert_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir),
+            index_dir, ckpt, ["s"], "day", "v",
+        )
+
+    seen: list = []
+    for i, rows in enumerate(batches):
+        seen += rows
+        drain(rows)
+        got = {
+            tuple(r) for r in SG.read_filled_upsert(spark, index_dir).collect()
+        }
+        exp = {
+            tuple(r)
+            for r in gapfill_daily(
+                spark.createDataFrame(seen, schema), ["s"], "day", "v"
+            ).collect()
+        }
+        assert got == exp, f"batch {i} diverged from batch operator"
+        time.sleep(1.05)
+    # the late corrections really happened: day 3 of 'a' now interps
+    # between the late day-0/2/4 observations, and the calendar starts
+    # at day 0
+    a_rows = {
+        r.day: (r.v, r.locf)
+        for r in SG.read_filled_upsert(spark, index_dir)
+        .where("s = 'a'")
+        .collect()
+    }
+    assert set(a_rows) == {d(i) for i in range(7)}
+    assert a_rows[d(0)] == (7, 7) and a_rows[d(3)] == (None, 10)
+    store = SnapshotStore(spark, str(tmp_path / "up_index" / "filled_store"))
+    v_done = store.current_version()
+    # re-drain: ledger no-op, no new version, same table
+    drain()
+    assert store.current_version() == v_done
+    got = {tuple(r) for r in SG.read_filled_upsert(spark, index_dir).collect()}
+    exp = {
+        tuple(r)
+        for r in gapfill_daily(
+            spark.createDataFrame(seen, schema), ["s"], "day", "v"
+        ).collect()
+    }
+    assert got == exp
+    # crash between publish and ledger commit: replay converges with no
+    # extra version (zero-change recompute skips the publish)
+    late2 = [("b", d(0), 4)]
+    real_commit = xo.commit
+    monkeypatch.setattr(
+        xo,
+        "commit",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with _pytest.raises(Exception, match="injected crash"):
+        drain(late2)
+    v_crash = store.current_version()
+    assert v_crash == v_done + 1  # publish landed before the crash
+    monkeypatch.setattr(xo, "commit", real_commit)
+    seen += late2
+    drain()
+    assert store.current_version() == v_crash
+    got = {tuple(r) for r in SG.read_filled_upsert(spark, index_dir).collect()}
+    exp = {
+        tuple(r)
+        for r in gapfill_daily(
+            spark.createDataFrame(seen, schema), ["s"], "day", "v"
+        ).collect()
+    }
+    assert got == exp
+    # immutable-observation contract: a conflicting same-day value raises
+    with _pytest.raises(Exception, match="conflicting value"):
+        drain([("a", d(4), 1000)])

@@ -72,6 +72,7 @@ EMB_QUERIES = {
     "similarity_mmr_rerank_ivf",
     "similarity_pq_topk",
     "similarity_threshold_pairs",
+    "stream_ann_index_recall",
 }
 
 #: deliberate quadratic baselines kept visible as oracle anchors — the
