@@ -56,17 +56,23 @@ _SA_DEL_MOD, _SA_DEL_RES = 50, 13
 _SA_QUERIES = 8
 
 
-def _build_stream_index(spark: SparkSession, sf_dir: str) -> str:
+def _build_stream_index(
+    spark: SparkSession, sf_dir: str, retrain: bool = False
+) -> str:
     """Deterministically rebuild the persisted streaming IVF index in a
     scratch dir: bootstrap batch (vec_id < _SA_TRAIN) trains the
     quantizer, a second drain appends the rest, a tombstone delete
-    removes the _SA_DEL_* ids, and compaction folds the tombstones into
-    a fresh generation. Content is a pure function of the embeddings
-    table, so the search results hash-grade against the SQL replay."""
+    removes the _SA_DEL_* ids, and then either compaction folds the
+    tombstones into a fresh generation (default) or ``retrain=True``
+    runs the offline-retrain slot — the quantizer re-trains on the
+    CURRENT live vectors and every live vector is reassigned into a new
+    generation. Content is a pure function of the embeddings table, so
+    the search results hash-grade against the SQL replay."""
     from ..streaming.ann_index import (
         ann_index_sink,
         compact_postings,
         delete_vectors,
+        retrain_index,
     )
 
     base = tempfile.mkdtemp(prefix="sgraft_stream_ann_")
@@ -95,7 +101,10 @@ def _build_stream_index(spark: SparkSession, sf_dir: str) -> str:
         .collect()  # tombstone id list: n/_SA_DEL_MOD rows — metadata
     ]
     delete_vectors(spark, index_dir, dels, batch_id=0)
-    compact_postings(spark, index_dir)
+    if retrain:
+        retrain_index(spark, index_dir, n_cells=_SA_CELLS, iters=2)
+    else:
+        compact_postings(spark, index_dir)
     return index_dir
 
 
@@ -131,16 +140,7 @@ def _exact_live_topk_sql() -> str:
     """
 
 
-def _stream_recall_oracle() -> str:
-    ann = _pq_oracle.ivf_topk_oracle(
-        dim=64,
-        n_cells=_SA_CELLS,
-        n_probe=_SA_PROBE,
-        k=_SA_K,
-        query_sql=f"vec_id < {_SA_QUERIES}",
-        train_sql=f"n.vec_id < {_SA_TRAIN}",
-        exclude_sql=f"cand.vec_id % {_SA_DEL_MOD} = {_SA_DEL_RES}",
-    )
+def _recall_join_sql(ann: str) -> str:
     return f"""
     WITH exact_tk AS (
       SELECT query_id, neighbor_id FROM ({_exact_live_topk_sql()})
@@ -159,6 +159,38 @@ def _stream_recall_oracle() -> str:
     """
 
 
+def _stream_recall_oracle() -> str:
+    return _recall_join_sql(
+        _pq_oracle.ivf_topk_oracle(
+            dim=64,
+            n_cells=_SA_CELLS,
+            n_probe=_SA_PROBE,
+            k=_SA_K,
+            query_sql=f"vec_id < {_SA_QUERIES}",
+            train_sql=f"n.vec_id < {_SA_TRAIN}",
+            exclude_sql=f"cand.vec_id % {_SA_DEL_MOD} = {_SA_DEL_RES}",
+        )
+    )
+
+
+def _stream_recall_retrained_oracle() -> str:
+    """After the retrain slot the quantizer is trained on the LIVE
+    (post-delete) vectors and every live vector is reassigned — so the
+    replay is the same IVF oracle with training restricted to the live
+    set instead of the bootstrap batch."""
+    return _recall_join_sql(
+        _pq_oracle.ivf_topk_oracle(
+            dim=64,
+            n_cells=_SA_CELLS,
+            n_probe=_SA_PROBE,
+            k=_SA_K,
+            query_sql=f"vec_id < {_SA_QUERIES}",
+            train_sql=f"NOT (n.vec_id % {_SA_DEL_MOD} = {_SA_DEL_RES})",
+            exclude_sql=f"cand.vec_id % {_SA_DEL_MOD} = {_SA_DEL_RES}",
+        )
+    )
+
+
 @register("stream_ann_index_recall", oracle=_stream_recall_oracle())
 def stream_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the PERSISTED streaming IVF index vs exact brute
@@ -169,11 +201,34 @@ def stream_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivf_search_index``, and compared against ``cosine_topk`` over the
     non-tombstoned vectors. A pinned floor lives in
     tests/test_round14_ops.py."""
+    return _recall_df(spark, sf_dir, retrain=False)
+
+
+@register(
+    "stream_ann_index_recall_retrained",
+    oracle=_stream_recall_retrained_oracle(),
+)
+def stream_ann_index_recall_retrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same lifecycle monitor through the RETRAIN slot instead of
+    compaction: after the tombstone delete, ``retrain_index`` re-trains
+    the quantizer on the live vectors and reassigns them into a new
+    generation — search must then equal a fresh-trained batch IVF over
+    the live set, which is exactly what the oracle replays. This grades
+    the retrain/reassign/publish path (previously pytest-only) with a
+    driver hash; since retraining on the full live set can only improve
+    cell quality, its recall also upper-bounds the bootstrap-trained
+    monitor's on healthy code."""
+    return _recall_df(spark, sf_dir, retrain=True)
+
+
+def _recall_df(spark: SparkSession, sf_dir: str, retrain: bool) -> DataFrame:
     from ..operators.similarity import cosine_topk
     from ..streaming.ann_index import ivf_search_index
 
     emb = table(spark, sf_dir, "embeddings")
-    index_dir = _build_stream_index(spark, sf_dir)
+    index_dir = _build_stream_index(spark, sf_dir, retrain=retrain)
     ann = ivf_search_index(
         spark,
         index_dir,

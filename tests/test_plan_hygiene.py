@@ -47,6 +47,10 @@ BNLJ_ALLOWED = {
         "quantizer metadata, but a parquet scan the recognizer cannot "
         "prove bounded)"
     ),
+    "stream_ann_index_recall_retrained": (
+        "same shapes as stream_ann_index_recall (brute-force baseline "
+        "broadcast + persisted n_cells-row centroid broadcast)"
+    ),
     "embedding_random_projection_topk": "broadcast of the predicate-bounded query set",
     "events_hourly_gapfill": "hourly spine x distinct event types (categorical cardinality)",
 }

@@ -31,6 +31,23 @@ def test_stream_ann_index_recall_floor(spark, sf_dir):
     assert mean >= 0.6, mean
 
 
+def test_stream_ann_index_recall_retrained_floor(spark, sf_dir):
+    """The retrain-slot monitor trains the quantizer on the full live
+    set, so its recall floor is higher than the bootstrap-trained
+    monitor's (measured 0.95 at sf0.001 / 0.875 at sf0.01)."""
+    from les_etl_pipeline_spark.queries.llm_data15 import (
+        _SA_K,
+        _SA_QUERIES,
+        stream_ann_index_recall_retrained,
+    )
+
+    rows = stream_ann_index_recall_retrained(spark, sf_dir).collect()
+    assert len(rows) == _SA_QUERIES
+    assert all(r.n_hits >= 1 for r in rows), rows
+    mean = sum(r.n_hits for r in rows) / (len(rows) * _SA_K)
+    assert mean >= 0.7, mean
+
+
 def test_stream_ann_index_search_honors_tombstones(spark, sf_dir):
     """No tombstoned vector may surface as a neighbor — after
     compaction the deleted rows are physically gone, and between

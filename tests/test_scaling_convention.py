@@ -104,4 +104,10 @@ def test_embedding_normalization_list_matches_source():
     # entries beyond the direct readers must be the known operator-level
     # readers (table access inside the operator, not the query source)
     indirect = probe.EMB_QUERIES - reads_emb
-    assert indirect <= {"dedup_semantic_prune"}, indirect
+    assert indirect <= {
+        "dedup_semantic_prune",
+        # registered bodies delegate to the shared _recall_df helper,
+        # which does the table(spark, sf_dir, "embeddings") read
+        "stream_ann_index_recall",
+        "stream_ann_index_recall_retrained",
+    }, indirect

@@ -73,6 +73,7 @@ EMB_QUERIES = {
     "similarity_pq_topk",
     "similarity_threshold_pairs",
     "stream_ann_index_recall",
+    "stream_ann_index_recall_retrained",
 }
 
 #: deliberate quadratic baselines kept visible as oracle anchors — the
