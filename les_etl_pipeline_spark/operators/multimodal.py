@@ -2,18 +2,22 @@
 with typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
-decode_image / decode_audio are REAL pure-stdlib decoders for the two
-formats that need no external library: uncompressed 24-bpp BMP (struct
-header parse, stride-aware pixel walk) and 16-bit PCM WAV (stdlib
-`wave`). Exotic formats (JPEG/PNG/MP3/...) slot into the same
-mapInPandas contract through the IMAGE_DECODERS / AUDIO_DECODERS
-registry: _register_optional_codecs import-gates PIL and librosa and
-registers their mimes when the libraries exist (absent from this
-container — unregistered mimes raise ValueError rather than
-pretending). A self-skipping test proves the PIL decoder returns the
-identical dict as the stdlib BMP decoder where PIL is available.
-fake_features (byte-level stand-in features) remains for payloads of
-arbitrary mime.
+decode_image / decode_png / decode_audio are REAL pure-stdlib decoders
+for the three formats that need no external library: uncompressed
+24-bpp BMP (struct header parse, stride-aware pixel walk),
+non-interlaced 8-bit PNG (zlib inflate + full five-filter unfiltering —
+gray / RGB / RGBA color types; round 14), and 16-bit PCM WAV (stdlib
+`wave`). Exotic formats (JPEG/MP3/...) slot into the same mapInPandas
+contract through the IMAGE_DECODERS / AUDIO_DECODERS registry:
+_register_optional_codecs import-gates PIL and librosa and registers
+their mimes when the libraries exist (absent from this container —
+unregistered mimes raise ValueError rather than pretending). A
+self-skipping test proves the PIL decoder returns the identical dict
+as the stdlib BMP decoder where PIL is available. The perceptual aHash
+sniffs the container magic, so BMP and PNG of the SAME pixels produce
+the SAME signature (pinned) and both ride the shared banded-Hamming
+near-dup machinery. fake_features (byte-level stand-in features)
+remains for payloads of arbitrary mime.
 """
 
 from __future__ import annotations
@@ -132,6 +136,221 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> channel count (bit depth 8, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 9.4): the neighbor (left, up, upper-
+    left) closest to the linear estimate a + b - c, ties left-first."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor over uint8 arrays (int16 internally —
+    the spec's arithmetic is on unwrapped byte values)."""
+    import numpy as np
+
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(width: int, height: int, value_fn, color_type: int = 2) -> bytes:
+    """Build a real non-interlaced 8-bit PNG with stdlib zlib + numpy:
+    ``value_fn(x, y)`` gives the gray value of pixel (x, y), replicated
+    across channels (alpha = 255 for color type 6). Scanline filters
+    CYCLE through all five types (row y uses filter y % 5), so a decoder
+    round-trip exercises None/Sub/Up/Average/Paeth — a fixture that
+    only ever emits filter 0 would leave the unfiltering logic dead."""
+    import numpy as np
+
+    gray = np.array(
+        [[value_fn(x, y) & 0xFF for x in range(width)] for y in range(height)],
+        dtype=np.uint8,
+    ).reshape(height, width)
+    return encode_png_gray(gray, color_type)
+
+
+def encode_png_gray(gray, color_type: int = 2) -> bytes:
+    """Array fast path of ``encode_png``: ``gray`` is a (height, width)
+    uint8 matrix. Filtering is fully vectorized — the encoder predicts
+    from RAW neighbor bytes (per spec), so every filter is an
+    element-wise shift-and-subtract."""
+    import zlib
+
+    import numpy as np
+
+    gray = np.asarray(gray, dtype=np.uint8)
+    height, width = gray.shape
+    ch = _PNG_CHANNELS[color_type]
+    if ch == 1:
+        img = gray[:, :, None]
+    elif ch == 3:
+        img = np.repeat(gray[:, :, None], 3, axis=2)
+    else:
+        img = np.concatenate(
+            [np.repeat(gray[:, :, None], 3, axis=2),
+             np.full((height, width, 1), 255, np.uint8)],
+            axis=2,
+        )
+    flat = img.reshape(height, width * ch)
+    zero = np.zeros(width * ch, np.uint8)
+    lines = []
+    for y in range(height):
+        row = flat[y]
+        prev = flat[y - 1] if y else zero
+        a = np.concatenate([zero[:ch], row[:-ch]])
+        c = np.concatenate([zero[:ch], prev[:-ch]])
+        f = y % 5
+        if f == 0:
+            pred = zero
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = ((a.astype(np.int16) + prev) // 2).astype(np.uint8)
+        else:
+            pred = _paeth_vec(a, prev, c)
+        filt = row - pred  # uint8 wraps mod 256, per spec
+        lines.append(bytes([f]) + filt.tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 9)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_rows(payload: bytes):
+    """Parse a non-interlaced 8-bit PNG into (width, height, channels,
+    unfiltered scanlines) — the shared core of ``decode_png`` and the
+    perceptual-hash pixel extraction. Pure stdlib: big-endian chunk
+    walk, concatenated-IDAT zlib inflate, per-row unfiltering of all
+    five PNG filter types."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"only 8-bit gray/RGB/RGBA PNG supported "
+                    f"(depth={depth}, color_type={color_type})"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    rows = []
+    prev = np.zeros(stride, np.uint8)
+    for y in range(height):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].copy()
+        if f == 1:
+            # Sub: out[i] = in[i] + out[i-ch] -> per-channel-lane
+            # cumulative sum; uint8 accumulate wraps mod 256, per spec
+            line = np.add.accumulate(
+                line.reshape(width, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:
+            line += prev  # uint8 wraps
+        elif f == 3:
+            # Average: left neighbor is RECONSTRUCTED -> sequential in
+            # x, vectorized across channel lanes (w iterations, not
+            # w*ch byte iterations)
+            lanes = line.reshape(width, ch).astype(np.int16)
+            plan = prev.reshape(width, ch).astype(np.int16)
+            left = np.zeros(ch, np.int16)
+            for x in range(width):
+                left = (lanes[x] + (left + plan[x]) // 2) & 0xFF
+                lanes[x] = left
+            line = lanes.astype(np.uint8).reshape(stride)
+        elif f == 4:
+            lanes = line.reshape(width, ch)
+            plan = prev.reshape(width, ch)
+            left = np.zeros(ch, np.uint8)
+            upleft = np.zeros(ch, np.uint8)
+            for x in range(width):
+                left = lanes[x] + _paeth_vec(left, plan[x], upleft)
+                lanes[x] = left
+                upleft = plan[x]
+            line = lanes.reshape(stride)
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        rows.append(line.tobytes())
+        prev = line
+    return width, height, ch, rows
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG with the stdlib only, honoring
+    the ``decode_image`` contract: width, height, bpp (8 x channels),
+    n_pixels, mean_pixel — the mean over COLOR bytes only (alpha
+    excluded), so an RGB PNG of the same pixels reports the identical
+    mean as its 24-bpp BMP twin (pinned in tests)."""
+    width, height, ch, rows = _png_rows(payload)
+    color = 3 if ch == 4 else ch
+    total = 0
+    for line in rows:
+        if ch == 4:
+            total += sum(line) - sum(line[3::4])  # drop alpha bytes
+        else:
+            total += sum(line)
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "bpp": 8 * ch,
+        "n_pixels": n,
+        "mean_pixel": total / (n * color) if n else 0.0,
+    }
+
+
 def encode_wav(
     n_frames: int, amplitude: int, sample_rate: int = 8000, period: int = 2
 ) -> bytes:
@@ -192,7 +411,7 @@ def decode_audio(payload: bytes) -> dict:
 # decode of the same BMP returns the identical dict, so stdlib and real
 # codecs are demonstrably the same contract, not parallel worlds.
 
-IMAGE_DECODERS: dict = {"image/bmp": decode_image}
+IMAGE_DECODERS: dict = {"image/bmp": decode_image, "image/png": decode_png}
 AUDIO_DECODERS: dict = {"audio/wav": decode_audio}
 
 
@@ -428,15 +647,29 @@ def encode_bmp_pattern(width: int, height: int, value_fn) -> bytes:
     return header + pixels
 
 
-def _ahash_bits(payload: bytes, hash_size: int = 8) -> str:
-    """Average-hash of a decoded BMP: block-average the image down to
-    hash_size x hash_size (exact integer sums over each block's BGR
-    bytes), threshold each block at the mean of the block means. Returns
-    a row-major '01' string of hash_size^2 bits — the same signature
-    representation as ``dedup.simhash_signatures``, so the banded
-    Hamming machinery is shared."""
+def _pixel_sums(payload: bytes):
+    """(height, width) int64 matrix of per-pixel COLOR-byte sums in
+    image (top-down) order, dispatched on the container magic — the
+    shared pixel source of the perceptual hash. BMP sums the 3 BGR
+    bytes; PNG sums its color channels scaled to the same 3-byte range
+    (gray x3, RGB as-is, RGBA minus alpha), so the SAME pixels produce
+    the SAME block means — and therefore the same aHash — in either
+    container (pinned in tests)."""
+    import numpy as np
+
+    if payload[:8] == PNG_SIG:
+        width, height, ch, rows = _png_rows(payload)
+        arr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            height, width, ch
+        )
+        if ch == 4:
+            arr = arr[:, :, :3]
+        pix = arr.sum(axis=2, dtype=np.int64)
+        if ch == 1:
+            pix *= 3  # scale gray to the 3-channel byte-sum range
+        return pix
     if len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+        raise ValueError("not a BMP or PNG payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     _hdr, width, height, _planes, bpp, compression = struct.unpack_from(
         "<IiiHHI", payload, 14
@@ -446,16 +679,28 @@ def _ahash_bits(payload: bytes, hash_size: int = 8) -> str:
     top_down = height < 0
     height = abs(height)
     stride = (width * 3 + 3) // 4 * 4
-    import numpy as np
-
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=height * stride, offset=data_offset
     ).reshape(height, stride)[:, : width * 3]
     if not top_down:
         rows = rows[::-1]  # stored bottom-up -> image order
-    # per-pixel BGR sum, then block sums on the same lo = b*dim//hs
+    return rows.reshape(height, width, 3).sum(axis=2, dtype=np.int64)
+
+
+def _ahash_bits(payload: bytes, hash_size: int = 8) -> str:
+    """Average-hash of a decoded image (BMP or PNG — see _pixel_sums):
+    block-average the image down to hash_size x hash_size (exact
+    integer sums over each block's color bytes), threshold each block
+    at the mean of the block means. Returns a row-major '01' string of
+    hash_size^2 bits — the same signature representation as
+    ``dedup.simhash_signatures``, so the banded Hamming machinery is
+    shared."""
+    import numpy as np
+
+    pix = _pixel_sums(payload)
+    height, width = pix.shape
+    # per-pixel color sum, then block sums on the same lo = b*dim//hs
     # boundaries the scalar loop used (i*hs//dim maps into exactly these)
-    pix = rows.reshape(height, width, 3).sum(axis=2, dtype=np.int64)
     yb = [b * height // hash_size for b in range(hash_size + 1)]
     xb = [b * width // hash_size for b in range(hash_size + 1)]
     sums = np.add.reduceat(np.add.reduceat(pix, yb[:-1], axis=0), xb[:-1], axis=1)
@@ -651,6 +896,46 @@ def synth_image_assets(
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        op, schema="doc_id bigint, payload binary"
+    )
+
+
+def synth_png_assets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 10,
+    flip_every: int = 3,
+    color_type: int = 2,
+) -> DataFrame:
+    """PNG twin of ``synth_image_assets``: the SAME 32x32 ``_group_bits``
+    block pattern per doc, containerized as a real zlib-compressed PNG
+    (filters cycling through all five types) instead of a BMP. Because
+    the perceptual hash is a property of the pixels (``_pixel_sums``
+    sniffs the container), the identical closed-form oracle predicts the
+    near-dup output through the PNG decode path too.
+
+    The id column is REPARTITIONED before the pandas stage: the docs
+    table is typically one parquet file -> one task, and PNG encode
+    (zlib + filter math) plus the downstream decode are ~ms per asset,
+    so a serial stage would bottleneck the pipeline on one core — the
+    shuffle moves only 8-byte ids."""
+    import pandas as _pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            import numpy as np
+
+            for did in pdf["doc_id"]:
+                bits = _group_bits(int(did), group_size, flip_every)
+                blocks = np.array(bits, dtype=np.uint8).reshape(8, 8) * 255
+                gray = np.kron(blocks, np.ones((4, 4), np.uint8))
+                payloads.append(encode_png_gray(gray, color_type))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(n_parts).mapInPandas(
         op, schema="doc_id bigint, payload binary"
     )
 

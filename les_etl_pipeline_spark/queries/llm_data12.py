@@ -293,6 +293,24 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_near_dup_pairs(assets, max_hamming=2)
 
 
+@register("multimodal_png_near_dup", oracle=_IMG_ORACLE)
+def multimodal_png_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG twin of ``multimodal_image_near_dup`` (round 14): the same
+    32x32 ``_group_bits`` block pattern containerized as a REAL
+    zlib-compressed PNG (scanline filters cycling through all five
+    types), decoded by the stdlib zlib/unfilter path inside
+    ``_pixel_sums``. The aHash is a property of the pixels, so the
+    identical closed-form oracle predicts the banded-Hamming output —
+    grading the whole PNG inflate -> unfilter -> block-average ->
+    threshold -> banding chain with a driver hash."""
+    from ..operators import multimodal
+
+    assets = multimodal.synth_png_assets(
+        table(spark, sf_dir, "documents"), group_size=10, flip_every=3
+    )
+    return multimodal.image_near_dup_pairs(assets, max_hamming=2)
+
+
 @register("multimodal_audio_near_dup", oracle=_IMG_ORACLE)
 def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of ``multimodal_image_near_dup``, same oracle: the

@@ -223,5 +223,11 @@ def test_pil_decoder_matches_stdlib_contract():
     for width, value in ((1, 0), (3, 77), (5, 200)):
         payload = mm.encode_bmp(width, 3, value)
         assert mm.pil_decode_image(payload) == mm.decode_image(payload)
-    # and the import-gated registration actually widened coverage
-    assert "image/png" in mm.IMAGE_DECODERS
+    # round 14: PNG decodes stdlib-side too — PIL must agree with the
+    # zlib/unfilter decoder on an all-filters fixture (mean over color
+    # bytes; PIL reports the full-channel mean, so compare the RGB form)
+    png = mm.encode_png(13, 11, lambda x, y: (x * 37 + y * 101) % 256)
+    pil = mm.pil_decode_image(png)
+    std = mm.decode_png(png)
+    assert (pil["width"], pil["height"]) == (std["width"], std["height"])
+    assert abs(pil["mean_pixel"] - std["mean_pixel"]) < 1e-9
