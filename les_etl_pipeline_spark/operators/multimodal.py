@@ -141,16 +141,6 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """Paeth predictor (PNG spec 9.4): the neighbor (left, up, upper-
-    left) closest to the linear estimate a + b - c, ties left-first."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
     import zlib
 
