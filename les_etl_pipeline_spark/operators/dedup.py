@@ -555,23 +555,31 @@ def minhash_signature_array(
             F.col(id_col).alias("doc_id"), hs.alias("_hs")
         )
 
-        # NOTE the closures below take ONE argument on purpose: a
-        # two-parameter lambda passed to F.transform receives the ARRAY
-        # INDEX as its second argument, so the idiom `lambda s, i=i: ...`
-        # silently rebinds i to the position column — every permutation
-        # collapses to the same hash (caught r6 when the md5 family's
-        # oracle flagged it; the xxhash64 family had carried the same
-        # latent bug behind its rows-only check).
-        def _g(i: int):
-            return F.array_min(
-                F.transform(
-                    F.col("_hs"),
-                    lambda h: F.pmod(h.h1 + F.lit(seed + i) * h.h2, F.lit(4294967296)),
-                )
-            )
-
+        # the n permutations are ONE transform over sequence(0, n-1)
+        # instead of n unrolled array_min expressions: i + seed evaluates
+        # to the same int the old F.lit(seed + i) literal held, so every
+        # g_i is value-identical, while query construction makes O(1)
+        # py4j calls instead of O(n) and the generated code is a loop
+        # instead of n inlined copies (r14: the unrolled form cost
+        # ~1.5 s of driver-side expression building per bench rep and
+        # bloated whole-stage codegen). The inner closure takes ONE
+        # argument on purpose: a two-parameter lambda passed to
+        # F.transform receives the ARRAY INDEX as its second argument
+        # (the r6 rebinding bug class).
+        perms = F.sequence(F.lit(0), F.lit(n_hashes - 1))
         return staged.select(
-            "doc_id", F.array(*[_g(i) for i in range(n_hashes)]).alias("minhash")
+            "doc_id",
+            F.transform(
+                perms,
+                lambda i: F.array_min(
+                    F.transform(
+                        F.col("_hs"),
+                        lambda h: F.pmod(
+                            h.h1 + (i + F.lit(seed)) * h.h2, F.lit(4294967296)
+                        ),
+                    )
+                ),
+            ).alias("minhash"),
         )
     if hash_family == "xxhash64":
         # same staging: build the distinct-shingle array ONCE behind a
@@ -582,13 +590,22 @@ def minhash_signature_array(
             F.col(id_col).alias("doc_id"), sh.alias("_sh")
         )
 
-        def _m(i: int):
-            return F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(F.lit(seed + i), s))
-            )
-
+        # same one-transform permutation loop as the md5 branch:
+        # xxhash64 hashes its ARGUMENT VALUES (it has no seed
+        # parameter), so xxhash64(i + seed, s) with i from
+        # sequence(0, n-1) is value-identical to the old unrolled
+        # xxhash64(lit(seed + i), s) — both hash the int seed+i then s
+        perms = F.sequence(F.lit(0), F.lit(n_hashes - 1))
         return staged.select(
-            "doc_id", F.array(*[_m(i) for i in range(n_hashes)]).alias("minhash")
+            "doc_id",
+            F.transform(
+                perms,
+                lambda i: F.array_min(
+                    F.transform(
+                        F.col("_sh"), lambda s: F.xxhash64(i + F.lit(seed), s)
+                    )
+                ),
+            ).alias("minhash"),
         )
     raise ValueError(f"unknown hash_family: {hash_family!r}")
 
@@ -624,18 +641,25 @@ def minhash_banded_pairs(
     engine-portable, so the full banding pipeline replays in DuckDB."""
     b, r = choose_lsh_params(threshold, n_hashes)
     sigs = minhash_signature_array(df, text_col, id_col, b * r, ngram, seed, hash_family)
+    # one transform over sequence(0, b-1) instead of b unrolled structs
+    # (r14: same O(1)-py4j / loop-codegen rewrite as the signature
+    # permutations; i is an int element so i * r + 1 and xxhash64(i, ..)
+    # are value-identical to the old F.lit(i) forms)
     if hash_family == "md5":
         bucket_of = lambda i: F.array_join(  # noqa: E731
-            F.transform(F.slice("minhash", i * r + 1, r), lambda x: x.cast("string")),
+            F.transform(
+                F.slice("minhash", i * F.lit(r) + F.lit(1), r),
+                lambda x: x.cast("string"),
+            ),
             ":",
         )
     else:
-        bucket_of = lambda i: F.xxhash64(F.lit(i), F.slice("minhash", i * r + 1, r))  # noqa: E731
-    bands = F.array(
-        *[
-            F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
-            for i in range(b)
-        ]
+        bucket_of = lambda i: F.xxhash64(  # noqa: E731
+            i, F.slice("minhash", i * F.lit(r) + F.lit(1), r)
+        )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda i: F.struct(i.alias("band"), bucket_of(i).alias("bucket")),
     )
     posts = (
         sigs.select("doc_id", F.explode(bands).alias("bb"))

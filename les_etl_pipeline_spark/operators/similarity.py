@@ -439,11 +439,14 @@ def lloyd_codebooks(
         for j, (lo, hi) in enumerate(bounds)
         for c, r in enumerate(seed_rows)
     ]
-    # the loop re-reads the exploded table once per pass: pin it (at
-    # cluster scale this is the persisted staging table the module doc
-    # prescribes for iterative inputs)
+    # the loop re-reads the exploded table once per pass: pin it when
+    # there is more than one pass (at cluster scale this is the
+    # persisted staging table the module doc prescribes for iterative
+    # inputs). With the default iters=2 the loop body runs ONCE, so the
+    # checkpoint would be a pure extra sequential job (r14, guide §1.2).
     sub = base.select(F.col(id_col).alias("_id"), F.inline(_sub_structs(bounds)))
-    sub = sub.localCheckpoint()
+    if iters > 2:
+        sub = sub.localCheckpoint()
     for it in range(max(iters - 1, 0)):
         codebook = spark.createDataFrame(cb, "j int, code int, cvec array<double>")
         assign = (
@@ -607,6 +610,99 @@ def pq_topk(
     )
 
 
+def _lloyd_ivf_pq_train(
+    base: DataFrame,
+    bounds: list[tuple[int, int]],
+    n_cells: int,
+    n_codes: int,
+    prefix,
+    id_col: str,
+):
+    """ONE fused update pass for the IVF-PQ trainer (r14, guide §1.2:
+    fix the distributed algorithm first — here the job COUNT). The
+    coarse quantizer's centroid update and the PQ codebooks' update are
+    independent aggregates (coarse trains on the unit vectors, the
+    codebooks on the subvector explode), but the unfused path ran them
+    as sequential driver round-trips: kmeans_lloyd_full's collect, then
+    lloyd_codebooks' collect, plus an eager checkpoint of the
+    SINGLE-USE subvector table in between. This helper computes both
+    hround(avg)-update tables in one tagged-union collect — the per-
+    aggregate float math is unchanged, so cents/codebook come out
+    bit-identical (pinned in tests/test_similarity_pq.py) — and replays
+    the two trainers' reconstruction exactly (sorted cluster/code
+    order, empty clusters/codes drop out).
+
+    Equivalent by construction to the iters=2 pair
+    ``kmeans_lloyd_full(base[id, ud], k=n_cells, seed_vectors=prefix)``
+    + ``lloyd_codebooks(base, bounds, n_codes, seed_rows=prefix)``.
+    Returns (final assign DataFrame, cents dict, codebook DataFrame)."""
+    from . import clustering
+
+    spark = base.sparkSession
+    e = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col("ud"), lambda x: x.cast("double")).alias("v"),
+    )
+    seed_cents = {
+        i: [float(x) for x in r.ud] for i, r in enumerate(prefix[:n_cells])
+    }
+    coarse_upd = (
+        clustering._assign(e, seed_cents)
+        .select("cluster", F.posexplode("v"))
+        .groupBy("cluster", "pos")
+        .agg(hround(F.avg("col"), 6).alias("cd"))
+        .select(
+            F.lit("c").alias("_t"),
+            F.col("cluster").alias("g1"),
+            F.lit(0).alias("g2"),
+            "pos",
+            "cd",
+        )
+    )
+    cb0 = [
+        (j, c, [float(x) for x in r.ud[lo:hi]])
+        for j, (lo, hi) in enumerate(bounds)
+        for c, r in enumerate(prefix[:n_codes])
+    ]
+    codebook0 = spark.createDataFrame(cb0, "j int, code int, cvec array<double>")
+    sub = base.select(F.col(id_col).alias("_id"), F.inline(_sub_structs(bounds)))
+    pq_upd = (
+        sub.join(F.broadcast(codebook0), "j")
+        .withColumn("d2", _sub_d2())
+        .groupBy("_id", "j")
+        .agg(
+            F.min_by("code", F.struct("d2", "code")).alias("code"),
+            F.min_by("svec", F.struct("d2", "code")).alias("svec"),
+        )
+        .select("j", "code", F.posexplode("svec"))
+        .groupBy("j", "code", "pos")
+        .agg(hround(F.avg("col"), 6).alias("cd"))
+        .select(
+            F.lit("p").alias("_t"),
+            F.col("j").alias("g1"),
+            F.col("code").alias("g2"),
+            "pos",
+            "cd",
+        )
+    )
+    rows = coarse_upd.unionByName(pq_upd).collect()
+    by_cluster: dict[int, dict[int, float]] = {}
+    by_code: dict[tuple[int, int], dict[int, float]] = {}
+    for r in rows:
+        if r._t == "c":
+            by_cluster.setdefault(r.g1, {})[r.pos] = r.cd
+        else:
+            by_code.setdefault((r.g1, r.g2), {})[r.pos] = r.cd
+    cents = {c: [dims[p] for p in sorted(dims)] for c, dims in by_cluster.items()}
+    cb = [
+        (j, c, [dims[p] for p in sorted(dims)])
+        for (j, c), dims in sorted(by_code.items())
+    ]
+    assign = clustering._assign(e, cents)
+    codebook = spark.createDataFrame(cb, "j int, code int, cvec array<double>")
+    return assign, cents, codebook
+
+
 def ivf_pq_topk(
     df: DataFrame,
     query_pred,
@@ -643,8 +739,6 @@ def ivf_pq_topk(
     spark = df.sparkSession
 
     if codebooks == "lloyd":
-        from . import clustering
-
         # ONE ordered-prefix fetch serves the coarse quantizer's n_cells
         # seeds, the PQ codebooks' n_codes seeds, and the dim probe
         # (VERDICT r8 — the lloyd branch previously made two bounded
@@ -655,11 +749,13 @@ def ivf_pq_topk(
             .limit(max(n_cells, n_codes))
             .collect()
         )
-        # ---- IVF: coarse cells over the unit vectors (deterministic)
-        assign, cents = clustering.kmeans_lloyd_full(
-            base.select(id_col, "ud"), k=n_cells, iters=2,
-            id_col=id_col, vec_col="ud",
-            seed_vectors=[list(r.ud) for r in prefix[:n_cells]],
+        dim = len(prefix[0].ud)
+        bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+        # ---- IVF coarse cells + PQ codebooks, trained in ONE fused
+        # update collect (r14 — was two sequential collects plus an
+        # eager checkpoint of the single-use subvector explode)
+        assign, cents, codebook = _lloyd_ivf_pq_train(
+            base, bounds, n_cells, n_codes, prefix, id_col
         )
         assigned = assign.select(
             F.col("vec_id").alias(id_col),
@@ -669,11 +765,6 @@ def ivf_pq_topk(
         centroids = driver_literal_df(spark,
             [(c, v) for c, v in sorted(cents.items())],
             "cell int, cvec array<double>",
-        )
-        dim = len(prefix[0].ud)
-        bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
-        codebook = lloyd_codebooks(
-            base, bounds, n_codes, id_col=id_col, seed_rows=prefix[:n_codes]
         )
     else:
         from pyspark.ml.clustering import KMeans

@@ -306,7 +306,19 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(_dedup.shingles("text", 3)).alias("sh")
     )
     sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K)
-    srcs = sorted(r.source for r in sh.select("source").distinct().collect())
+    # source DOMAIN from the doc grain, not the exploded shingle grain:
+    # a source appears in `sh` iff it has >= 1 doc with >= 1 shingle, so
+    # filtering on size(shingles) > 0 yields the identical set while the
+    # spine collect skips the shingle explode + shingle-grain distinct
+    # (r14, guide §2.3: the old form re-ran the full explode scan just
+    # to list ~20 sources)
+    srcs = sorted(
+        r.source
+        for r in docs.where(F.size(_dedup.shingles("text", 3)) > 0)
+        .select("source")
+        .distinct()
+        .collect()
+    )
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
         "src_a string, src_b string",
@@ -360,24 +372,30 @@ def sketch_kll_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("l_orderkey") % 100
     shards = [li.where(m < 90), li.where((m >= 90) & (m < 99)), li.where(m == 99)]
-    # lazy localCheckpoint between fold stages: kll_merge references its
-    # input twice (count aggregate + survivor re-filter) and
-    # kll_quantiles references the fold twice, so an uncut lineage
-    # re-executes each shard's base scan up to 8x (the MMR/BPE
-    # unrolled-stage lesson). Each checkpointed frame is <= capacity
-    # rows; on a cluster this is a persisted staging table per fold step
-    # — exactly what the streaming MV's per-batch state write does.
-    folded = sketches.kll_build(
-        shards[0], "l_extendedprice", key, capacity=KLLM_CAPACITY
-    ).localCheckpoint(eager=False)
-    for shard in shards[1:]:
-        folded = sketches.kll_merge(
-            folded,
-            sketches.kll_build(
-                shard, "l_extendedprice", key, capacity=KLLM_CAPACITY
-            ).localCheckpoint(eager=False),
-            capacity=KLLM_CAPACITY,
-        ).localCheckpoint(eager=False)
+    # r14 (guide §2.6 + §1.2): the three shard builds are INDEPENDENT
+    # jobs, so their checkpoint materializations run concurrently from a
+    # small thread pool instead of as a sequential fold of eager AQE
+    # stages, and the left fold collapses to ONE n-way kll_merge.
+    # n-way == left fold BIT-EXACTLY by the merge's own math: the fold's
+    # intermediate floor max(l01, l2) >= max(l0, l1, l2), and any level
+    # l in between has c012_l >= c01_l > capacity (counts of disjoint
+    # shards add and are non-negative), so both searches select the same
+    # l* — pinned against the explicit left fold on these asymmetric
+    # shards in tests/test_sketches_merge_fold_equivalence.py and
+    # measured 8.5 -> 4.1 s at sf0.1. Each checkpointed frame is
+    # <= capacity rows; on a cluster this is a persisted staging table
+    # per shard — exactly what the streaming MV's per-batch state write
+    # does.
+    def build(shard):
+        return sketches.kll_build(
+            shard, "l_extendedprice", key, capacity=KLLM_CAPACITY
+        ).localCheckpoint()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(shards)) as pool:
+        builds = list(pool.map(build, shards))
+    folded = sketches.kll_merge(*builds, capacity=KLLM_CAPACITY)
     return sketches.kll_quantiles(folded, KLLM_PROBS)
 
 
@@ -406,20 +424,22 @@ def sketch_kll_merge_fold_by_group(spark: SparkSession, sf_dir: str) -> DataFram
     )
     big = li.where(F.col("l_orderkey") % 100 != 0)
     tiny = li.where(F.col("l_orderkey") % 100 == 0)
-    # lazy localCheckpoints cut the fold's lineage pyramid (see
+
+    # r14 (guide §2.6): the two shard builds are independent — their
+    # checkpoint materializations run concurrently instead of as
+    # sequential eager AQE stages (same pattern as
     # sketch_kll_merge_fold); every checkpointed frame is sketch-sized
+    def build(shard):
+        return sketches.kll_build_grouped(
+            shard, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
+        ).localCheckpoint()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        b_big, b_tiny = pool.map(build, [big, tiny])
     merged = sketches.kll_merge_grouped(
-        sketches.kll_build_grouped(
-            big, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
-        )
-        .localCheckpoint(eager=False)
-        .unionByName(
-            sketches.kll_build_grouped(
-                tiny, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
-            ).localCheckpoint(eager=False)
-        ),
-        ["g"],
-        capacity=KLLGM_CAPACITY,
+        b_big.unionByName(b_tiny), ["g"], capacity=KLLGM_CAPACITY
     ).localCheckpoint(eager=False)
     return sketches.kll_quantiles_grouped(merged, ["g"], KLLGM_PROBS)
 
@@ -1056,7 +1076,19 @@ def sketch_kmv_source_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = docs.select("source", F.explode(_dedup.shingles("text", 3)).alias("sh"))
     sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K)
-    srcs = sorted(r.source for r in sh.select("source").distinct().collect())
+    # source DOMAIN from the doc grain, not the exploded shingle grain:
+    # a source appears in `sh` iff it has >= 1 doc with >= 1 shingle, so
+    # filtering on size(shingles) > 0 yields the identical set while the
+    # spine collect skips the shingle explode + shingle-grain distinct
+    # (r14, guide §2.3: the old form re-ran the full explode scan just
+    # to list ~20 sources)
+    srcs = sorted(
+        r.source
+        for r in docs.where(F.size(_dedup.shingles("text", 3)) > 0)
+        .select("source")
+        .distinct()
+        .collect()
+    )
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
         "src_a string, src_b string",

@@ -76,6 +76,21 @@ def get_spark(
         # legacy conf needed here)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # codegen class cache sized for an engine with hundreds of
+        # distinct query fragments (r14, measured): the default cache of
+        # 100 generated classes thrashes on a session that executes this
+        # registry repeatedly — every eviction re-runs Janino AND throws
+        # away the JIT-compiled code, so the JVM re-compiles ~50 s of
+        # CPU per suite pass forever (aging probe, default vs 5000
+        # entries: JIT time growth +45 s/pass never settling vs +8 s/pass
+        # settling; steady-state pass 117-180 s vs 97-102 s). Cost is
+        # bounded metaspace (generated classes are KB-scale). The same
+        # churn hits cluster executors at 100 TB — this is a workload
+        # property (query-fragment cardinality), not a local[] tuning.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -9,6 +9,7 @@ guessed.
 
 Usage:
   SPARK_GRAFT_AGING_JAVAOPTS='-XX:ReservedCodeCacheSize=1g' \
+  SPARK_GRAFT_AGING_CONF='spark.sql.codegen.cache.maxEntries=2000' \
       python tools/aging_probe.py [passes]
 
 Prints one JSON line per pass: per-probe-query seconds + telemetry.
@@ -62,8 +63,14 @@ def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     javaopts = os.environ.get("SPARK_GRAFT_AGING_JAVAOPTS", "")
-    extra = {"spark.driver.extraJavaOptions": javaopts} if javaopts else None
-    spark = get_spark("aging_probe", extra_conf=extra)
+    extra: dict[str, str] = {}
+    if javaopts:
+        extra["spark.driver.extraJavaOptions"] = javaopts
+    for kv in os.environ.get("SPARK_GRAFT_AGING_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            extra[k.strip()] = v.strip()
+    spark = get_spark("aging_probe", extra_conf=extra or None)
     names = [n for n in HEADLINE + EXTENDED if n in QUERIES]
     for p in range(passes):
         probe_times: dict[str, float] = {}
