@@ -555,29 +555,39 @@ def minhash_signature_array(
             F.col(id_col).alias("doc_id"), hs.alias("_hs")
         )
 
-        # the n permutations are ONE transform over sequence(0, n-1)
-        # instead of n unrolled array_min expressions: i + seed evaluates
-        # to the same int the old F.lit(seed + i) literal held, so every
-        # g_i is value-identical, while query construction makes O(1)
-        # py4j calls instead of O(n) and the generated code is a loop
-        # instead of n inlined copies (r14: the unrolled form cost
-        # ~1.5 s of driver-side expression building per bench rep and
-        # bloated whole-stage codegen). The inner closure takes ONE
+        # the n permutations run as ONE elementwise-min FOLD over the
+        # shingle structs: acc starts at [2^32]*n (above every g_i, so
+        # the min over the non-empty shingle set is unchanged) and each
+        # shingle contributes its n permuted hashes via zip_with/least —
+        # value-identical to n unrolled array_min expressions (min is
+        # commutative/associative over longs; i + seed equals the old
+        # lit(seed + i)), with O(1) py4j construction instead of O(n).
+        # STRUCTURAL hazard note (r14, measured): a transform over
+        # sequence(0, n-1) whose lambda references _hs is the WRONG
+        # shape — _hs then has one consumer, CollapseProject inlines the
+        # md5 staging into the lambda, and the md5s re-run once PER
+        # PERMUTATION (138 s vs ~6 s at sf0.1 — the same trap the
+        # staging comment above documents). In the fold form _hs is the
+        # aggregate's INPUT collection, evaluated once per row no matter
+        # what the optimizer inlines. The inner closure takes ONE
         # argument on purpose: a two-parameter lambda passed to
         # F.transform receives the ARRAY INDEX as its second argument
         # (the r6 rebinding bug class).
         perms = F.sequence(F.lit(0), F.lit(n_hashes - 1))
         return staged.select(
             "doc_id",
-            F.transform(
-                perms,
-                lambda i: F.array_min(
+            F.aggregate(
+                F.col("_hs"),
+                F.array_repeat(F.lit(4294967296).cast("long"), n_hashes),
+                lambda acc, h: F.zip_with(
+                    acc,
                     F.transform(
-                        F.col("_hs"),
-                        lambda h: F.pmod(
+                        perms,
+                        lambda i: F.pmod(
                             h.h1 + (i + F.lit(seed)) * h.h2, F.lit(4294967296)
                         ),
-                    )
+                    ),
+                    lambda a, b: F.least(a, b),
                 ),
             ).alias("minhash"),
         )
@@ -590,20 +600,29 @@ def minhash_signature_array(
             F.col(id_col).alias("doc_id"), sh.alias("_sh")
         )
 
-        # same one-transform permutation loop as the md5 branch:
-        # xxhash64 hashes its ARGUMENT VALUES (it has no seed
-        # parameter), so xxhash64(i + seed, s) with i from
-        # sequence(0, n-1) is value-identical to the old unrolled
-        # xxhash64(lit(seed + i), s) — both hash the int seed+i then s
+        # same elementwise-min FOLD as the md5 branch (and the same
+        # structural hazard: a transform over sequence(0, n-1) whose
+        # lambda reads _sh leaves _sh with one consumer, CollapseProject
+        # inlines the shingle staging into the lambda, and the
+        # tokenize/shingle/distinct re-runs once per permutation — the
+        # 90 s trap the staging comment documents). Here _sh is the
+        # aggregate's INPUT collection, evaluated once per row no matter
+        # what the optimizer inlines. xxhash64 hashes its ARGUMENT
+        # VALUES (it has no seed parameter), so xxhash64(i + seed, s)
+        # with i from sequence(0, n-1) is value-identical to the old
+        # unrolled xxhash64(lit(seed + i), s); the fold's init is
+        # Long.MAX, >= every xxhash64 value, so the min over the
+        # non-empty shingle set is unchanged.
         perms = F.sequence(F.lit(0), F.lit(n_hashes - 1))
         return staged.select(
             "doc_id",
-            F.transform(
-                perms,
-                lambda i: F.array_min(
-                    F.transform(
-                        F.col("_sh"), lambda s: F.xxhash64(i + F.lit(seed), s)
-                    )
+            F.aggregate(
+                F.col("_sh"),
+                F.array_repeat(F.lit(9223372036854775807), n_hashes),
+                lambda acc, s: F.zip_with(
+                    acc,
+                    F.transform(perms, lambda i: F.xxhash64(i + F.lit(seed), s)),
+                    lambda a, b: F.least(a, b),
                 ),
             ).alias("minhash"),
         )
@@ -641,25 +660,27 @@ def minhash_banded_pairs(
     engine-portable, so the full banding pipeline replays in DuckDB."""
     b, r = choose_lsh_params(threshold, n_hashes)
     sigs = minhash_signature_array(df, text_col, id_col, b * r, ngram, seed, hash_family)
-    # one transform over sequence(0, b-1) instead of b unrolled structs
-    # (r14: same O(1)-py4j / loop-codegen rewrite as the signature
-    # permutations; i is an int element so i * r + 1 and xxhash64(i, ..)
-    # are value-identical to the old F.lit(i) forms)
+    # the b band structs stay UNROLLED on purpose (r14, measured): a
+    # loop form — one transform over sequence(0, b-1) — references
+    # "minhash" exactly once, so CollapseProject inlines the whole
+    # signature aggregate into the band lambda and the signature build
+    # re-runs once PER BAND (part of the 138 s vs ~6 s regression at
+    # sf0.1, with the per-permutation inline above). With b separate
+    # references the aggregate is non-cheap + multi-consumer, so the
+    # optimizer keeps the signature projection as a real barrier. b is
+    # a small self-tuned constant (~8-32), so O(b) py4j calls are noise.
     if hash_family == "md5":
         bucket_of = lambda i: F.array_join(  # noqa: E731
-            F.transform(
-                F.slice("minhash", i * F.lit(r) + F.lit(1), r),
-                lambda x: x.cast("string"),
-            ),
+            F.transform(F.slice("minhash", i * r + 1, r), lambda x: x.cast("string")),
             ":",
         )
     else:
-        bucket_of = lambda i: F.xxhash64(  # noqa: E731
-            i, F.slice("minhash", i * F.lit(r) + F.lit(1), r)
-        )
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(b - 1)),
-        lambda i: F.struct(i.alias("band"), bucket_of(i).alias("bucket")),
+        bucket_of = lambda i: F.xxhash64(F.lit(i), F.slice("minhash", i * r + 1, r))  # noqa: E731
+    bands = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
+            for i in range(b)
+        ]
     )
     posts = (
         sigs.select("doc_id", F.explode(bands).alias("bb"))

@@ -1215,18 +1215,23 @@ def mmr_rerank(
     the already-selected set`` (ties on the lower candidate id). The
     retrieval-diversity step of a RAG / hard-negative pipeline.
 
-    Deterministic and fully relational: the k greedy steps are UNROLLED
-    into k window-argmax stages (the same unrolling idiom as the BPE
-    merge oracle), so the whole operator replays bit-exactly in DuckDB.
-    ``(1 - lam)`` is computed ONCE driver-side and embedded as the same
-    float literal in plan and oracle — 1.0 - 0.7 is not 0.3 in IEEE.
+    Deterministic, and bit-identical to the unrolled relational form
+    the DuckDB oracle replays (k window-argmax stages — the BPE merge
+    oracle idiom): relevance and pairwise sims are computed in the JVM
+    exactly as before, and the greedy selection applies the same IEEE
+    arithmetic (score = lam*rel - (1-lam)*maxsim with driver-computed
+    float constants — 1.0 - 0.7 is not 0.3 in IEEE) and the same
+    (score desc, id asc) tie-break, per query, in one grouped local
+    pass. Parity with the unrolled oracle is strict-checked.
 
     Scale shape: candidate generation is the broadcast top-k; the
     pairwise-sim table is per-query n_cand^2 rows (a bounded equi-join
-    on query_id, never corpus-quadratic); each greedy step is one
-    aggregate + one per-query window. k and n_cand are small constants
-    chosen by the caller, so the whole rerank is O(queries * n_cand^2)
-    — independent of corpus size."""
+    on query_id, never corpus-quadratic); the k greedy steps — which
+    are sequential by definition — run inside ONE task per query-group
+    over those bounded rows (r14: the former k unrolled window stages
+    paid ~2k sequential shuffle barriers for microseconds of work). k
+    and n_cand are small constants chosen by the caller, so the rerank
+    is O(queries * n_cand^2), one exchange, independent of corpus size."""
     mu = 1.0 - lam
     # candidate stage is PLUGGABLE: exact brute-force top-n_cand, or the
     # IVF tier (broadcast centroids, probed cells only) — the greedy
@@ -1239,16 +1244,16 @@ def mmr_rerank(
         )
     else:
         cand = cosine_topk(df, query_pred, k=n_cand, id_col=id_col, vec_col=vec_col)
-    # localCheckpoint the two data-scale frames: the k unrolled stages
-    # below reference them in a union pyramid, and without a lineage cut
-    # Spark re-executes the corpus top-k once per PATH through that
-    # pyramid (~2^k times) — the connected-components lesson. After the
-    # cut each greedy stage reads a queries*n_cand-row in-memory table.
+    # localCheckpoint the shortlist: it feeds three subtrees (both
+    # pairwise-sim join sides and the greedy cogroup below), and without
+    # a lineage cut Spark re-executes the corpus top-k once per
+    # reference — the connected-components lesson. Lazy, so nothing
+    # driver-blocking runs at build time beyond AQE stage finalization.
     short = (
         cand.select(
             "query_id", F.col("neighbor_id").alias("cid"), F.col("cos").alias("rel")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = with_norm(df.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("_id"), F.col("vd").alias("_v"), F.col("nrm").alias("_n")
@@ -1270,62 +1275,97 @@ def mmr_rerank(
             "b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
         )
-        .localCheckpoint()
     )
-    w1 = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cid"))
-    # each greedy step is localCheckpoint'ed (one row per query — tiny):
-    # step s's plan otherwise re-inlines steps 1..s-1 as a union pyramid,
-    # growing plan size / re-executed window stages exponentially in the
-    # caller-chosen k (ADVICE r8). With the cut each step reads s-1
-    # materialized one-row-per-query tables: plans stay O(1), cost O(k).
-    sel = (
-        short.withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") == 1)
-        .select(
-            "query_id",
-            "cid",
-            (F.lit(lam) * F.col("rel")).alias("score"),
-            F.lit(1).alias("step"),
+    # ---- greedy selection: ONE grouped local pass (r14, guide §1.2 +
+    # §8 "decide with small rows"). The k greedy steps are inherently
+    # sequential, but each operates on a BOUNDED per-query candidate set
+    # (n_cand rel rows + n_cand^2 sim rows — decisions, not payload), so
+    # unrolling them into k window/join/checkpoint stages paid ~2k
+    # sequential shuffle barriers (measured 54 driver-blocking jobs,
+    # ~10 s build for the IVF variant at sf0.1) for work a single task
+    # finishes in microseconds. The cogroup ships each query's shortlist
+    # and sim table through ONE exchange and replays the identical
+    # float arithmetic per step — score = lam * rel - (1-lam) * maxsim
+    # with the same IEEE doubles (lam/mu are the same Python floats the
+    # unrolled form embedded as literals; sims/rels are the unchanged
+    # JVM-computed values) and the same (score desc, cid asc)
+    # tie-break, so the output is bit-identical to the unrolled form
+    # (strict-checked vs the unrolled DuckDB oracle, which remains the
+    # relational replay). Scale: O(queries * n_cand^2) rows through one
+    # exchange, parallel in queries, independent of corpus size.
+    lam_f, mu_f, k_f = float(lam), float(mu), int(k)
+
+    def _greedy(sdf, pdf):
+        import pandas as pd
+
+        if len(sdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "cid": [], "score": [], "step": []}
+            )
+        qid = sdf["query_id"].iloc[0]
+        # ids stay whatever type the caller's id_col is (tolist() maps
+        # int64 -> int, strings stay str — only hashability is needed)
+        cands = sorted(
+            (float(r), c) for c, r in zip(sdf["cid"].tolist(), sdf["rel"].tolist())
         )
-        .localCheckpoint()
+        sims_by_a: dict = {}
+        for a_, b_, s_ in zip(
+            pdf["a"].tolist(), pdf["b"].tolist(), pdf["sim"].tolist()
+        ):
+            sims_by_a.setdefault(a_, []).append((b_, float(s_)))
+        # step 1: max rel, ties -> lower cid (row_number over
+        # (rel desc, cid asc) == max of (rel, -cid) lexicographically;
+        # iterate explicitly to keep the comparison semantics plain)
+        best = None
+        for r, c in cands:
+            if best is None or r > best[0] or (r == best[0] and c < best[1]):
+                best = (r, c)
+        selected = [best[1]]
+        rows = [(qid, best[1], lam_f * best[0], 1)]
+        for step in range(2, k_f + 1):
+            sel_set = set(selected)
+            pick = None
+            for r, c in cands:
+                if c in sel_set:
+                    continue
+                sims = [s for b_, s in sims_by_a.get(c, ()) if b_ in sel_set]
+                if not sims:
+                    # mirrors the unrolled form's INNER join to the
+                    # maxsim table: a candidate with no sim row to any
+                    # selected doc is excluded from this step
+                    continue
+                score = lam_f * r - mu_f * max(sims)
+                if (
+                    pick is None
+                    or score > pick[0]
+                    or (score == pick[0] and c < pick[1])
+                ):
+                    pick = (score, c)
+            if pick is None:
+                break
+            selected.append(pick[1])
+            rows.append((qid, pick[1], pick[0], step))
+        out = pd.DataFrame(rows, columns=["query_id", "cid", "score", "step"])
+        return out
+
+    types = {f.name: f.dataType.simpleString() for f in short.schema.fields}
+    # pair derives from short (both sim-join sides), so its query_id
+    # carries short's exprId; cogrouping the two as-is trips Spark's
+    # ambiguous-self-join detection. Re-aliasing the grouping column
+    # mints a fresh attribute for the right side — same values, and the
+    # cogroup matches groups positionally, so the key rename is free.
+    pair_g = pair.select(F.col("query_id").alias("_qid"), "a", "b", "sim")
+    out = (
+        short.groupBy("query_id")
+        .cogroup(pair_g.groupBy("_qid"))
+        .applyInPandas(
+            _greedy,
+            schema=(
+                f"query_id {types['query_id']}, cid {types['cid']}, "
+                "score double, step int"
+            ),
+        )
     )
-    steps = [sel]
-    for step in range(2, k + 1):
-        selu = steps[0]
-        for s in steps[1:]:
-            selu = selu.unionByName(s)
-        picked = selu.select("query_id", "cid")
-        m = (
-            pair.join(
-                picked.select("query_id", F.col("cid").alias("b")), ["query_id", "b"]
-            )
-            .groupBy("query_id", "a")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        scored = (
-            short.join(picked, ["query_id", "cid"], "left_anti")
-            .join(
-                m.select("query_id", F.col("a").alias("cid"), "maxsim"),
-                ["query_id", "cid"],
-            )
-            .select(
-                "query_id",
-                "cid",
-                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")).alias(
-                    "score"
-                ),
-            )
-        )
-        ws = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cid"))
-        steps.append(
-            scored.withColumn("_rn", F.row_number().over(ws))
-            .where(F.col("_rn") == 1)
-            .select("query_id", "cid", "score", F.lit(step).alias("step"))
-            .localCheckpoint()
-        )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
     return out.select(
         "query_id", F.col("cid").alias("selected_id"), "step", "score"
     )

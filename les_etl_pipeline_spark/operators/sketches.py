@@ -861,6 +861,13 @@ def _kmv_pair_raw(
     """Shared pair machinery for the KMV set-operation estimates:
     (src_a, src_b, _cu, _hk, _cs) — the pair-union bottom-k's count,
     k-th minimum, and both-sides member count."""
+    # the caller's sketch (<= groups * k rows by construction) feeds
+    # FOUR subtrees here (both pair-join sides, each read again through
+    # the union's two consumers below); without a lineage cut every one
+    # of them re-runs the full corpus-scan sketch build (r14, guide
+    # §2.4: remove re-executed subtrees before tuning anything inside
+    # them — measured 4 corpus scans -> 1 on sketch_kmv_source_overlap)
+    sketch = sketch.localCheckpoint(eager=False)
     sk_a = F.broadcast(pairs).join(
         sketch.withColumnRenamed(group_col, "src_a"), "src_a"
     ).select("src_a", "src_b", "h", F.lit("a").alias("side"))
