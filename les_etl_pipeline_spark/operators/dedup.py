@@ -109,15 +109,32 @@ def _estimated_scan_splits(df: DataFrame) -> int:
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-gram shingle array (empty for docs shorter than k words)."""
+    """Word k-gram shingle array (empty for docs shorter than k words).
+
+    Built as a zip_with CHAIN over k shifted slices of the token array —
+    NEVER as a lambda that indexes back into the split expression.
+    Higher-order-function lambdas re-evaluate their whole body per
+    element (codegen CSE does not reach inside them), so the previous
+    form — ``transform(sequence(...), i -> slice(split(text), ...))`` —
+    re-ran the split once per shingle, O(n_tokens^2) characters per doc
+    (measured 4.3 s vs 0.06 s for ONE 8k-token doc, r14). Here split
+    appears only as a HOF *argument*, evaluated once per row per slice
+    (O(k) evals/row); the lambda touches lambda variables only. Value-
+    identical: concat_ws(" ", [a,b,c]) == a||' '||b||' '||c for the
+    never-null split output, and the when() guard keeps the empty-array
+    contract for short and NULL texts."""
     toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))  # shingle count
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= k, out).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_jaccard_pairs(

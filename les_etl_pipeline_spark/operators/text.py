@@ -99,15 +99,25 @@ def token_chunks(
 def bigrams(text: Column | str) -> Column:
     """Adjacent word pairs as 'w1 w2' strings (empty below 2 tokens).
     Native array ops: the explode that usually follows is the only
-    row-count change — no Python, no shuffle until the count agg."""
+    row-count change — no Python, no shuffle until the count agg.
+
+    Shape matters (r14): zip_with over two shifted slices, where the
+    split appears only as a HOF *argument* (one eval per row per slice).
+    The previous ``transform(sequence(...), i -> element_at(split(text),
+    i))`` form re-evaluated the split TWICE PER ELEMENT inside the
+    lambda (HOF lambdas are re-run whole per element; codegen CSE does
+    not hoist their subtrees), O(n_tokens^2) characters per doc —
+    measured 13.9 s vs 0.06 s for one 8k-token doc."""
     toks = ws_tokens(text)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def repetition_features(df, text_col: str = "text", id_col: str = "doc_id"):

@@ -396,3 +396,60 @@ def test_png_decoder_rejects_unsupported():
     bad = M.PNG_SIG + M._png_chunk(b"IHDR", ihdr)
     with pytest.raises(ValueError, match="only 8-bit"):
         M.decode_png(bad)
+
+
+# -- shingles/bigrams HOF shape (r14 optimization) -----------------------------
+def test_shingles_bigrams_zipwith_equals_transform_form(spark):
+    """r14 rewrote shingles()/bigrams() from transform(sequence(...),
+    i -> f(split(text), i)) — which re-evaluates the split once PER
+    ELEMENT inside the HOF lambda (O(n_tokens^2) chars/doc; measured
+    4.3 s for one 8k-token doc) — to a zip_with chain whose slices
+    evaluate the split O(k) times per row. This pins value-equality of
+    the new form against the old expression on edge cases (NULL text,
+    empty, short, repeated separators) and a realistic mix."""
+    from pyspark.sql import functions as F
+
+    from les_etl_pipeline_spark.operators.dedup import shingles
+    from les_etl_pipeline_spark.operators.text import bigrams, ws_tokens
+
+    def old_shingles(text, k):
+        toks = F.split(F.col(text), " ")
+        return F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(k)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def old_bigrams(text):
+        toks = ws_tokens(text)
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    texts = [None, "", "a", "a b", "a b c", "a  b", " x y ", "w1 w2 w3 w4 w5",
+             "the quick brown fox jumps over the lazy dog"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for k in (2, 3, 5):
+        bad = (
+            df.select(
+                shingles("text", k).alias("new"),
+                old_shingles("text", k).alias("old"),
+            )
+            .where(~F.col("new").eqNullSafe(F.col("old")))
+            .count()
+        )
+        assert bad == 0, f"shingles k={k} diverged from the transform form"
+    bad = (
+        df.select(bigrams("text").alias("new"), old_bigrams("text").alias("old"))
+        .where(~F.col("new").eqNullSafe(F.col("old")))
+        .count()
+    )
+    assert bad == 0, "bigrams diverged from the transform form"
