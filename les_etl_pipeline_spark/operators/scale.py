@@ -466,17 +466,23 @@ def exact_weighted_quantiles_grouped(
     (the hot-group straggler: one group's whole distinct-value set in a
     single sort task) and no global sort either.
 
-    Shape: ONE global carried prefix sum over (group, value) order
-    (range-partitioned — groups larger than a partition span several
-    tasks), then per-group cumulatives are recovered arithmetically:
-    cum_g = global_cum - offset_g, where offset_g (the global cum just
-    before the group's first row) is selected tie-free via a parallel
-    row-rank cumsum (min_by on the strictly-increasing rank, immune to
-    the cum_w ties that zero-weight values create). Thresholds join
-    back null-safely (a NULL group is a group) and each (group, prob)
-    answer is a conditional-min AGGREGATE, not a window. Integer-typed
-    weights keep every threshold comparison bit-stable across engines.
-    Returns (group..., prob double, value double)."""
+    Shape: ONE range partition in (group, value) order (groups larger
+    than a partition span several tasks), then the per-group cumulative
+    is computed DIRECTLY with group-aware carried sums: the local
+    running sum resets at group boundaries (window keyed on
+    (partition, group)), and each (partition, group) slice adds the
+    carried total of the SAME group's earlier partitions — a
+    metadata-scale offsets table, one row per group-slice. This is the
+    r13 global-CDF-minus-offset form with the subtraction done in the
+    partitioner (r14, guide §2.3): the global row-rank cumsum, the
+    tie-free min_by offset aggregate and its join all drop out, and the
+    cumulative never mixes other groups' weights. Thresholds join back
+    null-safely (a NULL group is a group) and each (group, prob) answer
+    is a conditional-min AGGREGATE, not a window over raw rows.
+    Integer-typed weights keep every threshold comparison bit-stable
+    across engines. Returns (group..., prob double, value double)."""
+    from pyspark.sql.window import Window as W
+
     from ..operators.sketches import _join_null_safe
 
     gcols = list(group_cols)
@@ -484,18 +490,37 @@ def exact_weighted_quantiles_grouped(
         df.where(F.col(col).isNotNull() & F.col(weight).isNotNull())
         .groupBy(*gcols, F.col(col).alias("_v"))
         .agg(F.sum(weight).alias("w"))
-        .withColumn("_one", F.lit(1).cast("long"))
     )
-    cdf = carried_cumsum(vg, gcols + ["_v"], ["w", "_one"], num_partitions=num_partitions)
-    firsts = cdf.groupBy(*gcols).agg(
-        F.min_by(F.col("cum_w") - F.col("w"), F.col("cum__one")).alias("_off"),
-        F.max("cum_w").alias("_gmax"),
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order_cols = [F.col(c) for c in gcols] + [F.col("_v")]
+    # same checkpoint rationale as carried_cumsum: both consumers below
+    # must see ONE _pid assignment per row
+    parts = (
+        vg.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    scored = _join_null_safe(cdf, firsts, gcols).select(
+    run_w = (
+        W.partitionBy("_pid", *gcols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = parts.withColumn("_lc", F.sum("w").over(run_w))
+    off_w = W.partitionBy(*gcols).orderBy("_pid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = (
+        parts.groupBy("_pid", *gcols)
+        .agg(F.sum("w").alias("_t"))
+        .withColumn("_o", F.coalesce(F.sum("_t").over(off_w), F.lit(0)))
+        .withColumn("_wg", F.sum("_t").over(W.partitionBy(*gcols)))
+        .drop("_t")
+    )
+    scored = _join_null_safe(local, offsets, ["_pid"] + gcols).select(
         *gcols,
         "_v",
-        (F.col("cum_w") - F.col("_off")).cast("double").alias("_cumg"),
-        (F.col("_gmax") - F.col("_off")).cast("double").alias("_wg"),
+        (F.col("_lc") + F.col("_o")).cast("double").alias("_cumg"),
+        F.col("_wg").cast("double").alias("_wg"),
     )
     exploded = scored.select(
         *gcols,

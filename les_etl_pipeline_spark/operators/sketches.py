@@ -53,6 +53,7 @@ def cms_build(
     value: Column | str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight: Column | str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over a value stream as a (row, pos, c)
     cell table (at most depth*width rows, independent of stream size).
@@ -63,15 +64,33 @@ def cms_build(
     depth*width*partitions rows. Sketches from disjoint shards merge
     with ``cms_merge`` — the property that makes this work as a
     streaming/foreachBatch accumulator too.
+
+    ``weight`` (integral) counts each input row that many times —
+    cell-identical to replaying the row ``weight`` times, since cells
+    are plain sums. Pass it to build from a pre-aggregated value grain
+    (value, count) instead of the raw stream: the md5 cell positions
+    are then computed once per DISTINCT value, not once per occurrence
+    (r14, guide §2.2 — shuffle/compute the grain, not the stream).
     """
     v = F.col(value) if isinstance(value, str) else value
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    if weight is None:
+        cell = F.count(F.lit(1)).alias("c")
+        w_cols = []
+    else:
+        wc = F.col(weight) if isinstance(weight, str) else weight
+        cell = F.sum("_w").alias("c")
+        w_cols = [wc.alias("_w")]
     return (
-        df.select(v.alias("_v"))
-        .select(rows, F.col("_v"))
-        .select(F.col("row"), _cms_pos(F.col("_v"), F.col("row"), width).alias("pos"))
+        df.select(v.alias("_v"), *w_cols)
+        .select(rows, "*")
+        .select(
+            F.col("row"),
+            _cms_pos(F.col("_v"), F.col("row"), width).alias("pos"),
+            *(["_w"] if weight is not None else []),
+        )
         .groupBy("row", "pos")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(cell)
     )
 
 
@@ -636,7 +655,13 @@ def kll_quantiles_grouped(
     chosen per group so its survivor count fits capacity) — the
     plan-gate-style justification for why this per-group window never
     becomes a hot-group straggler, unlike a window over raw data.
-    Returns (group..., p, q)."""
+    Returns (group..., p, q).
+
+    Same two-consumer lineage cut as ``kll_quantiles`` (r14, guide
+    §2.4): the m count and the ranking would otherwise each re-execute
+    the caller's whole build; the grouped sketch is <= capacity rows
+    per group by construction."""
+    sketch = sketch.localCheckpoint(eager=False)
     m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("m"))
     w = _W.partitionBy(*group_cols).orderBy("v", "u")
     ranked = _join_null_safe(
@@ -1116,9 +1141,16 @@ def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
     uniform (hash-Bernoulli) sample of the input, so q(p) is the sample
     order statistic at rank ceil(p * m). One subplan for all probs (the
     same explode shape as histogram_quantiles); the only window orders
-    the <= capacity-row survivor table. Returns (p, q)."""
+    the <= capacity-row survivor table. Returns (p, q).
+
+    The sketch input feeds TWO subtrees (the m count and the ranking) —
+    without a lineage cut each re-executes the caller's whole build, and
+    for ``kll_build`` that means re-running the raw survivor-filter scan
+    (r14, guide §2.4). The sketch is <= capacity rows by construction,
+    so the lazy checkpoint is a bounded-metadata materialization."""
     from pyspark.sql import Window as W
 
+    sketch = sketch.localCheckpoint(eager=False)
     m = sketch.agg(F.count(F.lit(1)).alias("m"))
     ranked = sketch.withColumn(
         "rn", F.row_number().over(W.orderBy("v", "u"))

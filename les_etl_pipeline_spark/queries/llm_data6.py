@@ -109,27 +109,31 @@ def dedup_chunk_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "chunk_idx"))
     ranked = ch.withColumn("rn", rn)
-    kept = (
-        ranked.where(F.col("rn") == 1)
-        .groupBy("doc_id")
+    # ONE reassembly pass over the ranked chunks: collect_list drops the
+    # NULLs the rn > 1 condition produces, so the surviving-chunk stitch,
+    # n_kept and n_total are all aggregates of the SAME groupBy — the old
+    # totals/kept split read the corpus-scale chunk table twice and
+    # joined the halves back (r14, guide §2.4/§2.1: one fewer corpus
+    # explode+shuffle, one fewer join). A doc made entirely of
+    # boilerplate collects an empty array -> clean_text '' and n_kept 0,
+    # the exact contract the old LEFT JOIN + coalesce encoded.
+    keep = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+    return (
+        ranked.groupBy("doc_id")
         .agg(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                    lambda s: s["chunk"],
+                    F.array_sort(F.collect_list(keep)), lambda s: s["chunk"]
                 ),
             ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
         )
-    )
-    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
-    return (
-        totals.join(kept, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "clean_text",
+            F.col("n_kept").cast("long").alias("n_kept"),
             F.col("n_total").cast("long").alias("n_total"),
         )
         .orderBy("doc_id")

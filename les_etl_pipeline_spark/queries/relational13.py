@@ -103,13 +103,22 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
     )
-    sketch = sketches.cms_build(toks, "tok", depth=4, width=2048)
-    top = (
+    # ONE corpus explode: the token-grain count table feeds both the
+    # sketch (cells are sums, so weighting each distinct token by its
+    # count is cell-identical to replaying the stream) and the top-20
+    # true counts — the old form ran the explode+scan once per consumer,
+    # and hashed every occurrence instead of every distinct token (r14,
+    # guide §2.2/§2.4). The grain table is vocabulary-sized; the lazy
+    # checkpoint stops the second consumer re-running the corpus scan.
+    tok_counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("true_c"))
-        .orderBy(F.col("true_c").desc(), "tok")
-        .limit(20)
+        .localCheckpoint(eager=False)
     )
+    sketch = sketches.cms_build(
+        tok_counts, "tok", depth=4, width=2048, weight="true_c"
+    )
+    top = tok_counts.orderBy(F.col("true_c").desc(), "tok").limit(20)
     return (
         sketches.cms_estimate(sketch, top, "tok", depth=4, width=2048)
         .select("tok", "true_c", F.col("est_c").cast("long").alias("est_c"))

@@ -453,3 +453,61 @@ def test_shingles_bigrams_zipwith_equals_transform_form(spark):
         .count()
     )
     assert bad == 0, "bigrams diverged from the transform form"
+
+
+# -- grouped weighted quantiles: direct group-aware carried sums (r14) --------
+def test_grouped_weighted_quantiles_group_spans_partitions(spark):
+    """r14 replaced the global-CDF-minus-offset form with group-aware
+    carried sums (the local running sum resets per (partition, group);
+    a group's later partitions add the carried totals of its earlier
+    ones). The seam that form must get right is a GROUP SPANNING
+    SEVERAL RANGE PARTITIONS — forced here with num_partitions=8 over
+    two interleaved groups of 120 distinct values each (plus a NULL
+    group), checked against a driver replay of the lower-quantile
+    definition min{v : cum_g(v) >= p * W_g}."""
+    from les_etl_pipeline_spark.operators import scale
+
+    rows = []
+    for i in range(120):
+        rows.append(("a", float(i), (i % 5) + 1))
+        rows.append(("b", float(i) + 0.5, (i % 3) + 1))
+    rows += [(None, 1.0, 4), (None, 2.0, 9)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    probs = [0.1, 0.5, 0.9, 0.99]
+    got = {
+        (r.g, r.prob): r.value
+        for r in scale.exact_weighted_quantiles_grouped(
+            df, ["g"], "v", "w", probs, num_partitions=8
+        ).collect()
+    }
+    agg: dict = {}
+    for g, v, w in rows:
+        agg.setdefault(g, {})
+        agg[g][v] = agg[g].get(v, 0) + w
+    for g, vw in agg.items():
+        tot = sum(vw.values())
+        cum, cdf = 0, []
+        for v in sorted(vw):
+            cum += vw[v]
+            cdf.append((v, cum))
+        for p in probs:
+            want = next(v for v, c in cdf if c >= p * tot)
+            assert got[(g, p)] == want, (g, p, got[(g, p)], want)
+
+
+# -- CMS weighted grain build == raw stream build (r14) -----------------------
+def test_cms_weighted_grain_build_equals_stream_build(spark):
+    """r14 lets cms_build run over a pre-aggregated (value, count) grain
+    with count as the weight — cell-identical to replaying the raw
+    stream because cells are plain sums. Pinned cell-for-cell."""
+    from les_etl_pipeline_spark.operators import sketches
+
+    toks = spark.createDataFrame(
+        [(w,) for w in "a b a c a b d e a b c".split()], "tok string"
+    )
+    stream = sketches.cms_build(toks, "tok", depth=3, width=16)
+    grain = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    weighted = sketches.cms_build(grain, "tok", depth=3, width=16, weight="c")
+    a = {(r.row, r.pos): r.c for r in stream.collect()}
+    b = {(r.row, r.pos): r.c for r in weighted.collect()}
+    assert a == b
