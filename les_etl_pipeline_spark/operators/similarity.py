@@ -936,11 +936,12 @@ def random_project(
         )
     )
     e = df.select(F.col(id_col), vd.alias("_vd"))
-    proj = F.array(
-        *[
-            dot(F.col("_vd"), F.array(*[F.lit(s) for s in signs[j]])) / F.lit(scale)
-            for j in range(d_out)
-        ]
+    # one parsed sign-matrix literal; proj[j] = dot(v, s_j)/scale exactly
+    # as the unrolled form (same fold, same division), built without
+    # d_out*d_in py4j literal calls (r14, guide §1.2)
+    proj = F.transform(
+        F.expr(_matrix_sql(signs)),
+        lambda row: dot(F.col("_vd"), row) / F.lit(scale),
     )
     return e.select(id_col, proj.alias(vec_col))
 
@@ -976,6 +977,52 @@ def rh_bucket_expr(vec, planes_t: list[list[float]]):
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def _matrix_sql(rows: list[list[float]]) -> str:
+    """SQL literal text for a list-of-rows double matrix — ONE parsed
+    expression instead of rows*cols py4j Column constructions. ``!r``
+    preserves the exact IEEE doubles (repr round-trips)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s!r}D" for s in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
+def rh_tables_expr(vec, planes: list[list[list[float]]]):
+    """(t, b) bucket structs of ``vec`` for a WHOLE plane family, as one
+    expression over a single nested array literal. Value-identical to
+    ``array(struct(t, rh_bucket_expr(vec, planes[t])) for t)`` — the bit
+    fold is aggregate(reverse(bits), 0, acc*2+x) = sum(bit_j << j) in
+    plain integer arithmetic — but the driver builds ONE parsed literal
+    instead of tables*bits*dim py4j Column calls (r14, guide §1.2: 8 s
+    of pure expression construction on the banded tier at 12x6x64)."""
+    fam = (
+        "array("
+        + ",".join(_matrix_sql(table) for table in planes)
+        + ")"
+    )
+
+    def bucket(table):
+        bits = F.transform(
+            table,
+            lambda plane: F.when(dot(vec, plane) >= F.lit(0.0), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        return F.aggregate(
+            F.reverse(bits), F.lit(0), lambda acc, x: acc * 2 + x
+        ).cast("int")
+
+    return F.transform(
+        F.expr(fam),
+        lambda table, t: F.struct(
+            t.cast("int").alias("t"), bucket(table).alias("b")
+        ),
+    )
 
 
 def rh_lsh_topk(
@@ -1030,14 +1077,7 @@ def rh_lsh_topk(
             )
         ),
     )
-    tb = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"), rh_bucket_expr(F.col("vd"), planes[t]).alias("b")
-            )
-            for t in range(num_tables)
-        ]
-    )
+    tb = rh_tables_expr(F.col("vd"), planes)
     keys = e.select(
         F.col(id_col).alias("_id"), F.explode(tb).alias("tb")
     ).select("_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
@@ -1112,14 +1152,7 @@ def cosine_banded_candidates(
     sub-split valve stays disengaged on non-adversarial data."""
     planes = rh_planes(d_in, n_bits, num_tables, seed)
     e = with_norm(df.select(id_col, vec_col), vec_col).where(F.col("nrm") > 0)
-    tb = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"), rh_bucket_expr(F.col("vd"), planes[t]).alias("b")
-            )
-            for t in range(num_tables)
-        ]
-    )
+    tb = rh_tables_expr(F.col("vd"), planes)
     # one narrow key table feeds the size count AND both join sides —
     # freeze it so the plane dots run once (repo checkpoint idiom)
     h = (

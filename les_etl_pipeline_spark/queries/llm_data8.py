@@ -475,19 +475,51 @@ def dedup_evidence_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ex = groups.select(F.explode(pair_structs).alias("p")).select("p.id_a", "p.id_b")
-    jp = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).select("id_a", "id_b")
-    sp = dedup.simhash_hamming_pairs(docs, max_hamming=3, n_bands=4).select(
-        "id_a", "id_b"
+    # Each tier's pair table fed TWO subtrees (the union of all pairs
+    # AND its flag join), so every tier's whole corpus pipeline ran
+    # twice (r14, guide §2.4); the pair tables are tiny next to the
+    # corpus, so the lazy checkpoints are metadata-scale. The
+    # distinct + three left joins also collapse to ONE tagged-union
+    # aggregate: a pair's tier flags are just max() over its tagged
+    # union rows — 4 pair-key exchanges -> 1 (guide §2.1).
+    ex = (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .localCheckpoint(eager=False)
     )
-    allp = ex.unionByName(jp).unionByName(sp).distinct()
-    out = (
-        allp.join(ex.withColumn("_e", F.lit(True)), ["id_a", "id_b"], "left")
-        .join(jp.withColumn("_j", F.lit(True)), ["id_a", "id_b"], "left")
-        .join(sp.withColumn("_s", F.lit(True)), ["id_a", "id_b"], "left")
+    jp = (
+        dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
-    e, j, s = (F.col(c).isNotNull() for c in ("_e", "_j", "_s"))
-    return out.select(
+    sp = (
+        dedup.simhash_hamming_pairs(docs, max_hamming=3, n_bands=4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+
+    def tagged(df, e, j, s):
+        return df.select(
+            "id_a",
+            "id_b",
+            F.lit(e).alias("_e"),
+            F.lit(j).alias("_j"),
+            F.lit(s).alias("_s"),
+        )
+
+    fused = (
+        tagged(ex, True, False, False)
+        .unionByName(tagged(jp, False, True, False))
+        .unionByName(tagged(sp, False, False, True))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("_e").alias("_e"),
+            F.max("_j").alias("_j"),
+            F.max("_s").alias("_s"),
+        )
+    )
+    e, j, s = (F.col(c) for c in ("_e", "_j", "_s"))
+    return fused.select(
         "id_a",
         "id_b",
         e.alias("exact_dup"),
