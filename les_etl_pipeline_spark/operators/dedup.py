@@ -299,10 +299,23 @@ def simhash_signatures(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    # all 64 ±1 votes of a token in one array expression — same
-    # arithmetic as _SIMHASH_BIT, evaluated per position by transform()
+    # all 64 ±1 votes of a token in one array expression. The md5 is a
+    # HOF *argument* (one eval per token), never referenced inside a
+    # lambda: the previous ``transform(sequence(0,63), j -> f(md5(w),
+    # j))`` form re-ran the md5 64x per token occurrence (HOF lambdas
+    # re-evaluate their whole body per element — the r14 shingle/bigram
+    # hazard class, guide §4.1). Each hex nibble expands to its 4 bits
+    # MSB-first (p = 3 - j%4), so the flattened order and the
+    # floor/power/mod arithmetic are exactly _SIMHASH_BIT's.
     votes = tok.select(
-        "doc_id", F.expr(f"transform(sequence(0, 63), j -> ({_SIMHASH_BIT}) * 2 - 1)").alias("v")
+        "doc_id",
+        F.expr(
+            "flatten(transform("
+            "  filter(split(substring(md5(w), 1, 16), '(?!^)'), c -> c != ''),"
+            "  c -> transform(sequence(3, 0, -1),"
+            "       p -> (CAST(floor(CAST(conv(c, 16, 10) AS INT)"
+            "                  / power(2, p)) AS INT) % 2) * 2 - 1)))"
+        ).alias("v"),
     )
     sums = votes.groupBy("doc_id").agg(
         *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}") for j in range(64)]
@@ -754,22 +767,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        new_label = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                new_label.alias("label"),
+                # convergence flag computed IN the update (r14): the old
+                # form re-joined new vs old labels every iteration just
+                # to ask "did anything move" — one extra join + wider
+                # probe per iteration for a fact the update already knows
+                (new_label != F.col("label")).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint()  # cut the growing lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))

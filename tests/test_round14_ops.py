@@ -511,3 +511,30 @@ def test_cms_weighted_grain_build_equals_stream_build(spark):
     a = {(r.row, r.pos): r.c for r in stream.collect()}
     b = {(r.row, r.pos): r.c for r in weighted.collect()}
     assert a == b
+
+
+# -- simhash votes: md5 as HOF argument, not per-element (r14) ----------------
+def test_simhash_votes_nibble_form_equals_per_bit_form(spark):
+    """r14 rewrote the per-token SimHash vote array so the md5 is
+    evaluated once per token (HOF argument) instead of once per bit
+    inside the transform lambda. Pinned: the nibble-expansion form
+    equals the original per-bit _SIMHASH_BIT formula for all 64
+    positions."""
+    from les_etl_pipeline_spark.operators.dedup import _SIMHASH_BIT
+
+    df = spark.createDataFrame(
+        [(w,) for w in ["alpha", "beta", "", "Z", "0", "longer-token-text"]],
+        "w string",
+    )
+    old = F.expr(f"transform(sequence(0, 63), j -> ({_SIMHASH_BIT}) * 2 - 1)")
+    new = F.expr(
+        "flatten(transform("
+        "  filter(split(substring(md5(w), 1, 16), '(?!^)'), c -> c != ''),"
+        "  c -> transform(sequence(3, 0, -1),"
+        "       p -> (CAST(floor(CAST(conv(c, 16, 10) AS INT)"
+        "                  / power(2, p)) AS INT) % 2) * 2 - 1)))"
+    )
+    bad = df.select(old.alias("o"), new.alias("n")).where(
+        ~F.col("o").eqNullSafe(F.col("n"))
+    ).count()
+    assert bad == 0
