@@ -354,8 +354,10 @@ def sketch_kll_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MERGE path under the oracle gate (VERDICT r10 #7): three
     deliberately asymmetric shards (~90% / ~9% / ~1% of order keys —
     the streaming MV's 'small micro-batch folds into compacted history'
-    steady state) are sketched independently and LEFT-FOLDED through
-    ``kll_merge``, exactly as ``sketch_mv_sink`` folds batches. The
+    steady state) are sketched per shard and MERGED through
+    ``kll_merge`` — the same merge math ``sketch_mv_sink`` folds
+    batches with (n-way == left fold, pinned in
+    tests/test_sketches_merge_fold_equivalence.py). The
     oracle is the single-build replay over the whole table: merge ==
     single build is the sketch's defining property, so the r10
     mixed-rate-sample bug class can never land silently again — it
@@ -371,31 +373,30 @@ def sketch_kll_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("string"),
     )
     m = F.col("l_orderkey") % 100
-    shards = [li.where(m < 90), li.where((m >= 90) & (m < 99)), li.where(m == 99)]
-    # r14 (guide §2.6 + §1.2): the three shard builds are INDEPENDENT
-    # jobs, so their checkpoint materializations run concurrently from a
-    # small thread pool instead of as a sequential fold of eager AQE
-    # stages, and the left fold collapses to ONE n-way kll_merge.
-    # n-way == left fold BIT-EXACTLY by the merge's own math: the fold's
-    # intermediate floor max(l01, l2) >= max(l0, l1, l2), and any level
-    # l in between has c012_l >= c01_l > capacity (counts of disjoint
-    # shards add and are non-negative), so both searches select the same
-    # l* — pinned against the explicit left fold on these asymmetric
-    # shards in tests/test_sketches_merge_fold_equivalence.py and
-    # measured 8.5 -> 4.1 s at sf0.1. Each checkpointed frame is
-    # <= capacity rows; on a cluster this is a persisted staging table
-    # per shard — exactly what the streaming MV's per-batch state write
-    # does.
-    def build(shard):
-        return sketches.kll_build(
-            shard, "l_extendedprice", key, capacity=KLLM_CAPACITY
-        ).localCheckpoint()
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(shards)) as pool:
-        builds = list(pool.map(build, shards))
-    folded = sketches.kll_merge(*builds, capacity=KLLM_CAPACITY)
+    # r14 second pass (guide §2.3 + §1.2): the three shard sketches are
+    # built by ONE grouped build keyed on the shard tag instead of three
+    # independent kll_build calls. Each per-shard kll_build read the base
+    # twice (61-count aggregate + survivor filter), so even with the
+    # thread-pooled concurrent materializations (the first r14 change
+    # here) the query scanned lineitem six times; the grouped build's
+    # per-group counts / per-group l* / survivor join are the SAME math
+    # per shard (kll_build_grouped is kll_build generalized to a group
+    # key), so the shard sketch rows are bit-identical and two scans
+    # replace six. The n-way kll_merge then consumes the lazily
+    # checkpointed union exactly as it consumed the three unioned shard
+    # frames: rows carry each shard's own lstar, the floor is their max,
+    # and the fold-equivalence pin in
+    # tests/test_sketches_merge_fold_equivalence.py still covers the
+    # merge math. The when() tags replay the shard predicates exactly
+    # (rows with a NULL tag are dropped, as the old where()s dropped
+    # them).
+    shard = F.when(m < 90, 0).when((m >= 90) & (m < 99), 1).when(m == 99, 2)
+    tagged = li.withColumn("shard", shard).where(F.col("shard").isNotNull())
+    grouped = sketches.kll_build_grouped(
+        tagged, ["shard"], "l_extendedprice", key, capacity=KLLM_CAPACITY
+    )
+    builds = grouped.select("v", "u", "lstar").localCheckpoint(eager=False)
+    folded = sketches.kll_merge(builds, capacity=KLLM_CAPACITY)
     return sketches.kll_quantiles(folded, KLLM_PROBS)
 
 
@@ -422,24 +423,24 @@ def sketch_kll_merge_fold_by_group(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(":"),
         F.col("l_linenumber").cast("string"),
     )
-    big = li.where(F.col("l_orderkey") % 100 != 0)
-    tiny = li.where(F.col("l_orderkey") % 100 == 0)
-
-    # r14 (guide §2.6): the two shard builds are independent — their
-    # checkpoint materializations run concurrently instead of as
-    # sequential eager AQE stages (same pattern as
-    # sketch_kll_merge_fold); every checkpointed frame is sketch-sized
-    def build(shard):
-        return sketches.kll_build_grouped(
-            shard, ["g"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
-        ).localCheckpoint()
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        b_big, b_tiny = pool.map(build, [big, tiny])
+    # r14 second pass (guide §2.3 + §1.2, same rewrite as
+    # sketch_kll_merge_fold): both shards build in ONE grouped pass
+    # keyed on (g, shard) — per-(g, shard) counts / l* / survivors are
+    # the same math as two separate per-g builds on big/tiny, so the
+    # unioned sketch rows are bit-identical and two scans replace four.
+    # kll_merge_grouped then groups by g alone: each g's floor is the
+    # max lstar across its two shard sketches, exactly as before.
+    shard = F.when(F.col("l_orderkey") % 100 != 0, 0).when(
+        F.col("l_orderkey") % 100 == 0, 1
+    )
+    tagged = li.withColumn("shard", shard).where(F.col("shard").isNotNull())
+    both = sketches.kll_build_grouped(
+        tagged, ["g", "shard"], "l_extendedprice", key, capacity=KLLGM_CAPACITY
+    )
     merged = sketches.kll_merge_grouped(
-        b_big.unionByName(b_tiny), ["g"], capacity=KLLGM_CAPACITY
+        both.select("g", "v", "u", "lstar").localCheckpoint(eager=False),
+        ["g"],
+        capacity=KLLGM_CAPACITY,
     ).localCheckpoint(eager=False)
     return sketches.kll_quantiles_grouped(merged, ["g"], KLLGM_PROBS)
 
