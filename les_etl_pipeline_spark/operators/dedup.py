@@ -743,9 +743,12 @@ def connected_components(
     generation in a real dedup pipeline — every member of a component
     dedups to the component's minimum id).
 
-    Each iteration is one shuffle (neighbor-min join + union + groupBy);
-    converges in O(diameter) iterations, checked on the driver via a
-    count (metadata-scale, not data-scale). AQE handles the shrinking
+    Each iteration is two shuffle stages (neighbor join, then one
+    union-groupBy that takes the min over {own label} + {neighbor
+    labels} — the same value as the older least/coalesce left-join form
+    but with one fewer join and exchange per iteration); converges in
+    O(diameter) iterations, checked on the driver via a count
+    (metadata-scale, not data-scale). AQE handles the shrinking
     frontier. Returns (doc_id, cluster) for every id appearing in pairs.
     """
     edges = pairs.select(
@@ -754,30 +757,38 @@ def connected_components(
     edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # materialize once: every iteration joins against edges — without the
     # checkpoint the full upstream pair-generation pipeline re-executes
-    # per iteration
-    edges = edges.localCheckpoint()
+    # per iteration (lazy: the first iteration's action materializes it,
+    # so no extra driver-blocking job)
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
+        # one union-groupBy replaces the older neighbor-min groupBy +
+        # left-join-back (r14): new label = min over the id's own label
+        # row plus every neighbor's label row — identical to
+        # least(label, coalesce(min(neighbor labels), label)) since min
+        # over the union IS that least, and every id contributes exactly
+        # one own row (so ids with no neighbors keep their label). The
+        # own row also carries the previous label, which the aggregate
+        # recovers via max(old) (non-null exactly once per id) for the
+        # in-update convergence flag.
+        prop = edges.join(labels, edges.b == labels.id).select(
+            F.col("a").alias("id"),
+            F.col("label"),
+            F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
         )
-        new_label = F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+        own = labels.select("id", "label", F.col("label").alias("old"))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            own.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .select(
                 "id",
-                new_label.alias("label"),
-                # convergence flag computed IN the update (r14): the old
-                # form re-joined new vs old labels every iteration just
-                # to ask "did anything move" — one extra join + wider
-                # probe per iteration for a fact the update already knows
-                (new_label != F.col("label")).alias("_chg"),
+                "label",
+                (F.col("label") != F.col("old")).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint()  # cut the growing lineage

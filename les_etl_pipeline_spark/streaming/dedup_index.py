@@ -77,7 +77,10 @@ def fold_clusters_parts(
     res = ends.join(
         clusters.withColumnRenamed("doc_id", "d"), "d", "left"
     ).select("d", F.coalesce("cluster", F.col("d")).alias("root"))
-    res = res.localCheckpoint()  # feeds the contraction AND the new rows
+    # feeds the contraction AND the new rows; lazy — the contraction's
+    # first action materializes it, the new-rows consumer reuses it,
+    # and no driver-blocking job is paid up front (r14)
+    res = res.localCheckpoint(eager=False)
     ra = res.select(F.col("d").alias("id_a"), F.col("root").alias("root_a"))
     rb = res.select(F.col("d").alias("id_b"), F.col("root").alias("root_b"))
     contracted = (
@@ -88,10 +91,11 @@ def fold_clusters_parts(
         .distinct()
     )
     # merge map over cluster roots only — metadata-scale per batch;
-    # consumed by relabel AND new-row labeling, so freeze it
+    # consumed by relabel AND new-row labeling, so freeze it (lazy:
+    # the first consumer's action materializes it once)
     merge = connected_components(contracted).select(
         F.col("doc_id").alias("old"), F.col("cluster").alias("new")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     new_rows = (
         res.join(merge, res.root == merge.old, "left")
         .select(F.col("d").alias("doc_id"), F.coalesce("new", "root").alias("cluster"))
