@@ -250,8 +250,7 @@ def ann_index_sink(
     spark = stream_df.sparkSession
     key = xo.ckpt_key(checkpoint_dir)
 
-    def _segment_rows(e: DataFrame, cents: dict, batch_id: int) -> DataFrame:
-        assigned = _assign(e, cents)
+    def _assigned_segment(assigned: DataFrame, batch_id: int) -> DataFrame:
         nrm = F.sqrt(
             F.aggregate(
                 F.transform(F.col("v"), lambda x: x * x),
@@ -267,6 +266,9 @@ def ann_index_sink(
             F.lit(batch_id).cast("bigint").alias("batch"),
         )
 
+    def _segment_rows(e: DataFrame, cents: dict, batch_id: int) -> DataFrame:
+        return _assigned_segment(_assign(e, cents), batch_id)
+
     def _bootstrap(e: DataFrame, batch_id: int) -> bool:
         """First-ever batch: train the quantizer and publish centroids +
         this batch's posting segment as generation v0 with an
@@ -278,8 +280,12 @@ def ann_index_sink(
         through to the normal transaction)."""
         from ..sinks.snapshot_store import EXPECT_EMPTY, ConcurrentWriteError
 
-        _, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
-        mean_d2 = _assign(e, cents).agg(F.avg("d")).collect()[0][0]
+        # kmeans_lloyd_full already returns the FINAL _assign frame —
+        # reuse it for the stats scalar and the segment rows instead of
+        # constructing two more ~k*d-literal assign trees (fresh-tree
+        # Catalyst analysis is the measured cost, r14)
+        assigned, cents = kmeans_lloyd_full(e, k=n_cells, iters=2, vec_col="v")
+        mean_d2 = assigned.agg(F.avg("d")).collect()[0][0]
 
         def build(staging: str) -> None:
             cpath = os.path.join(staging, "centroids")
@@ -288,7 +294,7 @@ def ann_index_sink(
             ).write.parquet(cpath)
             _write_stats(cpath, mean_d2)
             xo.mark_complete(cpath)
-            _segment_rows(e, cents, batch_id).write.parquet(
+            _assigned_segment(assigned, batch_id).write.parquet(
                 xo.segment(os.path.join(staging, "postings"), key, batch_id)
             )
 
@@ -662,10 +668,11 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
             spark, index_dir, root, hwms=hwms_at_read
         ).localCheckpoint()
         n_live = live.count()
-        _, cents = kmeans_lloyd_full(
+        # the returned frame IS the final _assign over the live vectors
+        # — one fewer fresh assign-tree analysis (r14)
+        reassigned, cents = kmeans_lloyd_full(
             live.select("vec_id", "v"), k=n_cells, iters=iters, vec_col="v"
         )
-        reassigned = _assign(live.select("vec_id", "v"), cents)
         mean_d2 = reassigned.agg(F.avg("d")).collect()[0][0]
 
         def build(staging: str, cents=cents, mean_d2=mean_d2,
