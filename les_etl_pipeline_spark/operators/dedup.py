@@ -743,13 +743,22 @@ def connected_components(
     generation in a real dedup pipeline — every member of a component
     dedups to the component's minimum id).
 
-    Each iteration is two shuffle stages (neighbor join, then one
-    union-groupBy that takes the min over {own label} + {neighbor
+    Each propagation step is two shuffle stages (neighbor join, then
+    one union-groupBy that takes the min over {own label} + {neighbor
     labels} — the same value as the older least/coalesce left-join form
-    but with one fewer join and exchange per iteration); converges in
-    O(diameter) iterations, checked on the driver via a count
-    (metadata-scale, not data-scale). AQE handles the shrinking
-    frontier. Returns (doc_id, cluster) for every id appearing in pairs.
+    but with one fewer join and exchange per step). TWO steps run per
+    materialization cycle (one checkpoint + one convergence count per
+    cycle): labels after k propagation steps are the same however the
+    steps are grouped, and a cycle whose LAST step moved nothing ended
+    on a fixpoint (step 2 output == its input means that input was
+    already stable), so the halved per-cycle driver latency cannot
+    change the result — at worst one identity step runs past
+    convergence. The total step count stays capped at ``max_iter``
+    exactly, so even a pathologically deep graph that exhausts the cap
+    yields the same labels as the one-step-per-cycle form. Convergence
+    is checked on the driver via a count (metadata-scale, not
+    data-scale). AQE handles the shrinking frontier. Returns
+    (doc_id, cluster) for every id appearing in pairs.
     """
     edges = pairs.select(
         F.col(pairs.columns[0]).alias("a"), F.col(pairs.columns[1]).alias("b")
@@ -765,7 +774,9 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    for _ in range(max_iter):
+    label_type = labels.schema["label"].dataType
+
+    def step(lbl: DataFrame) -> DataFrame:
         # one union-groupBy replaces the older neighbor-min groupBy +
         # left-join-back (r14): new label = min over the id's own label
         # row plus every neighbor's label row — identical to
@@ -775,13 +786,13 @@ def connected_components(
         # own row also carries the previous label, which the aggregate
         # recovers via max(old) (non-null exactly once per id) for the
         # in-update convergence flag.
-        prop = edges.join(labels, edges.b == labels.id).select(
+        prop = edges.join(lbl, edges.b == lbl.id).select(
             F.col("a").alias("id"),
             F.col("label"),
-            F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+            F.lit(None).cast(label_type).alias("old"),
         )
-        own = labels.select("id", "label", F.col("label").alias("old"))
-        new_labels = (
+        own = lbl.select("id", "label", F.col("label").alias("old"))
+        return (
             own.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
@@ -791,6 +802,14 @@ def connected_components(
                 (F.col("label") != F.col("old")).alias("_chg"),
             )
         )
+
+    steps_done = 0
+    while steps_done < max_iter:
+        new_labels = step(labels)
+        steps_done += 1
+        if steps_done < max_iter:  # unroll a second step into this cycle
+            new_labels = step(new_labels.drop("_chg"))
+            steps_done += 1
         new_labels = new_labels.localCheckpoint()  # cut the growing lineage
         changed = new_labels.where(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
