@@ -214,9 +214,11 @@ def bpe_train_merges(
         # the vocab is orders of magnitude smaller than the corpus: shrink
         # its partitioning so each merge iteration schedules a handful of
         # tasks, not a corpus-sized task wave (size vocab_partitions to
-        # vocab bytes / 128MB on a cluster)
+        # vocab bytes / 128MB on a cluster). Lazy checkpoint: the first
+        # iteration's best-pair collect materializes it, the rewrite
+        # reuses it — no driver-blocking job up front (r14)
         .repartition(vocab_partitions)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     merges: list[tuple[str, str, int]] = []
@@ -244,7 +246,7 @@ def bpe_train_merges(
 
         vocab = vocab.select(
             _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # next iteration's collect materializes
 
     return merges
 
