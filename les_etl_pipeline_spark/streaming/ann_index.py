@@ -572,7 +572,7 @@ def compact_postings(spark, index_dir: str, partitions_per_cell: int = 1) -> int
         hwms_at_read = xo._hwms(index_dir)
         live = _live_postings_at(
             spark, index_dir, root, hwms=hwms_at_read
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # the count below materializes it
         n = live.count()
 
         def build(staging: str, root=root, live=live) -> None:
@@ -666,7 +666,7 @@ def retrain_index(spark, index_dir: str, n_cells: int = 8, iters: int = 2) -> in
         hwms_at_read = xo._hwms(index_dir)
         live = _live_postings_at(
             spark, index_dir, root, hwms=hwms_at_read
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # the count below materializes it
         n_live = live.count()
         # the returned frame IS the final _assign over the live vectors
         # — one fewer fresh assign-tree analysis (r14)
