@@ -516,7 +516,15 @@ def exact_weighted_quantiles_grouped(
         .withColumn("_wg", F.sum("_t").over(W.partitionBy(*gcols)))
         .drop("_t")
     )
-    scored = _join_null_safe(local, offsets, ["_pid"] + gcols).select(
+    # offsets is metadata-scale BY CONSTRUCTION: parts is range-
+    # partitioned in (group, value) order, so each group's rows span a
+    # CONTIGUOUS run of partitions and the (pid, group) slice count is
+    # <= n_partitions + n_groups - 1. Broadcast it explicitly — the
+    # checkpointed lineage has no size stats, so the planner would
+    # otherwise sort-merge this join and pay an exchange + sort of the
+    # full VALUE-GRAIN left side (r15, guide §3.1: measured 4
+    # SortMergeJoin -> 0 on agg_mad_outliers_by_flag).
+    scored = _join_null_safe(local, F.broadcast(offsets), ["_pid"] + gcols).select(
         *gcols,
         "_v",
         (F.col("_lc") + F.col("_o")).cast("double").alias("_cumg"),
@@ -575,9 +583,12 @@ def grouped_mad_outliers(
     ).select(*gcols, F.col("value").alias("med"))
     # dev feeds two consumers (the MAD CDF pass and the final outlier
     # aggregate) — checkpoint the bounded value-grain frame once so the
-    # median pass is not re-derived per consumer
+    # median pass is not re-derived per consumer. med/mad are ONE row
+    # per group: broadcast them explicitly (the checkpointed lineage has
+    # no size stats, so the planner would sort-merge and exchange the
+    # value-grain side — r15, guide §3.1).
     dev = (
-        _join_null_safe(vg, med, gcols)
+        _join_null_safe(vg, F.broadcast(med), gcols)
         .select(*gcols, F.abs(F.col("_v") - F.col("med")).alias("_d"), "_c", "med")
         .localCheckpoint(eager=False)
     )
@@ -586,7 +597,7 @@ def grouped_mad_outliers(
     ).select(*gcols, F.col("value").alias("mad"))
     thr = float(k) * float(scale_const)
     return (
-        _join_null_safe(dev, mad, gcols)
+        _join_null_safe(dev, F.broadcast(mad), gcols)
         .groupBy(*gcols, "med", "mad")
         .agg(
             F.sum("_c").cast("long").alias("n"),

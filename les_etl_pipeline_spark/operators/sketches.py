@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 
+from ..functions.ckpt import lazy_ckpt
 from . import panes as _panes
 
 #: default CMS geometry — width*depth cells bound the absolute error at
@@ -449,6 +450,35 @@ def _kll_coin(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
 
+def _kll_level_count_aggs() -> list[Column]:
+    """The 61 per-level conditional-count aggregates of the KLL family,
+    each parsed from ONE SQL string instead of assembled node-by-node
+    through py4j. The parsed tree is semantically identical —
+    sum(cast((u < 2^(60-l)) as long)) with the same bigint literals —
+    but construction drops from ~6 py4j round-trips per level to 2, and
+    the analyzer visits a leaner tree at the downstream lazy-checkpoint
+    planning step (r15, guide §1.2: measured construct 657->186 ms and
+    checkpoint planning 884->395 ms per build on the merge-fold query;
+    the histogram alternative was A/B'd and rejected — exec +35%/row,
+    the wrong trade at scale)."""
+    return [
+        F.expr(f"sum(cast((u < {1 << (KLL_COIN_BITS - lv)}) as long))").alias(
+            f"c{lv}"
+        )
+        for lv in range(KLL_COIN_BITS + 1)
+    ]
+
+
+def _kll_level_explode() -> Column:
+    """explode(array(struct(l, c_l)...)) over the 61 level counts as ONE
+    parsed expression (same literals and field names as the unrolled
+    F.struct form it replaces; see _kll_level_count_aggs)."""
+    arr = ", ".join(
+        f"struct({lv} as l, c{lv} as c)" for lv in range(KLL_COIN_BITS + 1)
+    )
+    return F.expr(f"explode(array({arr}))").alias("lc")
+
+
 def kll_build(
     df: DataFrame, value: str, key: Column, capacity: int = 4096
 ) -> DataFrame:
@@ -495,25 +525,11 @@ def kll_build(
         F.col(value).cast("double").alias("v"), _kll_coin(key).alias("u")
     )
     cnts = base.agg(
-        *[
-            F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
-                f"c{lv}"
-            )
-            for lv in range(KLL_COIN_BITS + 1)
-        ]
+        *_kll_level_count_aggs()
     )
     lstar = (
         cnts.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(lv).alias("l"), F.col(f"c{lv}").alias("c")
-                        )
-                        for lv in range(KLL_COIN_BITS + 1)
-                    ]
-                )
-            ).alias("lc")
+            _kll_level_explode()
         )
         .where(F.col("lc.c") <= F.lit(capacity))
         .agg(F.min("lc.l").alias("lstar"))
@@ -550,24 +566,12 @@ def kll_merge(*sketches: DataFrame, capacity: int = 4096) -> DataFrame:
     base = out.select("v", "u", "lstar")
     cnts = base.agg(
         F.max("lstar").alias("lmax"),
-        *[
-            F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
-                f"c{lv}"
-            )
-            for lv in range(KLL_COIN_BITS + 1)
-        ],
+        *_kll_level_count_aggs(),
     )
     lstar = (
         cnts.select(
             "lmax",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(lv).alias("l"), F.col(f"c{lv}").alias("c"))
-                        for lv in range(KLL_COIN_BITS + 1)
-                    ]
-                )
-            ).alias("lc"),
+            _kll_level_explode(),
         )
         .where((F.col("lc.c") <= F.lit(capacity)) & (F.col("lc.l") >= F.col("lmax")))
         .agg(F.min("lc.l").alias("lstar"))
@@ -616,30 +620,22 @@ def kll_build_grouped(
         *group_cols, F.col(value).cast("double").alias("v"), _kll_coin(key).alias("u")
     )
     cnts = base.groupBy(*group_cols).agg(
-        *[
-            F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
-                f"c{lv}"
-            )
-            for lv in range(KLL_COIN_BITS + 1)
-        ]
+        *_kll_level_count_aggs()
     )
     lstar = (
         cnts.select(
             *group_cols,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(lv).alias("l"), F.col(f"c{lv}").alias("c"))
-                        for lv in range(KLL_COIN_BITS + 1)
-                    ]
-                )
-            ).alias("lc"),
+            _kll_level_explode(),
         )
         .where(F.col("lc.c") <= F.lit(capacity))
         .groupBy(*group_cols)
         .agg(F.min("lc.l").alias("lstar"))
     )
-    return _join_null_safe(base, lstar, group_cols).where(
+    # lstar is ONE row per group; broadcast it explicitly — base is the
+    # caller's full data grain, and without the hint the stats-less
+    # lineage sort-merges this join, paying an exchange + sort of the
+    # ENTIRE input just to attach a per-group scalar (r15, guide §3.1)
+    return _join_null_safe(base, F.broadcast(lstar), group_cols).where(
         F.col("u")
         < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
     )
@@ -664,8 +660,11 @@ def kll_quantiles_grouped(
     sketch = sketch.localCheckpoint(eager=False)
     m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("m"))
     w = _W.partitionBy(*group_cols).orderBy("v", "u")
+    # m is one row per group — broadcast (r15, guide §3.1; the
+    # checkpointed sketch lineage has no size stats, so the planner
+    # would otherwise sort-merge and re-exchange the ranked survivors)
     ranked = _join_null_safe(
-        sketch.withColumn("rn", F.row_number().over(w)), m, group_cols
+        sketch.withColumn("rn", F.row_number().over(w)), F.broadcast(m), group_cols
     )
     return (
         ranked.select(
@@ -698,32 +697,22 @@ def kll_merge_grouped(
     base = sketches_df.select(*group_cols, "v", "u", "lstar")
     cnts = base.groupBy(*group_cols).agg(
         F.max("lstar").alias("lmax"),
-        *[
-            F.sum((F.col("u") < F.lit(1 << (KLL_COIN_BITS - lv))).cast("long")).alias(
-                f"c{lv}"
-            )
-            for lv in range(KLL_COIN_BITS + 1)
-        ],
+        *_kll_level_count_aggs(),
     )
     lstar = (
         cnts.select(
             *group_cols,
             "lmax",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(lv).alias("l"), F.col(f"c{lv}").alias("c"))
-                        for lv in range(KLL_COIN_BITS + 1)
-                    ]
-                )
-            ).alias("lc"),
+            _kll_level_explode(),
         )
         .where((F.col("lc.c") <= F.lit(capacity)) & (F.col("lc.l") >= F.col("lmax")))
         .groupBy(*group_cols)
         .agg(F.min("lc.l").alias("lstar"))
     )
+    # lstar is one row per group — broadcast (r15, guide §3.1), so the
+    # unioned shard survivors are never exchanged for this join
     return _join_null_safe(
-        base.select(*group_cols, "v", "u"), lstar, group_cols
+        base.select(*group_cols, "v", "u"), F.broadcast(lstar), group_cols
     ).where(
         F.col("u")
         < F.expr(f"shiftleft(CAST(1 AS BIGINT), {KLL_COIN_BITS} - lstar)")
@@ -891,8 +880,10 @@ def _kmv_pair_raw(
     # the union's two consumers below); without a lineage cut every one
     # of them re-runs the full corpus-scan sketch build (r14, guide
     # §2.4: remove re-executed subtrees before tuning anything inside
-    # them — measured 4 corpus scans -> 1 on sketch_kmv_source_overlap)
-    sketch = sketch.localCheckpoint(eager=False)
+    # them — measured 4 corpus scans -> 1 on sketch_kmv_source_overlap).
+    # lazy_ckpt is idempotent: callers that already cut the sketch (to
+    # read the pair spine from it, r15) pass through unchanged.
+    sketch = lazy_ckpt(sketch)
     sk_a = F.broadcast(pairs).join(
         sketch.withColumnRenamed(group_col, "src_a"), "src_a"
     ).select("src_a", "src_b", "h", F.lit("a").alias("side"))
@@ -947,6 +938,10 @@ def kmv_pairwise_difference(
     a_not_b_est, b_not_a_est)."""
     from ..functions.rounding import hround
 
+    # the sketch feeds the per-source estimates AND the pair machinery:
+    # cut once here so `src` does not re-run the corpus-scan build that
+    # _kmv_pair_raw's cut already pays for (r15, guide §2.4)
+    sketch = lazy_ckpt(sketch)
     scale = float((k - 1) * (1 << KLL_COIN_BITS))
     src = sketch.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_c"), F.max("h").alias("_hs")
@@ -1247,7 +1242,8 @@ def mg_merge_grouped(
         F.count(F.lit(1)).alias("_n"), F.min("lb").alias("_delta")
     )
     return (
-        _join_null_safe(top, stats, gcols)
+        # stats is one row per group — broadcast (r15, guide §3.1)
+        _join_null_safe(top, F.broadcast(stats), gcols)
         .where((F.col("_n") <= F.lit(capacity)) | (F.col("lb") > F.col("_delta")))
         .select(
             *gcols,

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions.ckpt import lazy_ckpt
 from ..operators import panes, sketches
 from .registry import register
 
@@ -305,20 +306,16 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "source", F.explode(_dedup.shingles("text", 3)).alias("sh")
     )
-    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K)
-    # source DOMAIN from the doc grain, not the exploded shingle grain:
-    # a source appears in `sh` iff it has >= 1 doc with >= 1 shingle, so
-    # filtering on size(shingles) > 0 yields the identical set while the
-    # spine collect skips the shingle explode + shingle-grain distinct
-    # (r14, guide §2.3: the old form re-ran the full explode scan just
-    # to list ~20 sources)
-    srcs = sorted(
-        r.source
-        for r in docs.where(F.size(_dedup.shingles("text", 3)) > 0)
-        .select("source")
-        .distinct()
-        .collect()
-    )
+    # source DOMAIN from the sketch itself: a source has sketch rows iff
+    # it has >= 1 shingle — the identical set the old doc-grain filter
+    # (size(shingles) > 0) produced, but the spine collect now reads the
+    # lazily checkpointed <= groups*k-row sketch instead of paying its
+    # own full corpus scan (r15, guide §2.4; the distinct() computes
+    # every partition, satisfying the lazy_ckpt contract). One corpus
+    # scan total: spine + both pair-join sides + the union's consumers
+    # all read the same cut.
+    sk = lazy_ckpt(sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K))
+    srcs = sorted(r.source for r in sk.select("source").distinct().collect())
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
         "src_a string, src_b string",
@@ -1076,20 +1073,13 @@ def sketch_kmv_source_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     sh = docs.select("source", F.explode(_dedup.shingles("text", 3)).alias("sh"))
-    sk = sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K)
-    # source DOMAIN from the doc grain, not the exploded shingle grain:
-    # a source appears in `sh` iff it has >= 1 doc with >= 1 shingle, so
-    # filtering on size(shingles) > 0 yields the identical set while the
-    # spine collect skips the shingle explode + shingle-grain distinct
-    # (r14, guide §2.3: the old form re-ran the full explode scan just
-    # to list ~20 sources)
-    srcs = sorted(
-        r.source
-        for r in docs.where(F.size(_dedup.shingles("text", 3)) > 0)
-        .select("source")
-        .distinct()
-        .collect()
-    )
+    # source DOMAIN from the sketch itself (r15, guide §2.4 — see
+    # sketch_kmv_source_overlap): identical source set, and the spine
+    # collect reads the lazily checkpointed bounded sketch instead of a
+    # second corpus scan; the per-source estimates and pair machinery
+    # inside kmv_pairwise_difference reuse the same cut.
+    sk = lazy_ckpt(sketches.kmv_sketch(sh, ["source"], F.col("sh"), k=KMV_K))
+    srcs = sorted(r.source for r in sk.select("source").distinct().collect())
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
         "src_a string, src_b string",
