@@ -1299,8 +1299,13 @@ def mmr_rerank(
         e.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")),
         "b",
     )
+    # a and b are BOUNDED decision frames (queries * n_cand rows each,
+    # corpus-independent by the operator's contract); broadcast the b
+    # side — the checkpointed-shortlist lineage has no size stats, so
+    # the planner otherwise sort-merges this join and exchanges+sorts
+    # both sides (r15, guide §3.1)
     pair = (
-        a.join(b, "query_id")
+        a.join(F.broadcast(b), "query_id")
         .where(F.col("a") != F.col("b"))
         .select(
             "query_id",

@@ -901,10 +901,17 @@ def _kmv_pair_raw(
         .where(F.col("_ns") == 2)
         .select("src_a", "src_b", "h")
     )
-    sc = bk.join(shared, ["src_a", "src_b", "h"]).groupBy("src_a", "src_b").agg(
-        F.count(F.lit(1)).alias("_cs")
+    # shared and sc are pair-spine scale (<= |pairs| * k and <= |pairs|
+    # rows; |pairs| is already bounded by the caller's driver-collected
+    # spine) — broadcast them so neither join exchanges+sorts the
+    # equally bounded left sides (r15, guide §3.1: the checkpoint
+    # lineage has no size stats, so both were SortMergeJoins)
+    sc = (
+        bk.join(F.broadcast(shared), ["src_a", "src_b", "h"])
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("_cs"))
     )
-    return stats.join(sc, ["src_a", "src_b"], "left")
+    return stats.join(F.broadcast(sc), ["src_a", "src_b"], "left")
 
 
 def _kmv_pair_exprs(k: int) -> tuple[Column, Column]:
