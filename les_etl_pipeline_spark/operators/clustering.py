@@ -39,21 +39,34 @@ from ..functions.rounding import hround
 
 def _assign(e: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """Add (cluster, d) = argmin over ``cents`` of the 6dp-rounded
-    squared euclidean distance. ``e`` must have columns (vec_id, v)."""
+    squared euclidean distance. ``e`` must have columns (vec_id, v).
+
+    The whole argmin expression is parsed from ONE SQL string: the
+    per-cell zip_with/aggregate folds, the floor-based 6dp rounding
+    (hround's exact formula, 0.5D/1000000.0D double literals) and the
+    (d, cluster) struct argmin are the same Catalyst nodes the unrolled
+    F.lit form produced — bit-exact, measured — but construction drops
+    from ~600 py4j round-trips per fresh tree (k=8 x d=64) to one parse
+    (575 -> 101 ms per tree, r15 guide §1.2; every Lloyd iteration,
+    IVF build and streaming-ANN drain constructs such a tree). ``!r``
+    keeps the exact IEEE doubles; ``D`` suffixes keep Spark SQL from
+    parsing the literals as DECIMAL."""
     choices = []
     for c in sorted(cents):
-        arr = F.array(*[F.lit(float(x)) for x in cents[c]])
-        d = hround(
-            F.aggregate(
-                F.zip_with(F.col("v"), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in cents[c]) + ")"
+        fold = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        choices.append(F.struct(d.alias("d"), F.lit(c).alias("cluster")))
-    best = F.array_min(F.array(*choices))
-    return e.select("vec_id", "v", best["cluster"].alias("cluster"), best["d"].alias("d"))
+        d6 = f"cast(floor(({fold}) * 1000000.0D + 0.5D) / 1000000.0D as double)"
+        choices.append(f"struct({d6} as d, {c} as cluster)")
+    best = "array_min(array(" + ",".join(choices) + "))"
+    return e.select(
+        "vec_id",
+        "v",
+        F.expr(best + ".cluster").alias("cluster"),
+        F.expr(best + ".d").alias("d"),
+    )
 
 
 def kmeans_lloyd_full(
