@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.literal_df import driver_literal_df
+from ..functions.ckpt import lazy_ckpt
 from ..functions.rounding import hround
 
 
@@ -319,10 +320,16 @@ def ivf_topk(
         assigned = model.transform(feats)
 
         # centroid table: (cell, centroid vector) — tiny, broadcastable
-        centroids = driver_literal_df(spark, 
+        centroids = driver_literal_df(spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "cell int, cvec array<double>",
         )
+
+    # assigned feeds BOTH the query probe side and the candidate side:
+    # without a lineage cut the per-row k*d argmin fold runs twice over
+    # the corpus (r15, guide §2.4). Lazy — the probe side's broadcast
+    # job scans every partition first, satisfying the lazy_ckpt contract.
+    assigned = lazy_ckpt(assigned)
 
     # each query probes its n_probe nearest centroids (by euclidean).
     # The probe distance is 6dp-rounded BEFORE ranking — the repo-wide
@@ -757,11 +764,15 @@ def ivf_pq_topk(
         assign, cents, codebook = _lloyd_ivf_pq_train(
             base, bounds, n_cells, n_codes, prefix, id_col
         )
-        assigned = assign.select(
+        # lazy (r15): every consumer (codes explode, probe window,
+        # ADC query table, rerank vector sides) runs inside the final
+        # action and the first to materialize computes all partitions —
+        # eager paid one extra driver-blocking job at build
+        assigned = lazy_ckpt(assign.select(
             F.col("vec_id").alias(id_col),
             F.col("v").alias("ud"),
             F.col("cluster").alias("cell"),
-        ).localCheckpoint()
+        ))
         centroids = driver_literal_df(spark,
             [(c, v) for c, v in sorted(cents.items())],
             "cell int, cvec array<double>",
