@@ -99,11 +99,21 @@ _WSD_START = "windowspecdefinition("
 
 @pytest.fixture(scope="module")
 def all_plans(spark, sf_dir) -> dict[str, str]:
-    """Physical plan text of every registered query, computed once."""
-    return {
-        name: fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        for name, fn in QUERIES.items()
-    }
+    """Physical plan text of every registered query, computed once.
+
+    Built from a small driver thread pool (guide §2.6): construction of
+    the ~320 queries is independent (fixture-building queries use unique
+    scratch dirs; py4j gives each thread its own connection), and the
+    few that run driver jobs at build time overlap instead of
+    serializing — measured 127 s -> ~45 s for the module setup."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        name, fn = item
+        return name, fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        return dict(pool.map(one, QUERIES.items()))
 
 
 def _wsd_args(plan: str) -> list[list[str]]:
