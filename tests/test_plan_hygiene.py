@@ -257,3 +257,107 @@ def test_allowlist_entries_exist():
     unknown = [n for n in BNLJ_ALLOWED if n not in QUERIES]
     unknown += [n for n in UNPART_WINDOW_ALLOWED if n not in QUERIES]
     assert not unknown, f"allowlisted but not registered: {unknown}"
+
+
+#: Structural budgets for the operator paths rewritten in the r14/r15
+#: optimization rounds (VERDICT r14 #1): sf0.1 wall-clock is
+#: latency-bound (8-core == 32-core), so a reintroduced double corpus
+#: scan / sort-merge join / unrolled stage pyramid would NOT move the
+#: bench — these pins are the only regression detector for the
+#: structural wins. Counts are substring counts over the executed-plan
+#: text of the query built at the test sf (checkpoint boundaries hide
+#: build-side subtrees; those are pinned by the JOB budgets below).
+#: Values are the measured shape at pin time (r15) — budgets are
+#: maxima, so further optimization only tightens them.
+PLAN_BUDGETS = {
+    # name: (max Exchange, max SortMergeJoin, max "Scan parquet")
+    "dedup_evidence_fusion": (4, 0, 0),        # r14: was 40 Exchange
+    "sketch_kll_sliding_quantiles": (4, 0, 0),  # r14: was 64 (formatted)
+    "dedup_chunk_reconstruct": (4, 0, 1),       # r14: join-free stitch
+    "sketch_cms_token_freq": (3, 0, 0),         # r14: token-grain build
+    "sketch_kll_merge_fold": (4, 0, 0),         # r14 grouped build + r15
+    "sketch_kll_merge_fold_by_group": (4, 0, 0),  # r15: 2 SMJ -> 0
+    "sketch_kll_quantiles": (4, 0, 0),
+    "sketch_kll_quantiles_by_group": (4, 0, 0),
+    "similarity_mmr_rerank": (6, 0, 2),         # r15: pair join SMJ -> 0
+    "similarity_mmr_rerank_ivf": (6, 0, 2),
+    "agg_mad_outliers_by_flag": (8, 0, 0),      # r15: 4 SMJ -> 0
+    "agg_weighted_quantiles_by_group": (6, 0, 0),
+    "sketch_kmv_source_overlap": (15, 0, 0),    # r15: 4 SMJ -> 0
+    "sketch_kmv_source_difference": (19, 0, 0),
+    "dedup_minhash_banded": (4, 0, 1),          # r14: one fold signature
+    "dedup_ngram_jaccard": (5, 0, 0),
+    "text_bigram_logprob_interp": (12, 0, 2),   # r14: zip_with bigrams
+    "similarity_ivf_pq_topk": (13, 0, 0),
+    "similarity_ivf_topk": (5, 0, 0),
+}
+
+
+def test_plan_budgets(all_plans):
+    """Exchange / SortMergeJoin / visible-scan counts of the rewritten
+    heavies stay at or under their pinned shape."""
+    offenders = {}
+    for name, (max_ex, max_smj, max_scan) in PLAN_BUDGETS.items():
+        plan = all_plans[name]
+        got = (
+            plan.count("Exchange"),
+            plan.count("SortMergeJoin"),
+            plan.count("Scan parquet"),
+        )
+        if got[0] > max_ex or got[1] > max_smj or got[2] > max_scan:
+            offenders[name] = (
+                f"(Exchange, SMJ, scans) = {got}, budget "
+                f"({max_ex}, {max_smj}, {max_scan})"
+            )
+    assert not offenders, f"plan-shape budgets exceeded: {offenders}"
+
+
+def test_mmr_runs_one_cogroup(all_plans):
+    """The MMR greedy selection is exactly ONE grouped Arrow cogroup —
+    the r14 rewrite collapsed k unrolled window stages into it, and no
+    row-at-a-time Python evaluation may appear anywhere."""
+    for name in ("similarity_mmr_rerank", "similarity_mmr_rerank_ivf"):
+        plan = all_plans[name]
+        assert plan.count("FlatMapCoGroupsInPandas") == 1, name
+        assert plan.count("BatchEvalPython") == 0, name
+
+
+#: Driver-blocking job budgets for the checkpoint-dependent heavies:
+#: their build-side structure (grouped shard builds, CC iterations,
+#: fused trainer collects, lazy checkpoints) is invisible in the final
+#: plan text, but every removed stage/scan was a removed Spark job —
+#: the job count is the durable proxy. Measured at sf0.001 (r15) with
+#: ~30% headroom for AQE variation; a reintroduced per-stage unroll or
+#: eager checkpoint blows well past it.
+JOB_BUDGETS = {
+    "dedup_cluster_components": 19,   # union-groupBy CC, 2-step cycles
+    "dedup_canonical_keep_best": 25,
+    "similarity_mmr_rerank_ivf": 16,  # r14: was 54 driver-blocking jobs
+    "sketch_kll_merge_fold": 11,      # grouped build: 2 scans, not 6
+    "sketch_kll_merge_fold_by_group": 11,
+    "dedup_chunk_reconstruct": 9,     # one grouped pass, no join-back
+    "sketch_cms_token_freq": 6,       # one corpus explode
+    "dedup_evidence_fusion": 17,      # each tier built once
+    "sketch_kmv_source_overlap": 22,  # spine from the checkpointed sketch
+    "similarity_ivf_pq_topk": 26,     # fused one-collect trainer
+    "agg_mad_outliers_by_flag": 27,   # direct group-aware carried sums
+}
+
+
+def test_job_budgets(spark, sf_dir):
+    """Build + one noop execution of each checkpoint-dependent heavy
+    stays within its pinned driver job count."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs() -> int:
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    offenders = {}
+    for name, budget in JOB_BUDGETS.items():
+        j0 = n_jobs()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        used = n_jobs() - j0
+        if used > budget:
+            offenders[name] = f"{used} jobs > budget {budget}"
+    assert not offenders, f"driver job budgets exceeded: {offenders}"
