@@ -284,6 +284,24 @@ _SIMHASH_BIT = (
     " / power(2, 3 - j % 4)) AS INT) % 2"
 )
 
+#: all 64 ±1 votes of a token in ONE array expression, the md5 a HOF
+#: *argument* (one eval per token — guide §4.1; the per-bit
+#: ``transform(sequence(0,63), j -> f(md5(w), j))`` form re-ran the md5
+#: 64x per occurrence). Each hex nibble expands to its 4 bits MSB-first
+#: (p = 3 - j%4), so the flattened order and the floor/power/mod
+#: arithmetic are exactly ``_SIMHASH_BIT``'s — pinned against it in
+#: tests/test_round14_ops.py, which imports THIS constant (ADVICE r14:
+#: a test pinning a copy of the expression stops pinning production the
+#: moment the production copy is edited).
+_SIMHASH_VOTES = (
+    "flatten(transform("
+    "  filter(split(substring(md5(w), 1, 16), '(?!^)'), c -> c != ''),"
+    "  c -> transform(sequence(3, 0, -1),"
+    "       p -> (CAST(floor(CAST(conv(c, 16, 10) AS INT)"
+    "                  / power(2, p)) AS INT) % 2) * 2 - 1)))"
+)
+
+
 
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -307,16 +325,7 @@ def simhash_signatures(
     # hazard class, guide §4.1). Each hex nibble expands to its 4 bits
     # MSB-first (p = 3 - j%4), so the flattened order and the
     # floor/power/mod arithmetic are exactly _SIMHASH_BIT's.
-    votes = tok.select(
-        "doc_id",
-        F.expr(
-            "flatten(transform("
-            "  filter(split(substring(md5(w), 1, 16), '(?!^)'), c -> c != ''),"
-            "  c -> transform(sequence(3, 0, -1),"
-            "       p -> (CAST(floor(CAST(conv(c, 16, 10) AS INT)"
-            "                  / power(2, p)) AS INT) % 2) * 2 - 1)))"
-        ).alias("v"),
-    )
+    votes = tok.select("doc_id", F.expr(_SIMHASH_VOTES).alias("v"))
     sums = votes.groupBy("doc_id").agg(
         *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}") for j in range(64)]
     )

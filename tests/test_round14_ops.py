@@ -3,6 +3,7 @@ r13 #3) and incremental-CC adversarial chaos (VERDICT r13 #7)."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -520,21 +521,97 @@ def test_simhash_votes_nibble_form_equals_per_bit_form(spark):
     inside the transform lambda. Pinned: the nibble-expansion form
     equals the original per-bit _SIMHASH_BIT formula for all 64
     positions."""
-    from les_etl_pipeline_spark.operators.dedup import _SIMHASH_BIT
+    from les_etl_pipeline_spark.operators.dedup import (
+        _SIMHASH_BIT,
+        _SIMHASH_VOTES,
+    )
 
     df = spark.createDataFrame(
         [(w,) for w in ["alpha", "beta", "", "Z", "0", "longer-token-text"]],
         "w string",
     )
     old = F.expr(f"transform(sequence(0, 63), j -> ({_SIMHASH_BIT}) * 2 - 1)")
-    new = F.expr(
-        "flatten(transform("
-        "  filter(split(substring(md5(w), 1, 16), '(?!^)'), c -> c != ''),"
-        "  c -> transform(sequence(3, 0, -1),"
-        "       p -> (CAST(floor(CAST(conv(c, 16, 10) AS INT)"
-        "                  / power(2, p)) AS INT) % 2) * 2 - 1)))"
-    )
+    # the PRODUCTION expression (ADVICE r14: import, don't copy)
+    new = F.expr(_SIMHASH_VOTES)
     bad = df.select(old.alias("o"), new.alias("n")).where(
         ~F.col("o").eqNullSafe(F.col("n"))
     ).count()
     assert bad == 0
+
+
+# -- minhash: sub-ngram docs are excluded, not sentinel-signed (r15) ----------
+def test_minhash_empty_shingle_doc_excluded_both_families(spark):
+    """VERDICT r14 #5-minor: the r14 fold's init array (2^32 / Long.MAX
+    sentinels) must never surface as a real signature. Both hash
+    families EXCLUDE docs with fewer than ``ngram`` tokens before the
+    fold (where(size(shingles) > 0)), so a sub-ngram doc gets NO
+    signature row — and can therefore never band-collide with any doc,
+    exactly the r13 unrolled form's pair behavior."""
+    from les_etl_pipeline_spark.operators.dedup import (
+        minhash_banded_pairs,
+        minhash_signature_array,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "too short"), (4, "")],
+        "doc_id long, text string",
+    )
+    for fam in ("xxhash64", "md5"):
+        sig = minhash_signature_array(df, hash_family=fam, n_hashes=8)
+        ids = {r.doc_id for r in sig.select("doc_id").collect()}
+        assert ids == {1, 2}, f"{fam}: sub-ngram docs must have no signature"
+        assert not any(
+            9223372036854775807 in r.minhash or 2**32 in r.minhash
+            for r in sig.collect()
+        ), f"{fam}: fold init sentinel leaked into a real signature"
+        pairs = minhash_banded_pairs(df, hash_family=fam, n_hashes=8)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert got == {(1, 2)}, f"{fam}: only the true duplicate pair"
+
+
+# -- codegen cache sizing keeps its evidence attached (r15, VERDICT #9) -------
+def test_codegen_cache_sized_for_registry(spark):
+    """The r14 aging probe measured the default 100-entry generated-
+    class cache thrashing on this registry (JIT growth +45 s/pass never
+    settling; extended bench 141.6 -> 99.2 s from resizing alone). This
+    pin keeps the session setting attached to that evidence: the tuned
+    session must size spark.sql.codegen.cache.maxEntries to the
+    registry scale (>= 1024), and the knob stays env-overridable for
+    re-measurement via tools/aging_probe.py (SPARK_GRAFT_CODEGEN_CACHE;
+    the full probe is the evidence runner — too slow for CI)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_AGING_TEST") != "1",
+    reason="multi-minute JVM-aging probe; run with SPARK_GRAFT_AGING_TEST=1",
+)
+def test_codegen_cache_steady_state_probe():
+    """Env-gated re-run of the r14 aging evidence: with the shipped
+    cache size, total JIT compilation time growth must SETTLE across
+    bench-pattern passes (the default-100 failure mode grows linearly,
+    +45 s/pass). Budget: the last pass's JIT growth must be under half
+    the first pass's (settling), asserted over 3 probe passes."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "aging_probe.py"), "3"],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    passes = [
+        json.loads(ln)
+        for ln in proc.stdout.splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(passes) >= 3
+    totals = [p["jit_ms_total"] for p in passes if "jit_ms_total" in p]
+    assert len(totals) >= 3
+    growths = [b - a for a, b in zip(totals, totals[1:])]
+    assert growths[-1] < max(growths[0], 1) * 0.5, growths
